@@ -1,0 +1,535 @@
+"""File serializers for :class:`FeaturesCollection`.
+
+Supports the same six formats as the reference
+(``shennong/serializers.py``): numpy ``.npz``, matlab ``.mat``, pickle
+``.pkl``, HDF5 ``.h5f``, kaldi ``.ark`` and a CSV folder.
+
+Implementation notes versus the reference:
+
+- the kaldi ark reader/writer is a self-contained pure-Python codec of
+  the Kaldi binary table format (``<key> \\0B FM/DM <dims> <data>``),
+  no pykaldi needed, byte-compatible with Kaldi tools;
+- the ``.h5f`` serializer is built directly on :mod:`h5py` with a
+  simple one-group-per-item layout (the h5features library is not a
+  dependency here);
+- JSON sidecars use the numpy-aware codec from
+  :mod:`shennong_tpu.utils` instead of json_tricks.
+"""
+
+import abc
+import copy
+import copyreg
+import os
+import pickle
+import struct
+
+import numpy as np
+import scipy.io
+
+from shennong_tpu.features import Features
+from shennong_tpu.utils import (
+    array2list, json_dumps, json_loads, list_files_with_extension)
+
+
+def supported_extensions():
+    """Map file extensions to serializer classes"""
+    return {
+        '.npz': NumpySerializer,
+        '.mat': MatlabSerializer,
+        '.pkl': PickleSerializer,
+        '.h5f': H5featuresSerializer,
+        '.ark': KaldiSerializer,
+        '': CsvSerializer,
+    }
+
+
+def supported_serializers():
+    """Map serializer names to serializer classes"""
+    return {
+        'numpy': NumpySerializer,
+        'matlab': MatlabSerializer,
+        'pickle': PickleSerializer,
+        'h5features': H5featuresSerializer,
+        'kaldi': KaldiSerializer,
+        'csv': CsvSerializer,
+    }
+
+
+def get_serializer(cls, filename, log, serializer=None):
+    """Instanciate the right serializer for ``filename``.
+
+    ``cls`` must be FeaturesCollection (passed in to avoid a circular
+    import). When ``serializer`` is None it is guessed from the file
+    extension.
+    """
+    if cls.__name__ != 'FeaturesCollection':
+        raise ValueError(
+            'The `cls` parameter must be '
+            'shennong_tpu.features_collection.FeaturesCollection')
+
+    if serializer is None:
+        ext = os.path.splitext(filename)[1]
+        try:
+            serializer = supported_extensions()[ext]
+        except KeyError:
+            raise ValueError(
+                'invalid extension {}, must be in {}'.format(
+                    ext, list(supported_extensions().keys()))) from None
+    else:
+        try:
+            serializer = supported_serializers()[serializer]
+        except KeyError:
+            raise ValueError(
+                'invalid serializer {}, must be in {}'.format(
+                    serializer,
+                    list(supported_serializers().keys()))) from None
+
+    return serializer(cls, filename, log)
+
+
+class FeaturesSerializer(metaclass=abc.ABCMeta):
+    """Base class for all the file serializers."""
+
+    def __init__(self, cls, filename, log):
+        self._features_collection = cls
+        self._filename = filename
+        self._log = log
+
+    @property
+    def filename(self):
+        """Path of the file being read or written"""
+        return self._filename
+
+    @abc.abstractmethod
+    def _save(self, features, with_properties):  # pragma: nocover
+        pass
+
+    @abc.abstractmethod
+    def _load(self):  # pragma: nocover
+        pass
+
+    def _check_save(self):
+        if os.path.isfile(self.filename):
+            raise IOError(f'file already exists: {self.filename}')
+
+    def _check_load(self):
+        if not os.path.isfile(self.filename):
+            raise IOError(f'file not found: {self.filename}')
+        if not os.access(self.filename, os.R_OK):
+            raise IOError(f'file not readable: {self.filename}')
+
+    def save(self, features, with_properties=True, **kwargs):
+        """Write the collection to disk (file must not exist)."""
+        self._check_save()
+
+        if not isinstance(features, self._features_collection):
+            raise ValueError(
+                'features must be {} but are {}'.format(
+                    self._features_collection.__name__,
+                    features.__class__.__name__))
+        if not features.is_valid():
+            raise ValueError('features are not valid')
+
+        self._save(features, with_properties, **kwargs)
+
+    def load(self, **kwargs):
+        """Read a collection from disk."""
+        self._check_load()
+        features = self._load(**kwargs)
+        if not features.is_valid():  # pragma: nocover
+            raise ValueError(f'features not valid in "{self.filename}"')
+        return features
+
+
+class NumpySerializer(FeaturesSerializer):
+    """numpy ``.npz`` format"""
+
+    def _save(self, features, with_properties, compress=True):
+        self._log.info('writing %s', self.filename)
+        data = {
+            k: v._to_dict(with_properties=with_properties)
+            for k, v in features.items()}
+        save = np.savez_compressed if compress else np.savez
+        with open(self.filename, 'wb') as fp:
+            save(fp, features=data, allow_pickle=True)
+
+    def _load(self):
+        self._log.info('loading %s', self.filename)
+        with open(self.filename, 'rb') as fp:
+            data = np.load(fp, allow_pickle=True)['features'].tolist()
+        collection = self._features_collection()
+        for k, v in data.items():
+            collection[k] = Features._from_dict(v, validate=False)
+        return collection
+
+
+class MatlabSerializer(FeaturesSerializer):
+    """matlab ``.mat`` format"""
+
+    def _save(self, features, with_properties, compress=True):
+        self._log.info('writing %s', self.filename)
+        data = {
+            k: v._to_dict(with_properties=with_properties)
+            for k, v in features.items()}
+        scipy.io.savemat(
+            self.filename, data, long_field_names=True,
+            appendmat=False, do_compression=compress)
+
+    def _load(self):
+        self._log.info('loading %s', self.filename)
+        data = self._unpack(scipy.io.loadmat(
+            self.filename, appendmat=False, squeeze_me=True,
+            mat_dtype=True, struct_as_record=False))
+
+        collection = self._features_collection()
+        for k, v in data.items():
+            if k in ('__header__', '__version__', '__globals__'):
+                continue
+            if 'properties' in v:
+                collection[k] = Features(
+                    v['data'], v['times'],
+                    self._fix_pipeline(self._unpack(v['properties'])),
+                    validate=False)
+            else:
+                collection[k] = Features(
+                    v['data'], v['times'], validate=False)
+        return collection
+
+    @classmethod
+    def _unpack(cls, data):
+        """Recursively turn matlab structs into plain dictionaries"""
+        for key in data:
+            if isinstance(data[key], scipy.io.matlab.mat_struct):
+                data[key] = cls._struct2dict(data[key])
+            elif isinstance(data[key], (list, np.ndarray)):
+                data[key] = [cls._struct2dict(item) for item in data[key]]
+        return data
+
+    @staticmethod
+    def _struct2dict(matobj):
+        if not isinstance(matobj, scipy.io.matlab.mat_struct):
+            return matobj
+        out = {}
+        for field in matobj._fieldnames:
+            elem = matobj.__dict__[field]
+            out[field] = MatlabSerializer._struct2dict(elem)
+        return out
+
+    @staticmethod
+    def _fix_pipeline(properties):
+        # matlab collapses single-element lists, rebuild the pipeline list
+        if 'pipeline' in properties:
+            pipeline = properties['pipeline']
+            if isinstance(pipeline, list):
+                properties['pipeline'] = [array2list(p) for p in pipeline]
+            else:
+                properties['pipeline'] = [array2list(pipeline)]
+        return properties
+
+
+class _NoPropertiesPickler(pickle.Pickler):
+    """Pickler dropping the properties of Features instances."""
+    dispatch_table = copyreg.dispatch_table.copy()
+    dispatch_table[Features] = lambda obj: (
+        obj.__class__, (obj.data, obj.times, None, False))
+
+
+class PickleSerializer(FeaturesSerializer):
+    """Python pickle ``.pkl`` format"""
+
+    def _save(self, features, with_properties):
+        self._log.info('writing %s', self.filename)
+        pickler = pickle.Pickler if with_properties else _NoPropertiesPickler
+        with open(self.filename, 'wb') as stream:
+            pickler(stream).dump(features)
+
+    def _load(self):
+        self._log.info('loading %s', self.filename)
+        with open(self.filename, 'rb') as stream:
+            return pickle.load(stream)
+
+
+class H5featuresSerializer(FeaturesSerializer):
+    """HDF5 ``.h5f`` format (h5py-based).
+
+    Layout: one HDF5 group per item under the root group 'features',
+    with 'data' and 'times' datasets and a JSON-encoded 'properties'
+    attribute. Not byte-compatible with the h5features library used by
+    the reference, but fulfills the same role (partial reads, large
+    datasets, compression).
+    """
+
+    def _save(self, features, with_properties, compress=True):
+        import h5py
+        self._log.info('writing %s', self.filename)
+        comp = dict(compression='lzf') if compress else {}
+        with h5py.File(self.filename, 'a') as fh:
+            group = fh.create_group('features')
+            for k, v in features.items():
+                sub = group.create_group(k)
+                sub.create_dataset('data', data=v.data, **comp)
+                sub.create_dataset('times', data=v.times, **comp)
+                if with_properties:
+                    sub.attrs['properties'] = json_dumps(v.properties)
+
+    def _load(self):
+        import h5py
+        self._log.info('loading %s', self.filename)
+        collection = self._features_collection()
+        with h5py.File(self.filename, 'r') as fh:
+            for k, sub in fh['features'].items():
+                properties = (
+                    json_loads(sub.attrs['properties'])
+                    if 'properties' in sub.attrs else {})
+                collection[k] = Features(
+                    sub['data'][...], sub['times'][...],
+                    properties=properties, validate=False)
+        return collection
+
+
+# ---------------------------------------------------------------------------
+# Kaldi binary ark codec (pure Python)
+# ---------------------------------------------------------------------------
+
+_KALDI_DTYPES = {b'FM': np.float32, b'DM': np.float64}
+_KALDI_TOKENS = {np.dtype(np.float32): b'FM', np.dtype(np.float64): b'DM'}
+
+
+def write_ark_matrix(fp, key, matrix):
+    """Append one Kaldi binary matrix record to an open file.
+
+    Record layout: ``<key> ' ' \\0B <FM|DM> ' ' \\4 <int32 rows> \\4
+    <int32 cols> <row-major data>``. Returns the byte offset of the
+    binary marker (for scp files).
+    """
+    matrix = np.ascontiguousarray(matrix)
+    if matrix.dtype not in _KALDI_TOKENS:
+        matrix = matrix.astype(np.float64)
+    token = _KALDI_TOKENS[matrix.dtype]
+
+    fp.write(key.encode() + b' ')
+    offset = fp.tell()
+    fp.write(b'\0B' + token + b' ')
+    rows, cols = matrix.shape
+    fp.write(b'\x04' + struct.pack('<i', rows))
+    fp.write(b'\x04' + struct.pack('<i', cols))
+    fp.write(matrix.tobytes())
+    return offset
+
+
+def read_ark(filename):
+    """Iterate over (key, matrix) pairs of a Kaldi binary ark file."""
+    with open(filename, 'rb') as fp:
+        while True:
+            key = _read_token(fp)
+            if key is None:
+                return
+            marker = fp.read(2)
+            if marker != b'\0B':
+                raise ValueError(
+                    f'{filename}: text-mode ark not supported '
+                    f'(marker {marker!r})')
+            token = fp.read(3).strip()
+            if token not in _KALDI_DTYPES:
+                raise ValueError(f'{filename}: unsupported token {token!r}')
+            dtype = _KALDI_DTYPES[token]
+            rows = _read_basic_int(fp)
+            cols = _read_basic_int(fp)
+            data = np.frombuffer(
+                fp.read(rows * cols * np.dtype(dtype).itemsize), dtype=dtype)
+            yield key, data.reshape(rows, cols).copy()
+
+
+def _read_token(fp):
+    """Read a whitespace-terminated key, None at end of file."""
+    chars = []
+    while True:
+        char = fp.read(1)
+        if not char:
+            return None if not chars else bytes(chars).decode()
+        if char == b' ':
+            return bytes(chars).decode()
+        chars.append(char[0])
+
+
+def _read_basic_int(fp):
+    size = fp.read(1)[0]
+    if size != 4:
+        raise ValueError(f'unsupported kaldi integer size {size}')
+    return struct.unpack('<i', fp.read(4))[0]
+
+
+class KaldiSerializer(FeaturesSerializer):
+    """Kaldi ``.ark`` format (+ ``.times.ark`` and ``.properties.json``).
+
+    Data and times are stored as double matrices for exact round-trips
+    (matching the reference which uses DoubleMatrixWriter); original
+    dtypes are recorded in the properties sidecar.
+    """
+
+    def __init__(self, cls, filename, log):
+        super().__init__(cls, filename, log=log)
+        root, ext = os.path.splitext(self.filename)
+        if ext != '.ark':
+            raise ValueError(
+                'when saving to Kaldi ark format, the file extension must be '
+                '".ark", it is "{}"'.format(ext))
+        self._fileroot = root
+
+    def _save_one_ark(self, path, items, scp):
+        offsets = {}
+        with open(path, 'wb') as fp:
+            for key, matrix in items:
+                offsets[key] = write_ark_matrix(
+                    fp, key, matrix.astype(np.float64))
+        if scp:
+            scp_path = os.path.splitext(path)[0] + '.scp'
+            with open(scp_path, 'wt') as fp:
+                for key, offset in offsets.items():
+                    fp.write(f'{key} {path}:{offset}\n')
+
+    def _save(self, features, with_properties, scp=False):
+        ark = self._fileroot + '.ark'
+        self._log.info('writing %s', ark)
+        self._save_one_ark(
+            ark, ((k, v.data) for k, v in features.items()), scp)
+
+        times_ark = self._fileroot + '.times.ark'
+        self._log.info('writing %s', times_ark)
+        self._save_one_ark(
+            times_ark,
+            ((k, np.atleast_2d(v.times)) for k, v in features.items()), scp)
+
+        # properties + original dtypes (everything is stored as double)
+        filename = self._fileroot + '.properties.json'
+        self._log.info('writing %s', filename)
+        if with_properties:
+            data = {
+                k: copy.deepcopy(v.properties) for k, v in features.items()}
+        else:
+            data = {k: {} for k in features}
+        for k in data:
+            data[k]['__dtype_data__'] = str(features[k].dtype)
+            data[k]['__dtype_times__'] = str(features[k].times.dtype)
+        with open(filename, 'wt') as fp:
+            fp.write(json_dumps(data, indent=4))
+
+    def _load(self):
+        filename = self._fileroot + '.properties.json'
+        self._log.info('loading %s', filename)
+        if not os.path.isfile(filename):
+            raise IOError('file not found: {}'.format(filename))
+        with open(filename, 'r') as fp:
+            properties = json_loads(fp.read())
+
+        times_ark = self._fileroot + '.times.ark'
+        self._log.info('loading %s', times_ark)
+        if not os.path.isfile(times_ark):
+            raise IOError('file not found: {}'.format(times_ark))
+        times = {k: v for k, v in read_ark(times_ark)}
+        for key, value in times.items():
+            if value.shape[0] == 1:
+                times[key] = value.reshape((value.shape[1]))
+
+        ark = self._fileroot + '.ark'
+        self._log.info('loading %s', ark)
+        data = {k: v for k, v in read_ark(ark)}
+
+        if properties.keys() != data.keys():
+            raise ValueError(
+                'invalid features: items differ in data and properties')
+        if times.keys() != data.keys():
+            raise ValueError(
+                'invalid features: items differ in data and times')
+
+        return self._features_collection(**{
+            k: Features(
+                data[k].astype(properties[k]['__dtype_data__']),
+                times[k].astype(properties[k]['__dtype_times__']),
+                properties={
+                    key: p for key, p in properties[k].items()
+                    if '__dtype_' not in key},
+                validate=False)
+            for k in data.keys()})
+
+
+class CsvSerializer(FeaturesSerializer):
+    """CSV folder format: one <item>.csv (+ optional .json) per item."""
+
+    def _check_load(self):
+        if not os.path.isdir(self.filename):
+            raise IOError(f'directory not found: {self.filename}')
+
+    def _check_save(self):
+        if os.path.exists(self.filename):
+            raise IOError(f'already exists: {self.filename}')
+
+    def _save(self, features, with_properties):
+        os.makedirs(self.filename)
+        self._log.info('writing directory "%s"', self.filename)
+        for name, feat in features.items():
+            csv_file = os.path.join(self.filename, name + '.csv')
+            self._log.debug('writing %s', csv_file)
+            times = (
+                feat.times.reshape((feat.nframes, 1))
+                if feat.times.ndim == 1 else feat.times)
+            np.savetxt(
+                csv_file, np.hstack((times, feat.data)),
+                header=(
+                    f'data_dtype = {feat.dtype}, '
+                    f'times_dtype = {feat.times.dtype}, '
+                    f'features_ndims = {feat.ndims}'),
+                comments='# ')
+
+            if with_properties and feat.properties:
+                json_file = os.path.join(self.filename, name + '.json')
+                self._log.debug('writing %s', json_file)
+                with open(json_file, 'wt') as fp:
+                    fp.write(json_dumps(feat.properties, indent=4))
+
+    @staticmethod
+    def _parse_header(csv_file):
+        with open(csv_file, 'r') as fp:
+            header = fp.readline().strip()
+        if header[0] != '#':
+            raise ValueError(f'failed to parse header from {csv_file}')
+        header = header.split(', ')
+        try:
+            data_dtype = np.dtype(header[0].split('= ')[1])
+            times_dtype = np.dtype(header[1].split('= ')[1])
+            ndims = int(header[2].split('= ')[1])
+        except (IndexError, TypeError):
+            raise ValueError(
+                f'failed to parse header from {csv_file}') from None
+        return data_dtype, times_dtype, ndims
+
+    def _load(self):
+        self._log.info('loading directory "%s"', self.filename)
+        csv_files = list_files_with_extension(
+            self.filename, '.csv', recursive=False)
+        json_files = list_files_with_extension(
+            self.filename, '.json', recursive=False)
+
+        collection = self._features_collection()
+        for csv in csv_files:
+            self._log.debug('loading %s', csv)
+            data_dtype, times_dtype, ndims = self._parse_header(csv)
+
+            raw = np.loadtxt(csv)
+            times = raw[:, :raw.shape[1] - ndims].astype(times_dtype)
+            if times.shape[1] == 1:
+                times = times.flatten()
+            data = raw[:, raw.shape[1] - ndims:].astype(data_dtype)
+
+            properties = {}
+            json_file = csv.replace('.csv', '.json')
+            if json_file in json_files:
+                self._log.debug('loading %s', json_file)
+                with open(json_file, 'r') as fp:
+                    properties = dict(json_loads(fp.read()))
+
+            name = os.path.basename(csv).replace('.csv', '')
+            collection[name] = Features(
+                data, times, properties=properties, validate=False)
+
+        return collection

@@ -1,0 +1,111 @@
+"""Tests for shennong_tpu.audio"""
+
+import numpy as np
+import pytest
+
+from shennong_tpu.audio import Audio
+
+
+def test_load(audio):
+    assert audio.sample_rate == 16000
+    assert audio.nchannels == 1
+    assert audio.nsamples == 22713
+    assert audio.dtype == np.int16
+    assert audio.duration == pytest.approx(1.4195, abs=1e-3)
+    assert audio.shape == (22713,)
+    assert audio.precision == 16
+
+
+def test_load_notwav(tmpdir):
+    path = str(tmpdir.join('not_a_wav.wav'))
+    with open(path, 'w') as fp:
+        fp.write('this is not a wav file')
+    with pytest.raises(ValueError):
+        Audio.load(path)
+
+
+def test_load_missing():
+    with pytest.raises(ValueError, match='file not found'):
+        Audio.load('/does/not/exist.wav')
+
+
+def test_scan(wav_file, audio):
+    meta = Audio.scan(wav_file)
+    assert meta.nchannels == audio.nchannels
+    assert meta.sample_rate == audio.sample_rate
+    assert meta.nsamples == audio.nsamples
+    assert meta.duration == audio.duration
+
+
+def test_scan_float32(wav_file_float32):
+    meta = Audio.scan(wav_file_float32)
+    assert meta.sample_rate == 16000
+    assert meta.nsamples == 22713
+
+
+def test_save_load_roundtrip(tmpdir, audio):
+    path = str(tmpdir.join('copy.wav'))
+    audio.save(path)
+    audio2 = Audio.load(path)
+    assert audio == audio2
+    with pytest.raises(ValueError, match='already exists'):
+        audio.save(path)
+
+
+def test_channels(data_path):
+    stereo = Audio.load(str(data_path / 'test.stereo.wav'))
+    assert stereo.nchannels == 2
+    left = stereo.channel(0)
+    right = stereo.channel(1)
+    assert left.nchannels == right.nchannels == 1
+    assert left.duration == stereo.duration
+    with pytest.raises(ValueError):
+        stereo.channel(2)
+
+
+def test_astype_int16_float(audio):
+    as_float = audio.astype(np.float32)
+    assert as_float.dtype == np.float32
+    assert np.max(np.abs(as_float.data)) <= 1.0
+    back = as_float.astype(np.int16)
+    assert np.array_equal(back.data, audio.data)
+
+
+def test_astype_invalid(audio):
+    with pytest.raises(ValueError):
+        audio.astype(np.uint8)
+
+
+def test_is_valid():
+    good = Audio(np.zeros(10, dtype=np.float64), 16000)
+    assert good.is_valid()
+    with pytest.raises(ValueError):
+        with pytest.warns(UserWarning):
+            Audio(np.full(10, 2.0), 16000)  # out of [-1, 1] range
+
+
+def test_resample(audio):
+    for backend in ('sox', 'scipy'):
+        resampled = audio.resample(8000, backend=backend)
+        assert resampled.sample_rate == 8000
+        assert abs(resampled.nsamples - audio.nsamples // 2) <= 1
+        assert resampled.dtype == audio.dtype
+    with pytest.raises(ValueError):
+        audio.resample(8000, backend='bad')
+
+
+def test_resample_identity(audio):
+    assert audio.resample(16000) is audio
+
+
+def test_segment(audio):
+    chunks = audio.segment([(0.0, 0.5), (0.5, 1.0)])
+    assert len(chunks) == 2
+    assert chunks[0].nsamples == 8000
+    assert chunks[0].sample_rate == audio.sample_rate
+    with pytest.raises(ValueError, match='must be a list'):
+        audio.segment((0, 1))
+    with pytest.raises(ValueError, match='sorted'):
+        audio.segment([(1.0, 0.5)])
+    with pytest.raises(ValueError, match='pairs'):
+        audio.segment([(0.0, 0.5, 1.0)])

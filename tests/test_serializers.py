@@ -1,0 +1,124 @@
+"""Round-trip tests for every serializer"""
+
+import numpy as np
+import pytest
+
+from shennong_tpu import Features, FeaturesCollection
+from shennong_tpu.serializers import (
+    get_serializer, read_ark, supported_extensions, supported_serializers)
+
+
+@pytest.fixture
+def collection():
+    rng = np.random.RandomState(42)
+    fc = FeaturesCollection()
+    fc['utt_a'] = Features(
+        rng.rand(12, 4), np.arange(12, dtype=float),
+        properties={'proc': {'param': 1},
+                    'pipeline': [{'name': 'proc', 'columns': [0, 3]}]})
+    fc['utt_b'] = Features(
+        rng.rand(7, 4).astype(np.float32),
+        np.stack([np.arange(7.0), np.arange(7.0) + 0.02], axis=1),
+        properties={'arr': np.array([1.5, 2.5])})
+    return fc
+
+
+EXTENSIONS = ['.npz', '.mat', '.pkl', '.h5f', '.ark', '']
+
+
+@pytest.mark.parametrize('ext', EXTENSIONS)
+def test_roundtrip(collection, tmpdir, ext):
+    path = str(tmpdir.join('feats' + ext))
+    collection.save(path)
+    loaded = FeaturesCollection.load(path)
+    assert sorted(loaded.keys()) == sorted(collection.keys())
+    for key in collection:
+        # .mat does not preserve dtype exactly (always double), compare
+        # contents with tolerance
+        assert np.allclose(
+            loaded[key].data.astype(np.float64),
+            collection[key].data.astype(np.float64), atol=1e-6)
+        assert np.allclose(
+            np.asarray(loaded[key].times, dtype=float),
+            np.asarray(collection[key].times, dtype=float))
+
+
+@pytest.mark.parametrize('ext', ['.npz', '.pkl', '.h5f', '.ark'])
+def test_roundtrip_exact(collection, tmpdir, ext):
+    """Formats that must preserve dtypes and properties exactly."""
+    path = str(tmpdir.join('feats' + ext))
+    collection.save(path)
+    loaded = FeaturesCollection.load(path)
+    for key in collection:
+        assert loaded[key].dtype == collection[key].dtype
+        assert np.array_equal(loaded[key].data, collection[key].data)
+        assert np.array_equal(loaded[key].times, collection[key].times)
+    assert loaded.is_close(collection)
+
+
+def test_no_properties(collection, tmpdir):
+    path = str(tmpdir.join('feats.pkl'))
+    collection.save(path, with_properties=False)
+    loaded = FeaturesCollection.load(path)
+    assert all(not f.properties for f in loaded.values())
+
+
+def test_save_twice(collection, tmpdir):
+    path = str(tmpdir.join('feats.npz'))
+    collection.save(path)
+    with pytest.raises(IOError, match='already exists'):
+        collection.save(path)
+
+
+def test_load_missing(tmpdir):
+    with pytest.raises(IOError, match='not found'):
+        FeaturesCollection.load(str(tmpdir.join('nope.npz')))
+
+
+def test_bad_extension(collection, tmpdir):
+    with pytest.raises(ValueError, match='invalid extension'):
+        collection.save(str(tmpdir.join('feats.xyz')))
+    with pytest.raises(ValueError, match='invalid serializer'):
+        collection.save(str(tmpdir.join('feats.npz')), serializer='bad')
+
+
+def test_serializer_registry():
+    assert set(supported_extensions().keys()) == {
+        '.npz', '.mat', '.pkl', '.h5f', '.ark', ''}
+    assert set(supported_serializers().keys()) == {
+        'numpy', 'matlab', 'pickle', 'h5features', 'kaldi', 'csv'}
+
+
+def test_get_serializer_wrong_class():
+    with pytest.raises(ValueError, match='must be'):
+        get_serializer(dict, 'file.npz', None)
+
+
+def test_ark_scp(collection, tmpdir):
+    path = str(tmpdir.join('feats.ark'))
+    collection.save(path, scp=True)
+    scp_lines = open(str(tmpdir.join('feats.scp'))).read().splitlines()
+    assert len(scp_lines) == len(collection)
+    # scp offsets point at the binary marker of each record
+    for line in scp_lines:
+        key, location = line.split(' ')
+        ark_path, offset = location.rsplit(':', 1)
+        with open(ark_path, 'rb') as fp:
+            fp.seek(int(offset))
+            assert fp.read(2) == b'\0B'
+
+
+def test_ark_codec_dtypes(tmpdir):
+    """The ark codec handles both float and double matrices."""
+    from shennong_tpu.serializers import write_ark_matrix
+    path = str(tmpdir.join('raw.ark'))
+    mat32 = np.arange(6, dtype=np.float32).reshape(2, 3)
+    mat64 = np.arange(8, dtype=np.float64).reshape(4, 2) / 3
+    with open(path, 'wb') as fp:
+        write_ark_matrix(fp, 'a', mat32)
+        write_ark_matrix(fp, 'b', mat64)
+    loaded = dict(read_ark(path))
+    assert loaded['a'].dtype == np.float32
+    assert np.array_equal(loaded['a'], mat32)
+    assert loaded['b'].dtype == np.float64
+    assert np.array_equal(loaded['b'], mat64)
