@@ -1,0 +1,225 @@
+"""Fused batched computers: spectrogram, filterbank, MFCC, energy.
+
+Each computer replaces one Kaldi C++ pipeline (``kaldi.feat.mfcc.Mfcc``
+at ``shennong/processor/mfcc.py:86``, ``kaldi.feat.fbank.Fbank`` at
+``shennong/processor/filterbank.py:84``,
+``kaldi.feat.spectrogram.Spectrogram`` at
+``shennong/processor/spectrogram.py:139`` and the per-frame energy loop
+at ``shennong/processor/energy.py:172-183``) with a single jitted XLA
+program over a padded batch: frame gather -> window processing ->
+batched rFFT -> power spectrum -> mel/DCT matmuls (MXU) -> liftering
+and energy columns, all fused by XLA.
+"""
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shennong_tpu.ops import framing
+from shennong_tpu.ops.framing import FLT_EPSILON, FrameOptions
+
+_SQRT2 = math.sqrt(2.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class SpectrogramOpts:
+    frame: FrameOptions = FrameOptions()
+    energy_floor: float = 0.0
+    raw_energy: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class MelOpts:
+    num_bins: int = 23
+    low_freq: float = 20.0
+    high_freq: float = 0.0
+    vtln_low: float = 100.0
+    vtln_high: float = -500.0
+
+
+@dataclasses.dataclass(frozen=True)
+class FbankOpts:
+    frame: FrameOptions = FrameOptions()
+    mel: MelOpts = MelOpts()
+    use_energy: bool = False
+    energy_floor: float = 0.0
+    raw_energy: bool = True
+    htk_compat: bool = False
+    use_log_fbank: bool = True
+    use_power: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class MfccOpts:
+    frame: FrameOptions = FrameOptions()
+    mel: MelOpts = MelOpts()
+    num_ceps: int = 13
+    use_energy: bool = True
+    energy_floor: float = 0.0
+    raw_energy: bool = True
+    cepstral_lifter: float = 22.0
+    htk_compat: bool = False
+
+
+def power_spectrum(frames, padded_size):
+    """|rfft|^2 of processed frames: [B, F, P] -> [B, F, P//2 + 1]"""
+    spectrum = jnp.fft.rfft(frames, n=padded_size, axis=-1)
+    return jnp.real(spectrum) ** 2 + jnp.imag(spectrum) ** 2
+
+
+def _frames_and_energy(signals, nsamples, opts, nframes_max, key):
+    """Common front-end: gather frames, process, pick the log energy.
+
+    Returns (processed_frames, log_energy) where log_energy is the raw
+    (pre-window) or windowed energy according to ``raw_energy``.
+    """
+    frames = framing.extract_frames(
+        signals, nsamples, opts.frame, nframes_max)
+    processed, raw_log_energy = framing.process_frames(
+        frames, opts.frame, key=key)
+    if opts.raw_energy:
+        log_energy = raw_log_energy
+    else:
+        log_energy = framing.windowed_log_energy(processed)
+    return processed, log_energy
+
+
+def _floor_energy(log_energy, energy_floor):
+    if energy_floor > 0.0:
+        return jnp.maximum(log_energy, math.log(energy_floor))
+    return log_energy
+
+
+@functools.partial(
+    jax.jit, static_argnames=('opts', 'nframes_max'))
+def spectrogram_batch(signals, nsamples, opts, nframes_max, key=None):
+    """Log power spectrum, column 0 replaced by the frame log energy.
+
+    Output shape [B, nframes_max, padded_window_size // 2 + 1].
+    """
+    processed, log_energy = _frames_and_energy(
+        signals, nsamples, opts, nframes_max, key)
+    power = power_spectrum(processed, opts.frame.padded_window_size)
+    feats = jnp.log(jnp.maximum(power, FLT_EPSILON))
+    log_energy = _floor_energy(log_energy, opts.energy_floor)
+    return feats.at[..., 0].set(log_energy)
+
+
+def _mel_weights(opts, vtln_warp):
+    """Host-built dense mel matrix for these options and warp."""
+    from shennong_tpu.ops import mel as melmod
+    weights, _ = melmod.mel_banks(
+        opts.mel.num_bins, opts.frame.padded_window_size,
+        opts.frame.sample_rate, opts.mel.low_freq, opts.mel.high_freq,
+        opts.mel.vtln_low, opts.mel.vtln_high, float(vtln_warp))
+    return weights
+
+
+@functools.partial(
+    jax.jit, static_argnames=('opts', 'nframes_max'))
+def fbank_batch(signals, nsamples, mel_weights, opts, nframes_max,
+                key=None):
+    """Mel filterbank features, optional energy column.
+
+    Output dim is num_bins (+1 with energy); the energy column sits
+    first, or last in HTK-compatible mode.
+    """
+    processed, log_energy = _frames_and_energy(
+        signals, nsamples, opts, nframes_max, key)
+    power = power_spectrum(processed, opts.frame.padded_window_size)
+    if not opts.use_power:
+        power = jnp.sqrt(power)
+
+    mel_energies = jnp.einsum(
+        'bfp,mp->bfm', power, mel_weights,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    if opts.use_log_fbank:
+        mel_energies = jnp.log(jnp.maximum(mel_energies, FLT_EPSILON))
+
+    if not opts.use_energy:
+        return mel_energies
+
+    log_energy = _floor_energy(
+        log_energy, opts.energy_floor)[..., None]
+    if opts.htk_compat:
+        return jnp.concatenate([mel_energies, log_energy], axis=-1)
+    return jnp.concatenate([log_energy, mel_energies], axis=-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=('opts', 'nframes_max'))
+def mfcc_batch(signals, nsamples, mel_weights, opts, nframes_max,
+               key=None):
+    """MFCC features [B, nframes_max, num_ceps].
+
+    Pipeline: frames -> rFFT -> power -> mel matmul -> log -> DCT-II
+    matmul -> cepstral lifter -> energy/C0 handling -> HTK reorder.
+    """
+    from shennong_tpu.ops import mel as melmod
+
+    processed, log_energy = _frames_and_energy(
+        signals, nsamples, opts, nframes_max, key)
+    power = power_spectrum(processed, opts.frame.padded_window_size)
+
+    mel_energies = jnp.einsum(
+        'bfp,mp->bfm', power, mel_weights,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    log_mel = jnp.log(jnp.maximum(mel_energies, FLT_EPSILON))
+
+    dct = jnp.asarray(
+        melmod.dct_matrix(opts.num_ceps, opts.mel.num_bins))
+    feats = jnp.einsum(
+        'bfm,cm->bfc', log_mel, dct,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+    if opts.cepstral_lifter != 0.0:
+        feats = feats * jnp.asarray(
+            melmod.lifter_coeffs(opts.cepstral_lifter, opts.num_ceps))
+
+    if opts.use_energy:
+        log_energy = _floor_energy(log_energy, opts.energy_floor)
+        feats = feats.at[..., 0].set(log_energy)
+
+    if opts.htk_compat:
+        first = feats[..., :1]
+        if not opts.use_energy:
+            first = first * _SQRT2  # C0 scaling for HTK
+        feats = jnp.concatenate([feats[..., 1:], first], axis=-1)
+
+    return feats
+
+
+@functools.partial(
+    jax.jit, static_argnames=('opts', 'nframes_max', 'compression'))
+def energy_batch(signals, nsamples, opts, nframes_max,
+                 compression='log', key=None):
+    """Frame energies with 'log', 'sqrt' or 'off' compression.
+
+    The ``raw_energy`` semantics of the reference (pre-emphasis off and
+    rectangular window) are handled by the caller through ``opts``.
+    """
+    frames = framing.extract_frames(
+        signals, nsamples, opts.frame, nframes_max)
+    processed, _ = framing.process_frames(frames, opts.frame, key=key)
+    energy = jnp.maximum(
+        jnp.sum(processed * processed, axis=-1),
+        np.finfo(np.float64).tiny)
+    if compression == 'log':
+        return jnp.log(energy)
+    if compression == 'sqrt':
+        return jnp.sqrt(energy)
+    return energy
+
+
+@dataclasses.dataclass(frozen=True)
+class EnergyOpts:
+    frame: FrameOptions = FrameOptions()
+    raw_energy: bool = True
+    compression: str = 'log'

@@ -8,12 +8,18 @@ multi-device code paths while staying hermetic and fast.
 
 import os
 
-# must happen before any jax import
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# must happen before the CPU backend is initialized
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
+os.environ['JAX_PLATFORMS'] = 'cpu'
+
+# the environment may have pre-registered a TPU platform plugin at
+# interpreter startup (sitecustomize); force the selection back to CPU
+# before any computation so tests stay hermetic and fast
+import jax
+jax.config.update('jax_platforms', 'cpu')
 
 import numpy as np
 import pytest

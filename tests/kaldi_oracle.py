@@ -1,0 +1,253 @@
+"""A literal, per-frame numpy implementation of the Kaldi feature
+algorithms, used as an independent oracle to validate the fused JAX
+computers.
+
+This is intentionally written in the most direct style possible
+(explicit per-frame loops, float32 like Kaldi's BaseFloat) and shares
+no code with shennong_tpu.ops — agreement between the two paths is the
+parity evidence standing in for golden pykaldi outputs (pykaldi is not
+installable in this environment).
+"""
+
+import numpy as np
+
+FLT_EPS = np.finfo(np.float32).eps
+
+
+def window_vector(window_type, size, blackman_coeff=0.42):
+    out = np.zeros(size, dtype=np.float64)
+    a = 2 * np.pi / (size - 1)
+    for i in range(size):
+        if window_type == 'hanning':
+            out[i] = 0.5 - 0.5 * np.cos(a * i)
+        elif window_type == 'hamming':
+            out[i] = 0.54 - 0.46 * np.cos(a * i)
+        elif window_type == 'povey':
+            out[i] = (0.5 - 0.5 * np.cos(a * i)) ** 0.85
+        elif window_type == 'rectangular':
+            out[i] = 1.0
+        elif window_type == 'blackman':
+            out[i] = (blackman_coeff - 0.5 * np.cos(a * i)
+                      + (0.5 - blackman_coeff) * np.cos(2 * a * i))
+    return out
+
+
+def num_frames(nsamples, shift, length, snip_edges):
+    if snip_edges:
+        if nsamples < length:
+            return 0
+        return 1 + (nsamples - length) // shift
+    return (nsamples + shift // 2) // shift
+
+
+def extract_window(signal, frame, shift, length, snip_edges):
+    if snip_edges:
+        start = frame * shift
+    else:
+        start = shift * frame + shift // 2 - length // 2
+    n = len(signal)
+    out = np.zeros(length, dtype=np.float64)
+    for i in range(length):
+        s = start + i
+        while s < 0 or s >= n:
+            if s < 0:
+                s = -s - 1
+            else:
+                s = 2 * n - 1 - s
+        out[i] = signal[s]
+    return out
+
+
+def process_window(window, preemph, remove_dc, win_vec):
+    if remove_dc:
+        window = window - window.mean()
+    raw_energy = np.log(max(np.dot(window, window), FLT_EPS))
+    if preemph != 0:
+        processed = window.copy()
+        for i in range(len(window) - 1, 0, -1):
+            processed[i] -= preemph * processed[i - 1]
+        processed[0] -= preemph * processed[0]
+        window = processed
+    window = window * win_vec
+    return window, raw_energy
+
+
+def mel_scale(f):
+    return 1127.0 * np.log(1.0 + f / 700.0)
+
+
+def inv_mel_scale(m):
+    return 700.0 * (np.exp(m / 1127.0) - 1.0)
+
+
+def vtln_warp(vlow, vhigh, low, high, factor, freq):
+    if freq < low or freq > high:
+        return freq
+    l_infl = vlow * max(1.0, factor)
+    h_infl = vhigh * min(1.0, factor)
+    scale = 1.0 / factor
+    f_low, f_high = scale * l_infl, scale * h_infl
+    if freq < l_infl:
+        return low + (f_low - low) / (l_infl - low) * (freq - low)
+    if freq < h_infl:
+        return scale * freq
+    return high + (high - f_high) / (high - h_infl) * (freq - high)
+
+
+def mel_bank_matrix(num_bins, padded, rate, low, high, vlow, vhigh, warp):
+    nyquist = rate / 2
+    if high <= 0:
+        high += nyquist
+    if vhigh < 0:
+        vhigh += nyquist
+    nbins_fft = padded // 2
+    width = rate / padded
+    mlow, mhigh = mel_scale(low), mel_scale(high)
+    delta = (mhigh - mlow) / (num_bins + 1)
+
+    def warped_mel(mel):
+        if warp == 1.0:
+            return mel
+        return mel_scale(
+            vtln_warp(vlow, vhigh, low, high, warp, inv_mel_scale(mel)))
+
+    mat = np.zeros((num_bins, padded // 2 + 1))
+    centers = np.zeros(num_bins)
+    for b in range(num_bins):
+        left = warped_mel(mlow + b * delta)
+        center = warped_mel(mlow + (b + 1) * delta)
+        right = warped_mel(mlow + (b + 2) * delta)
+        centers[b] = inv_mel_scale(center)
+        for k in range(nbins_fft):
+            mel = mel_scale(width * k)
+            if left < mel < right:
+                if mel <= center:
+                    mat[b, k] = (mel - left) / (center - left)
+                else:
+                    mat[b, k] = (right - mel) / (right - center)
+    return mat, centers
+
+
+def dct_matrix(num_ceps, num_bins):
+    mat = np.zeros((num_ceps, num_bins))
+    mat[0, :] = np.sqrt(1.0 / num_bins)
+    for k in range(1, num_ceps):
+        for n in range(num_bins):
+            mat[k, n] = np.sqrt(2.0 / num_bins) * np.cos(
+                np.pi / num_bins * (n + 0.5) * k)
+    return mat
+
+
+def lifter(q, num_ceps):
+    return np.array(
+        [1.0 + 0.5 * q * np.sin(np.pi * i / q) for i in range(num_ceps)])
+
+
+def mfcc(signal, rate=16000, shift_s=0.01, length_s=0.025,
+         preemph=0.97, remove_dc=True, window_type='povey',
+         num_bins=23, low=20.0, high=0.0, num_ceps=13,
+         use_energy=True, raw_energy=True, cepstral_lifter=22.0,
+         htk_compat=False, energy_floor=0.0, vtln=1.0,
+         vtln_low=100.0, vtln_high=-500.0, snip_edges=True):
+    """Literal Kaldi MfccComputer (dither must be 0)."""
+    signal = np.asarray(signal, dtype=np.float64)
+    shift = int(rate * shift_s)
+    length = int(rate * length_s)
+    padded = 1
+    while padded < length:
+        padded *= 2
+    nf = num_frames(len(signal), shift, length, snip_edges)
+    win_vec = window_vector(window_type, length)
+    mel_mat, _ = mel_bank_matrix(
+        num_bins, padded, rate, low, high, vtln_low, vtln_high, vtln)
+    dct = dct_matrix(num_ceps, num_bins)
+    lif = lifter(cepstral_lifter, num_ceps) if cepstral_lifter else None
+
+    out = np.zeros((nf, num_ceps))
+    for f in range(nf):
+        window = extract_window(signal, f, shift, length, snip_edges)
+        window, raw_e = process_window(window, preemph, remove_dc, win_vec)
+        if use_energy and not raw_energy:
+            raw_e = np.log(max(np.dot(window, window), FLT_EPS))
+        spec = np.fft.rfft(window, n=padded)
+        power = spec.real ** 2 + spec.imag ** 2
+        mels = np.maximum(mel_mat @ power, FLT_EPS)
+        feat = dct @ np.log(mels)
+        if lif is not None:
+            feat = feat * lif
+        if use_energy:
+            if energy_floor > 0:
+                raw_e = max(raw_e, np.log(energy_floor))
+            feat[0] = raw_e
+        if htk_compat:
+            first = feat[0] * (1.0 if use_energy else np.sqrt(2.0))
+            feat = np.concatenate([feat[1:], [first]])
+        out[f] = feat
+    return out
+
+
+def fbank(signal, rate=16000, shift_s=0.01, length_s=0.025,
+          preemph=0.97, remove_dc=True, window_type='povey',
+          num_bins=23, low=20.0, high=0.0, use_energy=False,
+          raw_energy=True, use_log=True, use_power=True,
+          htk_compat=False, vtln=1.0, snip_edges=True):
+    """Literal Kaldi FbankComputer (dither must be 0)."""
+    signal = np.asarray(signal, dtype=np.float64)
+    shift, length = int(rate * shift_s), int(rate * length_s)
+    padded = 1
+    while padded < length:
+        padded *= 2
+    nf = num_frames(len(signal), shift, length, snip_edges)
+    win_vec = window_vector(window_type, length)
+    mel_mat, _ = mel_bank_matrix(
+        num_bins, padded, rate, low, high, 100.0, -500.0, vtln)
+
+    dim = num_bins + (1 if use_energy else 0)
+    out = np.zeros((nf, dim))
+    for f in range(nf):
+        window = extract_window(signal, f, shift, length, snip_edges)
+        window, raw_e = process_window(window, preemph, remove_dc, win_vec)
+        if use_energy and not raw_energy:
+            raw_e = np.log(max(np.dot(window, window), FLT_EPS))
+        spec = np.fft.rfft(window, n=padded)
+        power = spec.real ** 2 + spec.imag ** 2
+        if not use_power:
+            power = np.sqrt(power)
+        mels = mel_mat @ power
+        if use_log:
+            mels = np.log(np.maximum(mels, FLT_EPS))
+        if use_energy:
+            row = (np.concatenate([mels, [raw_e]]) if htk_compat
+                   else np.concatenate([[raw_e], mels]))
+        else:
+            row = mels
+        out[f] = row
+    return out
+
+
+def spectrogram(signal, rate=16000, shift_s=0.01, length_s=0.025,
+                preemph=0.97, remove_dc=True, window_type='povey',
+                raw_energy=True, energy_floor=0.0, snip_edges=True):
+    """Literal Kaldi SpectrogramComputer (dither must be 0)."""
+    signal = np.asarray(signal, dtype=np.float64)
+    shift, length = int(rate * shift_s), int(rate * length_s)
+    padded = 1
+    while padded < length:
+        padded *= 2
+    nf = num_frames(len(signal), shift, length, snip_edges)
+    win_vec = window_vector(window_type, length)
+
+    out = np.zeros((nf, padded // 2 + 1))
+    for f in range(nf):
+        window = extract_window(signal, f, shift, length, snip_edges)
+        window, raw_e = process_window(window, preemph, remove_dc, win_vec)
+        if not raw_energy:
+            raw_e = np.log(max(np.dot(window, window), FLT_EPS))
+        spec = np.fft.rfft(window, n=padded)
+        power = spec.real ** 2 + spec.imag ** 2
+        row = np.log(np.maximum(power, FLT_EPS))
+        if energy_floor > 0:
+            raw_e = max(raw_e, np.log(energy_floor))
+        row[0] = raw_e
+        out[f] = row
+    return out
