@@ -1,0 +1,87 @@
+"""Delta (time derivative) post-processor.
+
+API-compatible with ``shennong/postprocessor/delta.py``; the
+computation runs as a batched shifted-weighted-sum XLA kernel
+(:func:`shennong_tpu.ops.postops.compute_deltas`) with Kaldi's
+polynomial-fit coefficients and edge replication.
+"""
+
+import copy
+
+import numpy as np
+
+from shennong_tpu import Features
+from shennong_tpu.ops import postops
+from shennong_tpu.postprocessor.base import FeaturesPostProcessor
+
+
+class DeltaPostProcessor(FeaturesPostProcessor):
+    def __init__(self, order=2, window=2):
+        super().__init__()
+        self.order = order
+        self.window = window
+
+    @property
+    def name(self):
+        return 'delta'
+
+    @property
+    def order(self):
+        """Order of delta computation"""
+        return self._order
+
+    @order.setter
+    def order(self, value):
+        self._order = int(value)
+
+    @property
+    def window(self):
+        """Parameter controlling window for delta computation
+
+        The actual window size for each delta order is 1 + 2 *
+        `window`. The behavior at the edges is to replicate the first
+        or last frame.
+
+        """
+        return self._window
+
+    @window.setter
+    def window(self, value):
+        if not 0 < value < 1000:
+            raise ValueError(
+                'window must be in [1, 999], it is {}'.format(value))
+        self._window = int(value)
+
+    @property
+    def ndims(self):
+        raise ValueError(
+            'output dimension for delta processor depends on input')
+
+    def get_properties(self, features):
+        ndims = (self.order + 1) * features.ndims
+        properties = copy.deepcopy(features.properties)
+        properties[self.name] = {
+            'order': self.order,
+            'window': self.window}
+        if 'pipeline' not in properties:
+            properties['pipeline'] = []
+        properties['pipeline'].append({
+            'name': self.name,
+            'columns': [0, ndims - 1]})
+        return properties
+
+    def process(self, features):
+        """Concatenate ``features`` with its time derivatives.
+
+        Output has ``(order + 1) * ndims`` columns: the input followed
+        by the derivative of each order.
+        """
+        data = np.asarray(features.data, dtype=np.float32)
+        nframes = np.array([data.shape[0]], dtype=np.int32)
+        out = postops.compute_deltas(
+            data[None, :, :], nframes,
+            order=self._order, window=self._window)
+        return Features(
+            np.asarray(out[0]).astype(features.dtype),
+            features.times,
+            self.get_properties(features))

@@ -46,6 +46,9 @@ def make_speech_like_signal(nsamples, sample_rate, seed=0):
     envelope[: int(0.05 * sample_rate)] = 0  # leading silence
 
     noise = rng.randn(nsamples) * 0.02
+    # keep the leading silence nearly digital-silent so energy-based
+    # VAD has genuinely unvoiced frames to find
+    noise[: int(0.1 * sample_rate)] *= 1e-2
     signal = voiced * envelope * 0.4 + noise
     signal = signal / np.max(np.abs(signal)) * 0.7
     return (signal * 2 ** 15 * 0.8).astype(np.int16)

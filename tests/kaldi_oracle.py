@@ -251,3 +251,90 @@ def spectrogram(signal, rate=16000, shift_s=0.01, length_s=0.025,
         row[0] = raw_e
         out[f] = row
     return out
+
+
+# ---------------------------------------------------------------------------
+# post-processing oracles
+# ---------------------------------------------------------------------------
+
+def compute_deltas(feats, order=2, window=2):
+    """Literal Kaldi DeltaFeatures::Process"""
+    scales = [np.array([1.0])]
+    for i in range(1, order + 1):
+        prev = scales[i - 1]
+        prev_offset = (len(prev) - 1) // 2
+        cur_offset = prev_offset + window
+        cur = np.zeros(len(prev) + 2 * window)
+        normalizer = 0.0
+        for j in range(-window, window + 1):
+            normalizer += j * j
+            for k in range(-prev_offset, prev_offset + 1):
+                cur[j + k + cur_offset] += j * prev[k + prev_offset]
+        scales.append(cur / normalizer)
+
+    nframes, dim = feats.shape
+    out = np.zeros((nframes, (order + 1) * dim))
+    for t in range(nframes):
+        for i, scale in enumerate(scales):
+            offset = (len(scale) - 1) // 2
+            acc = np.zeros(dim)
+            for j in range(-offset, offset + 1):
+                tt = min(max(t + j, 0), nframes - 1)
+                acc += scale[j + offset] * feats[tt]
+            out[t, i * dim:(i + 1) * dim] = acc
+    return out
+
+
+def sliding_window_cmn(feats, center=True, cmn_window=600,
+                       min_window=100, normalize_variance=False):
+    """Literal Kaldi SlidingWindowCmn"""
+    num_frames, dim = feats.shape
+    out = np.zeros_like(feats, dtype=np.float64)
+    for t in range(num_frames):
+        if center:
+            ws = t - cmn_window // 2
+            we = ws + cmn_window
+        else:
+            ws = t - cmn_window
+            we = t + 1
+        if ws < 0:
+            we -= ws
+            ws = 0
+        if not center and we > t:
+            we = max(t + 1, min_window)
+        if we > num_frames:
+            ws -= we - num_frames
+            we = num_frames
+            if ws < 0:
+                ws = 0
+        window = feats[ws:we].astype(np.float64)
+        mean = window.mean(axis=0)
+        out[t] = feats[t] - mean
+        if normalize_variance:
+            if we == ws + 1:
+                out[t] = 0.0
+            else:
+                var = (window ** 2).mean(axis=0) - mean ** 2
+                var = np.maximum(var, 1.0e-10)
+                out[t] *= var ** -0.5
+    return out
+
+
+def vad_energy(feats, energy_threshold=5.0, energy_mean_scale=0.5,
+               frames_context=0, proportion_threshold=0.6):
+    """Literal Kaldi ComputeVadEnergy"""
+    log_energy = feats[:, 0]
+    T = len(log_energy)
+    cutoff = energy_threshold
+    if energy_mean_scale != 0.0:
+        cutoff += energy_mean_scale * log_energy.sum() / T
+    out = np.zeros(T, dtype=np.uint8)
+    for t in range(T):
+        num, den = 0, 0
+        for t2 in range(t - frames_context, t + frames_context + 1):
+            if 0 <= t2 < T:
+                den += 1
+                if log_energy[t2] > cutoff:
+                    num += 1
+        out[t] = 1 if num >= den * proportion_threshold else 0
+    return out
