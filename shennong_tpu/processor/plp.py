@@ -1,0 +1,197 @@
+"""PLP / RASTA-PLP feature extraction.
+
+TPU-native rebuild of the reference's Python/pykaldi PLP recipe
+(``shennong/processor/plp.py``); the whole per-frame pipeline runs as
+the fused batched computer :func:`shennong_tpu.ops.plp.plp_batch`.
+"""
+
+import numpy as np
+
+from shennong_tpu import Features
+from shennong_tpu.ops import mel as melmod
+from shennong_tpu.ops.plp import PlpOpts, plp_batch
+from shennong_tpu.processor.base import MelFeaturesProcessor
+
+
+class PlpProcessor(MelFeaturesProcessor):
+    """Perceptive linear predictive features"""
+
+    def __init__(self, sample_rate=16000, frame_shift=0.01,
+                 frame_length=0.025, rasta=False, dither=1.0,
+                 preemph_coeff=0.97, remove_dc_offset=True,
+                 window_type='povey', round_to_power_of_two=True,
+                 blackman_coeff=0.42, snip_edges=True, num_bins=23,
+                 low_freq=20, high_freq=0, vtln_low=100,
+                 vtln_high=-500, lpc_order=12, num_ceps=13,
+                 use_energy=True, energy_floor=0.0, raw_energy=True,
+                 compress_factor=1.0 / 3.0, cepstral_lifter=22,
+                 cepstral_scale=1.0, htk_compat=False):
+        super().__init__(
+            sample_rate=sample_rate, frame_shift=frame_shift,
+            frame_length=frame_length, dither=dither,
+            preemph_coeff=preemph_coeff,
+            remove_dc_offset=remove_dc_offset, window_type=window_type,
+            round_to_power_of_two=round_to_power_of_two,
+            blackman_coeff=blackman_coeff, snip_edges=snip_edges,
+            num_bins=num_bins, low_freq=low_freq, high_freq=high_freq,
+            vtln_low=vtln_low, vtln_high=vtln_high)
+
+        self.rasta = rasta
+        self.lpc_order = lpc_order
+        self.num_ceps = num_ceps
+        self.use_energy = use_energy
+        self.energy_floor = energy_floor
+        self.raw_energy = raw_energy
+        self.compress_factor = compress_factor
+        self.cepstral_lifter = cepstral_lifter
+        self.cepstral_scale = cepstral_scale
+        self.htk_compat = htk_compat
+
+    @property
+    def name(self):
+        return 'plp'
+
+    @property
+    def rasta(self):
+        """Whether to do RASTA filtering"""
+        return self._rasta
+
+    @rasta.setter
+    def rasta(self, value):
+        self._rasta = bool(value)
+
+    @property
+    def lpc_order(self):
+        """Order of LPC analysis in PLP computation"""
+        return self._lpc_order
+
+    @lpc_order.setter
+    def lpc_order(self, value):
+        self._lpc_order = int(value)
+
+    @property
+    def num_ceps(self):
+        """Number of cepstra in PLP computation (including C0)
+
+        Must be positive and  smaller or equal to `lpc_order` + 1.
+
+        """
+        return self._num_ceps
+
+    @num_ceps.setter
+    def num_ceps(self, value):
+        value = int(value)
+        if value <= 0:
+            raise ValueError('num_ceps must be > 0')
+        if value > self.lpc_order + 1:
+            raise ValueError(
+                'We must have num_ceps <= lpc_order+1, but {} > {}+1'
+                .format(value, self.lpc_order))
+        self._num_ceps = value
+
+    @property
+    def use_energy(self):
+        """Use energy (instead of C0) for zeroth PLP feature"""
+        return self._use_energy
+
+    @use_energy.setter
+    def use_energy(self, value):
+        self._use_energy = bool(value)
+
+    @property
+    def energy_floor(self):
+        """Floor on energy (absolute, not relative) in PLP computation"""
+        return self._energy_floor
+
+    @energy_floor.setter
+    def energy_floor(self, value):
+        self._energy_floor = float(value)
+
+    @property
+    def raw_energy(self):
+        """If true, compute energy before preemphasis and windowing"""
+        return self._raw_energy
+
+    @raw_energy.setter
+    def raw_energy(self, value):
+        self._raw_energy = bool(value)
+
+    @property
+    def compress_factor(self):
+        """Compression factor in PLP computation"""
+        return np.float32(self._compress_factor)
+
+    @compress_factor.setter
+    def compress_factor(self, value):
+        self._compress_factor = float(value)
+
+    @property
+    def cepstral_lifter(self):
+        """Constant that controls scaling of PLPs"""
+        return self._cepstral_lifter
+
+    @cepstral_lifter.setter
+    def cepstral_lifter(self, value):
+        self._cepstral_lifter = float(value)
+
+    @property
+    def cepstral_scale(self):
+        """Scaling constant in PLP computation"""
+        return self._cepstral_scale
+
+    @cepstral_scale.setter
+    def cepstral_scale(self, value):
+        self._cepstral_scale = float(value)
+
+    @property
+    def htk_compat(self):
+        """If True, get closer to HTK PLP features
+
+        Put energy or C0 last.
+
+        Warning: Not sufficient to get HTK compatible features (need
+        to change other parameters)
+
+        """
+        return self._htk_compat
+
+    @htk_compat.setter
+    def htk_compat(self, value):
+        self._htk_compat = bool(value)
+
+    @property
+    def ndims(self):
+        return self.num_ceps
+
+    def options(self):
+        """All parameters bundled as a static PlpOpts"""
+        return PlpOpts(
+            frame=self.frame_options(), mel=self.mel_options(),
+            rasta=self._rasta, lpc_order=self._lpc_order,
+            num_ceps=self._num_ceps, use_energy=self._use_energy,
+            energy_floor=self._energy_floor,
+            raw_energy=self._raw_energy,
+            compress_factor=self._compress_factor,
+            cepstral_lifter=self._cepstral_lifter,
+            cepstral_scale=self._cepstral_scale,
+            htk_compat=self._htk_compat)
+
+    def equal_loudness(self, vtln_warp):
+        """Equal-loudness coefficients for the given VTLN warp"""
+        opts = self.frame_options()
+        _, centers = melmod.mel_banks(
+            self._num_bins, opts.padded_window_size, opts.sample_rate,
+            self._low_freq, self._high_freq, self._vtln_low,
+            self._vtln_high, float(vtln_warp))
+        return melmod.equal_loudness_vector(centers)
+
+    def _compute(self, signal, vtln_warp):
+        opts = self.options()
+        signals, nsamples, nframes, nframes_max, key = (
+            self._signal_batch(signal))
+        if nframes == 0:
+            return np.zeros((0, self.ndims), dtype=np.float32)
+        feats = plp_batch(
+            signals, nsamples, self.mel_weights(vtln_warp),
+            self.equal_loudness(vtln_warp), opts, nframes_max, key=key)
+        return np.asarray(feats[0, :nframes])

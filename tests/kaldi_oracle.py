@@ -338,3 +338,133 @@ def vad_energy(feats, energy_threshold=5.0, energy_mean_scale=0.5,
                     num += 1
         out[t] = 1 if num >= den * proportion_threshold else 0
     return out
+
+
+# ---------------------------------------------------------------------------
+# PLP oracle
+# ---------------------------------------------------------------------------
+
+def idft_bases(n_bases, dimension):
+    angle = np.pi / (dimension - 1)
+    scale = 1.0 / (2.0 * (dimension - 1))
+    mat = np.zeros((n_bases, dimension))
+    for i in range(n_bases):
+        mat[i, 0] = scale
+        for j in range(1, dimension - 1):
+            mat[i, j] = 2.0 * scale * np.cos(angle * i * j)
+        mat[i, dimension - 1] = scale * np.cos(angle * i * (dimension - 1))
+    return mat
+
+
+def equal_loudness(centers):
+    fsq = centers ** 2
+    fsub = fsq / (fsq + 1.6e5)
+    return fsub * fsub * ((fsq + 1.44e6) / (fsq + 9.61e6))
+
+
+def durbin(autocorr, order):
+    lpc = np.zeros(order)
+    tmp = np.zeros(order)
+    energy = autocorr[0]
+    for i in range(order):
+        ki = autocorr[i + 1]
+        for j in range(i):
+            ki += lpc[j] * autocorr[i - j]
+        ki = ki / energy
+        c = 1 - ki * ki
+        if c < 1.0e-5:
+            c = 1.0e-5
+        energy *= c
+        tmp[i] = -ki
+        for j in range(i):
+            tmp[j] = lpc[j] - ki * lpc[i - j - 1]
+        lpc[:i + 1] = tmp[:i + 1]
+    return lpc, energy
+
+
+def lpc2cepstrum(order, lpc):
+    cepstrum = np.zeros(order)
+    for i in range(order):
+        s = 0.0
+        for j in range(i):
+            s += (i - j) * lpc[j] * cepstrum[i - j - 1]
+        cepstrum[i] = -lpc[i] - s / (i + 1)
+    return cepstrum
+
+
+def plp(signal, rate=16000, shift_s=0.01, length_s=0.025, rasta=False,
+        preemph=0.97, remove_dc=True, window_type='povey', num_bins=23,
+        low=20.0, high=0.0, lpc_order=12, num_ceps=13, use_energy=True,
+        energy_floor=0.0, raw_energy=True, compress=1.0 / 3.0,
+        cepstral_lifter=22.0, cepstral_scale=1.0, htk_compat=False,
+        vtln=1.0, snip_edges=True):
+    """Literal reference PLP recipe (dither must be 0), RASTA via
+    scipy.signal.lfilter exactly as shennong/processor/plp.py."""
+    import scipy.signal
+
+    signal = np.asarray(signal, dtype=np.float64)
+    shift, length = int(rate * shift_s), int(rate * length_s)
+    padded = 1
+    while padded < length:
+        padded *= 2
+    nf = num_frames(len(signal), shift, length, snip_edges)
+    win_vec = window_vector(window_type, length)
+    mel_mat, centers = mel_bank_matrix(
+        num_bins, padded, rate, low, high, 100.0, -500.0, vtln)
+    eql = equal_loudness(centers)
+    idft = idft_bases(lpc_order + 1, num_bins + 2)
+    lif = lifter(cepstral_lifter, num_ceps) if cepstral_lifter else None
+
+    # stateful rasta filter (frame by frame, like the reference class)
+    rnum = -np.arange(-2, 3) / np.sum(np.arange(-2, 3) ** 2)
+    rden = np.array([1, -0.94])
+    rasta_count = 0
+    rasta_first = []
+    rasta_delay = np.dstack(
+        (scipy.signal.lfilter_zi(rnum, 1),) * num_bins).squeeze()
+
+    out = np.zeros((nf, num_ceps))
+    for f in range(nf):
+        window = extract_window(signal, f, shift, length, snip_edges)
+        window, raw_e = process_window(window, preemph, remove_dc, win_vec)
+        if use_energy and not raw_energy:
+            raw_e = np.log(max(np.dot(window, window), FLT_EPS))
+        spec = np.fft.rfft(window, n=padded)
+        power = spec.real ** 2 + spec.imag ** 2
+        mels = mel_mat @ power
+
+        if rasta:
+            x = np.log(mels + np.finfo(mels.dtype).eps)
+            if rasta_count < 4:
+                rasta_first.append(x)
+                y = np.zeros(x.shape)
+            if rasta_count == 3:
+                _, rasta_delay = scipy.signal.lfilter(
+                    rnum, 1, np.asarray(rasta_first),
+                    zi=rasta_delay * rasta_first[0], axis=0)
+            if rasta_count >= 4:
+                y, rasta_delay = scipy.signal.lfilter(
+                    rnum, rden, [x], zi=rasta_delay, axis=0)
+            rasta_count += 1
+            mels = np.exp(np.atleast_2d(y)[0, :])
+
+        mels = (mels * eql) ** compress
+        dup = np.concatenate([mels[:1], mels, mels[-1:]])
+        autocorr = idft @ dup
+        lpc, res_energy = durbin(autocorr, lpc_order)
+        res_log_e = max(np.log(res_energy), np.finfo(np.float64).eps)
+        cep = lpc2cepstrum(lpc_order, lpc)
+
+        feat = np.concatenate([[res_log_e], cep[:num_ceps - 1]])
+        if lif is not None:
+            feat *= lif
+        if cepstral_scale != 1.0:
+            feat *= cepstral_scale
+        if use_energy:
+            if energy_floor > 0 and raw_e < np.log(energy_floor):
+                raw_e = np.log(energy_floor)
+            feat[0] = raw_e
+        if htk_compat:
+            feat = np.concatenate([feat[1:], feat[:1]])
+        out[f] = feat
+    return out
