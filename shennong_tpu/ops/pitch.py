@@ -1,0 +1,398 @@
+"""Kaldi pitch tracker (Ghahremani & Povey 2014), batched on TPU.
+
+Replaces ``kaldi.feat.pitch.compute_kaldi_pitch`` and
+``process_pitch`` (reference call sites
+``shennong/processor/pitch_kaldi.py:298`` and ``:536``) with a fully
+batched XLA program:
+
+- bandlimited downsampling to the analysis rate (gather + dot),
+- NCCF over integer lags via FFT cross-correlation (no [F, lag, win]
+  materialization),
+- lag upsampling onto the geometric lag grid as one matmul,
+- the frame-recursive Viterbi lag selection as a ``lax.scan`` with a
+  vectorized min-plus step and backtracking,
+- pitch post-processing (POV mapping, POV-weighted moving-window mean
+  subtraction, noised delta) as windowed prefix-sum ops.
+"""
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shennong_tpu.ops import resample
+
+
+@dataclasses.dataclass(frozen=True)
+class PitchOpts:
+    """Static options of the pitch extractor (Kaldi
+    PitchExtractionOptions)."""
+    sample_rate: float = 16000.0
+    frame_shift_ms: float = 10.0
+    frame_length_ms: float = 25.0
+    min_f0: float = 50.0
+    max_f0: float = 400.0
+    soft_min_f0: float = 10.0
+    penalty_factor: float = 0.1
+    lowpass_cutoff: float = 1000.0
+    resample_freq: float = 4000.0
+    delta_pitch: float = 0.005
+    nccf_ballast: float = 7000.0
+    lowpass_filter_width: int = 1
+    upsample_filter_width: int = 5
+    snip_edges: bool = True
+
+    @property
+    def frame_shift_samples(self):
+        """Frame shift at the analysis rate"""
+        return int(self.resample_freq * 0.001 * self.frame_shift_ms)
+
+    @property
+    def window_size_samples(self):
+        """NCCF window size at the analysis rate"""
+        return int(self.resample_freq * 0.001 * self.frame_length_ms)
+
+    @property
+    def first_lag(self):
+        return int(math.ceil(self.resample_freq / self.max_f0))
+
+    @property
+    def last_lag(self):
+        return int(math.floor(self.resample_freq / self.min_f0))
+
+
+@dataclasses.dataclass(frozen=True)
+class ProcessPitchOpts:
+    """Static options of the pitch post-processor (Kaldi
+    ProcessPitchOptions)."""
+    pitch_scale: float = 2.0
+    pov_scale: float = 2.0
+    pov_offset: float = 0.0
+    delta_pitch_scale: float = 10.0
+    delta_pitch_noise_stddev: float = 0.005
+    normalization_left_context: int = 75
+    normalization_right_context: int = 75
+    delta_window: int = 2
+    delay: int = 0
+    add_pov_feature: bool = True
+    add_normalized_log_pitch: bool = True
+    add_delta_pitch: bool = True
+    add_raw_log_pitch: bool = False
+
+
+@functools.lru_cache(maxsize=None)
+def select_lags(min_f0, max_f0, delta_pitch):
+    """The geometric grid of candidate lags, in seconds."""
+    lags = []
+    lag = 1.0 / max_f0
+    while lag <= 1.0 / min_f0:
+        lags.append(lag)
+        lag *= 1.0 + delta_pitch
+    return np.asarray(lags, dtype=np.float64)
+
+
+def num_pitch_frames(nsamples, opts):
+    """Frames produced for ``nsamples`` input samples (input finished).
+
+    Kaldi NumFramesAvailable with input_finished: the basic window
+    size (without the max lag) bounds the last frame; tail windows are
+    zero padded.
+    """
+    num_rs = resample.linear_resample_num_samples(
+        nsamples, opts.sample_rate, opts.resample_freq)
+    shift = opts.frame_shift_samples
+    length = opts.window_size_samples
+    if num_rs < length:
+        return 0
+    if not opts.snip_edges:
+        return int(num_rs / shift + 0.5)
+    return (num_rs - length) // shift + 1
+
+
+def _nccf_correlations(windows, window_size, first_lag, last_lag):
+    """inner products and energies for the NCCF, via FFT correlation.
+
+    ``windows`` is [B, F, W] (W = window_size + last_lag) with the
+    mean of the first ``window_size`` samples already removed.
+    Returns (inner [B, F, nlags], e1 [B, F], e2 [B, F, nlags]).
+    """
+    nlags = last_lag + 1 - first_lag
+
+    # sliding energies from prefix sums
+    sq = windows * windows
+    csum = jnp.cumsum(sq, axis=-1)
+    zero = jnp.zeros(windows.shape[:-1] + (1,), windows.dtype)
+    csum = jnp.concatenate([zero, csum], axis=-1)
+    e1 = csum[..., window_size] - csum[..., 0]
+    lag_idx = np.arange(first_lag, last_lag + 1)
+    e2 = (jnp.take(csum, lag_idx + window_size, axis=-1)
+          - jnp.take(csum, lag_idx, axis=-1))
+
+    # cross-correlation: inner[lag] = sum_i w1[i] * w[i + lag]
+    fft_size = 1 << (windows.shape[-1] - 1).bit_length()
+    w1 = jnp.where(
+        jnp.arange(windows.shape[-1]) < window_size, windows, 0.0)
+    spec_w = jnp.fft.rfft(windows, n=fft_size, axis=-1)
+    spec_w1 = jnp.fft.rfft(w1, n=fft_size, axis=-1)
+    corr = jnp.fft.irfft(spec_w * jnp.conj(spec_w1), n=fft_size, axis=-1)
+    inner = jnp.take(corr, lag_idx, axis=-1)
+
+    return inner, e1, e2
+
+
+def _viterbi_lags(local_cost, inter_frame_factor, nframes):
+    """Frame-recursive lag selection with backtracking.
+
+    ``local_cost`` is [B, F, L]; transition cost between lag states i
+    (previous) and j (current) is (i - j)^2 * inter_frame_factor.
+    Returns the best lag index per frame [B, F] (int32), computed from
+    a forward min-plus scan and a backward backtrace, both masked so
+    padded frames are pass-through.
+    """
+    bsz, maxframes, nlags = local_cost.shape
+    idx = jnp.arange(nlags)
+    penalty = (
+        (idx[:, None] - idx[None, :]).astype(jnp.float32) ** 2
+        * inter_frame_factor)  # [L_prev, L_cur]
+
+    frame_ids = jnp.arange(maxframes)
+    valid = (frame_ids[None, :] < nframes[:, None])  # [B, F]
+
+    def forward_step(carry, inputs):
+        fwd = carry  # [B, L]
+        cost_t, valid_t = inputs  # [B, L], [B]
+        total = fwd[:, :, None] + penalty[None, :, :]  # [B, Lp, Lc]
+        best_prev = jnp.argmin(total, axis=1).astype(jnp.int32)
+        new_fwd = cost_t + jnp.min(total, axis=1)
+        # re-center to avoid drift, mask padded frames as pass-through
+        new_fwd = new_fwd - jnp.min(new_fwd, axis=1, keepdims=True)
+        new_fwd = jnp.where(valid_t[:, None], new_fwd, fwd)
+        return new_fwd, best_prev
+
+    init = local_cost[:, 0, :]
+    init = init - jnp.min(init, axis=1, keepdims=True)
+    xs = (local_cost[:, 1:].transpose(1, 0, 2), valid[:, 1:].T)
+    final_fwd, backptrs = jax.lax.scan(forward_step, init, xs)
+    # backptrs: [F-1, B, L]; backptrs[t] maps lag at frame t+1 to the
+    # best lag at frame t
+
+    # start the backtrace at the last *valid* frame of each utterance
+    last_best = jnp.argmin(final_fwd, axis=1).astype(jnp.int32)  # [B]
+
+    def backward_step(carry, inputs):
+        best_next = carry  # [B]
+        ptrs_t, valid_next = inputs  # [B, L], [B]
+        best_here = jnp.take_along_axis(
+            ptrs_t, best_next[:, None], axis=1)[:, 0]
+        # if frame t+1 is padding, the state passes through unchanged
+        best_here = jnp.where(valid_next, best_here, best_next)
+        return best_here, best_here
+
+    _, best_rev = jax.lax.scan(
+        backward_step, last_best,
+        (backptrs[::-1], valid[:, 1:].T[::-1]))
+    # best_rev holds frames F-2 .. 0 (reversed); append the last frame
+    best = jnp.concatenate(
+        [best_rev[::-1].T, last_best[:, None]], axis=1)  # [B, F]
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=('opts', 'nframes_max'))
+def compute_pitch(signals, nsamples, opts, nframes_max):
+    """Batched Kaldi pitch: [B, T] signals -> [B, F, 2] (NCCF, pitch).
+
+    ``signals`` are int16-range float32 padded to a common length,
+    ``nsamples`` the true per-utterance sample counts.
+    """
+    # 1. downsample to the analysis rate
+    resampled = resample.linear_resample(
+        signals, signals.shape[1], opts.sample_rate, opts.resample_freq,
+        opts.lowpass_cutoff, opts.lowpass_filter_width)
+    num_rs_max = resampled.shape[1]
+
+    # per-utterance resampled lengths: Kaldi's tick arithmetic
+    # reduces to last = floor(n * out_rate / in_rate), decremented
+    # when the product divides exactly, plus one (reduced fraction to
+    # avoid integer overflow without x64)
+    gcd = math.gcd(int(opts.sample_rate), int(opts.resample_freq))
+    out_r = int(opts.resample_freq) // gcd
+    in_r = int(opts.sample_rate) // gcd
+    prod = nsamples.astype(jnp.int32) * out_r
+    last = prod // in_r
+    exact = (last * in_r == prod)
+    num_rs = (last - exact.astype(jnp.int32) + 1).astype(jnp.int32)
+
+    # zero out the padding of the resampled signal
+    t = jnp.arange(num_rs_max)[None, :]
+    resampled = jnp.where(t < num_rs[:, None], resampled, 0.0)
+
+    # mean square over the real samples (for the NCCF ballast)
+    denom = jnp.maximum(num_rs.astype(jnp.float32), 1.0)
+    mean = jnp.sum(resampled, axis=1) / denom
+    mean_square = jnp.sum(resampled * resampled, axis=1) / denom - \
+        mean * mean
+
+    shift = opts.frame_shift_samples
+    window_size = opts.window_size_samples
+    first_lag, last_lag = opts.first_lag, opts.last_lag
+    full_window = window_size + last_lag
+
+    # 2. extract outer windows (zero beyond the valid samples)
+    starts = jnp.arange(nframes_max, dtype=jnp.int32) * shift
+    sample_idx = starts[:, None] + jnp.arange(full_window)[None, :]
+    in_bounds = sample_idx[None, :, :] < num_rs[:, None, None]
+    gather_idx = jnp.minimum(sample_idx, num_rs_max - 1)
+    windows = jnp.take_along_axis(
+        resampled[:, None, :],
+        jnp.broadcast_to(
+            gather_idx[None, :, :],
+            (signals.shape[0],) + gather_idx.shape).reshape(
+                signals.shape[0], -1)[:, None, :],
+        axis=2).reshape(signals.shape[0], nframes_max, full_window)
+    windows = jnp.where(in_bounds, windows, 0.0)
+
+    # subtract the mean of the first window_size samples (Kaldi
+    # ComputeCorrelation's zero_mean_wave)
+    mean1 = jnp.mean(windows[..., :window_size], axis=-1, keepdims=True)
+    windows = windows - mean1
+
+    # 3. NCCF at integer lags
+    inner, e1, e2 = _nccf_correlations(
+        windows, window_size, first_lag, last_lag)
+    norm = e1[..., None] * e2
+    ballast = (
+        (mean_square * window_size) ** 2 * opts.nccf_ballast
+    )[:, None, None]
+    nccf_pitch = jnp.where(
+        norm + ballast > 0.0,
+        inner / jnp.sqrt(jnp.maximum(norm + ballast, 1e-30)), 0.0)
+    nccf_pov = jnp.where(
+        norm > 0.0, inner / jnp.sqrt(jnp.maximum(norm, 1e-30)), 0.0)
+
+    # 4. upsample the NCCF onto the geometric lag grid
+    lags = select_lags(opts.min_f0, opts.max_f0, opts.delta_pitch)
+    lags_offset = tuple(
+        float(l - first_lag / opts.resample_freq) for l in lags)
+    upsample = jnp.asarray(resample.arbitrary_resample_matrix(
+        last_lag + 1 - first_lag, opts.resample_freq, lags_offset,
+        opts.resample_freq * 0.5, opts.upsample_filter_width))
+    nccf_pitch_rs = jnp.einsum(
+        'bfl,gl->bfg', nccf_pitch, upsample,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    nccf_pov_rs = jnp.einsum(
+        'bfl,gl->bfg', nccf_pov, upsample,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+    # 5. Viterbi lag selection
+    lags_f32 = jnp.asarray(lags, dtype=jnp.float32)
+    local_cost = (
+        1.0 - nccf_pitch_rs
+        + opts.soft_min_f0 * lags_f32[None, None, :] * nccf_pitch_rs)
+    inter_frame_factor = (
+        opts.penalty_factor * math.log(1.0 + opts.delta_pitch) ** 2)
+    nframes = pitch_num_frames_device(num_rs, opts)
+    best = _viterbi_lags(local_cost, inter_frame_factor, nframes)
+
+    # 6. assemble (NCCF, pitch) output
+    pitch = 1.0 / jnp.take(lags_f32, best)
+    nccf_out = jnp.take_along_axis(
+        nccf_pov_rs, best[..., None], axis=-1)[..., 0]
+    return jnp.stack([nccf_out, pitch], axis=-1)
+
+
+def pitch_num_frames_device(num_rs, opts):
+    """Per-utterance frame counts, traced (mirrors
+    :func:`num_pitch_frames`)."""
+    shift = opts.frame_shift_samples
+    length = opts.window_size_samples
+    if not opts.snip_edges:
+        nframes = (num_rs.astype(jnp.float32) / shift + 0.5).astype(
+            jnp.int32)
+    else:
+        nframes = (num_rs - length) // shift + 1
+    return jnp.maximum(jnp.where(num_rs < length, 0, nframes), 0)
+
+
+# ---------------------------------------------------------------- post
+
+def _nccf_to_pov(nccf):
+    """Probability of voicing from NCCF (Kaldi NccfToPov)."""
+    ndash = jnp.minimum(jnp.abs(nccf), 1.0)
+    r = (-5.2 + 5.4 * jnp.exp(7.5 * (ndash - 1.0)) + 4.8 * ndash
+         - 2.0 * jnp.exp(-10.0 * ndash)
+         + 4.2 * jnp.exp(20.0 * (ndash - 1.0)))
+    return 1.0 / (1.0 + jnp.exp(-r))
+
+
+def _nccf_to_pov_feature(nccf):
+    """Warped NCCF feature (Kaldi NccfToPovFeature)."""
+    n = jnp.clip(nccf, -1.0, 1.0)
+    return jnp.power(1.0001 - n, 0.15) - 1.0
+
+
+@functools.partial(jax.jit, static_argnames=('opts',))
+def process_pitch(raw_pitch, nframes, opts, noise=None):
+    """Turn raw (NCCF, pitch) into trainable features.
+
+    ``raw_pitch`` is [B, F, 2]; returns [B, F, ndims] with columns
+    (pov_feature, normalized_log_pitch, delta_pitch, raw_log_pitch)
+    filtered by the ``add_*`` flags. ``noise`` optionally supplies the
+    per-frame gaussian noise added to the delta (stddev 1, scaled by
+    ``delta_pitch_noise_stddev``).
+    """
+    bsz, maxframes, _ = raw_pitch.shape
+    nccf = raw_pitch[..., 0]
+    pitch = raw_pitch[..., 1]
+
+    t = jnp.arange(maxframes, dtype=jnp.int32)[None, :]
+    n = nframes[:, None].astype(jnp.int32)
+    valid = t < n
+
+    # apply the frame delay (clamped at zero)
+    if opts.delay != 0:
+        delayed = jnp.maximum(t - opts.delay, 0)
+        nccf = jnp.take_along_axis(nccf, delayed, axis=1)
+        pitch = jnp.take_along_axis(pitch, delayed, axis=1)
+
+    log_pitch = jnp.log(jnp.maximum(pitch, 1e-10))
+    columns = []
+
+    if opts.add_pov_feature:
+        columns.append(
+            opts.pov_scale * _nccf_to_pov_feature(nccf)
+            + opts.pov_offset)
+
+    if opts.add_normalized_log_pitch:
+        pov = jnp.where(valid, _nccf_to_pov(nccf), 0.0)
+        weighted = pov * jnp.where(valid, log_pitch, 0.0)
+        zeros = jnp.zeros((bsz, 1), dtype=pov.dtype)
+        cpov = jnp.concatenate([zeros, jnp.cumsum(pov, axis=1)], axis=1)
+        cwlp = jnp.concatenate(
+            [zeros, jnp.cumsum(weighted, axis=1)], axis=1)
+        begin = jnp.maximum(t - opts.normalization_left_context, 0)
+        end = jnp.minimum(t + opts.normalization_right_context + 1, n)
+        sum_pov = (jnp.take_along_axis(cpov, end, axis=1)
+                   - jnp.take_along_axis(cpov, begin, axis=1))
+        sum_wlp = (jnp.take_along_axis(cwlp, end, axis=1)
+                   - jnp.take_along_axis(cwlp, begin, axis=1))
+        avg = sum_wlp / jnp.maximum(sum_pov, 1e-20)
+        columns.append((log_pitch - avg) * opts.pitch_scale)
+
+    if opts.add_delta_pitch:
+        from shennong_tpu.ops.postops import compute_deltas
+        delta = compute_deltas(
+            log_pitch[..., None], nframes, order=1,
+            window=opts.delta_window)[..., 1]
+        if noise is not None:
+            delta = delta + noise * opts.delta_pitch_noise_stddev
+        columns.append(delta * opts.delta_pitch_scale)
+
+    if opts.add_raw_log_pitch:
+        columns.append(log_pitch)
+
+    return jnp.stack(columns, axis=-1)

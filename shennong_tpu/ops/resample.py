@@ -1,0 +1,120 @@
+"""Bandlimited sinc resampling (Kaldi LinearResample /
+ArbitraryResample equivalents).
+
+Replaces the resamplers inside ``kaldi.feat.pitch.compute_kaldi_pitch``
+(reference call site ``shennong/processor/pitch_kaldi.py:298``): a
+Hanning-windowed sinc filter downsamples the waveform to the pitch
+analysis rate, and an arbitrary-point variant upsamples NCCF values
+from integer lags onto the geometric lag grid. Filter matrices and
+index grids are built once on host (numpy, cached); the signal path is
+a batched gather + dot on device.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def filter_func(delta_t, filter_cutoff, num_zeros):
+    """Kaldi's windowed-sinc interpolation filter.
+
+    A sinc at ``filter_cutoff`` Hz under a raised-cosine (Hanning)
+    window supported on |t| < num_zeros / (2 * filter_cutoff).
+    """
+    delta_t = np.asarray(delta_t, dtype=np.float64)
+    width = num_zeros / (2.0 * filter_cutoff)
+    window = np.where(
+        np.abs(delta_t) < width,
+        0.5 * (1 + np.cos(2 * math.pi * filter_cutoff / num_zeros
+                          * delta_t)),
+        0.0)
+    sinc = np.where(
+        delta_t != 0,
+        np.sin(2 * math.pi * filter_cutoff * delta_t)
+        / (math.pi * np.where(delta_t == 0, 1.0, delta_t)),
+        2 * filter_cutoff)
+    return (window * sinc).astype(np.float64)
+
+
+def linear_resample_num_samples(nsamples_in, rate_in, rate_out):
+    """Output sample count of Kaldi's LinearResample with flush.
+
+    Tick arithmetic from LinearResample::GetNumOutputSamples: output
+    samples live at multiples of 1/rate_out within the input interval.
+    """
+    tick_freq = _lcm(int(rate_in), int(rate_out))
+    ticks_per_in = tick_freq // int(rate_in)
+    interval = int(nsamples_in) * ticks_per_in
+    ticks_per_out = tick_freq // int(rate_out)
+    last = interval // ticks_per_out
+    if last * ticks_per_out == interval:
+        last -= 1
+    return last + 1
+
+
+def _lcm(a, b):
+    return a * b // math.gcd(a, b)
+
+
+@functools.lru_cache(maxsize=None)
+def linear_resample_plan(nsamples_in, rate_in, rate_out, filter_cutoff,
+                         num_zeros):
+    """Precompute (indices, weights, nsamples_out) for a resample.
+
+    indices/weights have shape [nsamples_out, max_taps]; out-of-range
+    taps carry zero weight (Kaldi truncates the filter at the signal
+    boundaries, equivalent to zero padding).
+    """
+    nout = linear_resample_num_samples(nsamples_in, rate_in, rate_out)
+    width = num_zeros / (2.0 * filter_cutoff)
+    times = np.arange(nout, dtype=np.float64) / rate_out
+
+    first = np.ceil((times - width) * rate_in).astype(np.int64)
+    max_taps = int(np.floor(2 * width * rate_in)) + 2
+    taps = np.arange(max_taps, dtype=np.int64)
+    indices = first[:, None] + taps[None, :]
+
+    delta_t = indices / rate_in - times[:, None]
+    weights = filter_func(delta_t, filter_cutoff, num_zeros)
+    in_range = (indices >= 0) & (indices < nsamples_in)
+    weights = np.where(in_range, weights, 0.0) / rate_in
+    indices = np.clip(indices, 0, nsamples_in - 1)
+    return (indices.astype(np.int32), weights.astype(np.float32), nout)
+
+
+def linear_resample(signals, nsamples_in_max, rate_in, rate_out,
+                    filter_cutoff, num_zeros):
+    """Batched bandlimited resample: [B, T_in] -> [B, T_out].
+
+    ``nsamples_in_max`` must equal signals.shape[1] (the padded
+    length); per-utterance true lengths are handled by the caller
+    (padding is zeros, which the filter treats as signal-off-the-end
+    exactly like Kaldi's boundary truncation).
+    """
+    indices, weights, _ = linear_resample_plan(
+        int(nsamples_in_max), float(rate_in), float(rate_out),
+        float(filter_cutoff), int(num_zeros))
+    gathered = signals[:, indices]  # [B, T_out, taps]
+    return jnp.einsum(
+        'bot,ot->bo', gathered, jnp.asarray(weights),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def arbitrary_resample_matrix(num_samples_in, rate, sample_points,
+                              filter_cutoff, num_zeros):
+    """Dense [len(sample_points), num_samples_in] resampling matrix.
+
+    Kaldi ArbitraryResample semantics: for each output point t
+    (seconds) the filter is evaluated at the input sample times and
+    truncated to the valid index range.
+    """
+    points = np.asarray(sample_points, dtype=np.float64)
+    n = np.arange(num_samples_in, dtype=np.float64)
+    delta_t = n[None, :] / rate - points[:, None]
+    weights = filter_func(delta_t, filter_cutoff, num_zeros) / rate
+    return weights.astype(np.float32)

@@ -1,0 +1,495 @@
+"""Kaldi pitch extraction and post-processing.
+
+API-compatible with ``shennong/processor/pitch_kaldi.py``; the whole
+NCCF + Viterbi tracker and the pitch post-processing run as batched
+XLA programs (:mod:`shennong_tpu.ops.pitch`).
+"""
+
+import copy
+
+import numpy as np
+
+import jax
+
+from shennong_tpu import Features
+from shennong_tpu.ops.framing import bucket_size
+from shennong_tpu.ops.pitch import (
+    PitchOpts, ProcessPitchOpts, compute_pitch, num_pitch_frames,
+    process_pitch)
+from shennong_tpu.processor.base import FeaturesProcessor, _fresh_key
+from shennong_tpu.postprocessor.base import FeaturesPostProcessor
+
+
+class KaldiPitchProcessor(FeaturesProcessor):
+    """Extracts the (NCCF, pitch) per frame from a speech signal
+
+    The output will have as many rows as there are frames, and two columns
+    corresponding to (NCCF, pitch). NCCF is the Normalized Cross Correlation
+    Function.
+
+    """
+
+    def __init__(self, sample_rate=16000, frame_shift=0.01,
+                 frame_length=0.025, min_f0=50, max_f0=400,
+                 soft_min_f0=10, penalty_factor=0.1,
+                 lowpass_cutoff=1000, resample_freq=4000,
+                 delta_pitch=0.005, nccf_ballast=7000,
+                 lowpass_filter_width=1, upsample_filter_width=5):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.frame_shift = frame_shift
+        self.frame_length = frame_length
+        self.min_f0 = min_f0
+        self.max_f0 = max_f0
+        self.soft_min_f0 = soft_min_f0
+        self.penalty_factor = penalty_factor
+        self.lowpass_cutoff = lowpass_cutoff
+        self.resample_freq = resample_freq
+        self.delta_pitch = delta_pitch
+        self.nccf_ballast = nccf_ballast
+        self.lowpass_filter_width = lowpass_filter_width
+        self.upsample_filter_width = upsample_filter_width
+
+    @property
+    def name(self):
+        return 'pitch'
+
+    @property
+    def sample_rate(self):
+        """Waveform sample frequency in Hertz
+
+        Must match the sample rate of the signal specified in `process`
+
+        """
+        return self._sample_rate
+
+    @sample_rate.setter
+    def sample_rate(self, value):
+        self._sample_rate = float(value)
+
+    @property
+    def frame_shift(self):
+        """Frame shift in seconds"""
+        return self._frame_shift
+
+    @frame_shift.setter
+    def frame_shift(self, value):
+        self._frame_shift = float(value)
+
+    @property
+    def frame_length(self):
+        """Frame length in seconds"""
+        return self._frame_length
+
+    @frame_length.setter
+    def frame_length(self, value):
+        self._frame_length = float(value)
+
+    @property
+    def min_f0(self):
+        """Minimum F0 to search for in Hertz"""
+        return self._min_f0
+
+    @min_f0.setter
+    def min_f0(self, value):
+        self._min_f0 = float(value)
+
+    @property
+    def max_f0(self):
+        """Maximum F0 to search for in Hertz"""
+        return self._max_f0
+
+    @max_f0.setter
+    def max_f0(self, value):
+        self._max_f0 = float(value)
+
+    @property
+    def soft_min_f0(self):
+        """Minimum F0 to search, applied in soft way, in Hertz
+
+        Must not exceed `min_f0`
+
+        """
+        return self._soft_min_f0
+
+    @soft_min_f0.setter
+    def soft_min_f0(self, value):
+        self._soft_min_f0 = float(value)
+
+    @property
+    def penalty_factor(self):
+        """Cost factor for F0 change"""
+        return np.float32(self._penalty_factor)
+
+    @penalty_factor.setter
+    def penalty_factor(self, value):
+        self._penalty_factor = float(value)
+
+    @property
+    def lowpass_cutoff(self):
+        """Cutoff frequency for low-pass filter, in Hertz"""
+        return self._lowpass_cutoff
+
+    @lowpass_cutoff.setter
+    def lowpass_cutoff(self, value):
+        self._lowpass_cutoff = float(value)
+
+    @property
+    def resample_freq(self):
+        """Frequency that we down-sample the signal to, in Hertz
+
+        Must be more than twice `lowpass_cutoff`
+
+        """
+        return self._resample_freq
+
+    @resample_freq.setter
+    def resample_freq(self, value):
+        self._resample_freq = float(value)
+
+    @property
+    def delta_pitch(self):
+        """Smallest relative change in pitch that the algorithm measures"""
+        return np.float32(self._delta_pitch)
+
+    @delta_pitch.setter
+    def delta_pitch(self, value):
+        self._delta_pitch = float(value)
+
+    @property
+    def nccf_ballast(self):
+        """Increasing this factor reduces NCCF for quiet frames
+
+        This helps ensuring pitch continuity in unvoiced regions
+
+        """
+        return self._nccf_ballast
+
+    @nccf_ballast.setter
+    def nccf_ballast(self, value):
+        self._nccf_ballast = float(value)
+
+    @property
+    def lowpass_filter_width(self):
+        """Integer that determines filter width of lowpass filter
+
+        More gives sharper filter
+
+        """
+        return self._lowpass_filter_width
+
+    @lowpass_filter_width.setter
+    def lowpass_filter_width(self, value):
+        self._lowpass_filter_width = int(value)
+
+    @property
+    def upsample_filter_width(self):
+        """Integer that determines filter width when upsampling NCCF"""
+        return self._upsample_filter_width
+
+    @upsample_filter_width.setter
+    def upsample_filter_width(self, value):
+        self._upsample_filter_width = int(value)
+
+    @property
+    def ndims(self):
+        return 2
+
+    def options(self):
+        """All parameters bundled as a static PitchOpts"""
+        return PitchOpts(
+            sample_rate=self._sample_rate,
+            frame_shift_ms=self._frame_shift * 1000.0,
+            frame_length_ms=self._frame_length * 1000.0,
+            min_f0=self._min_f0, max_f0=self._max_f0,
+            soft_min_f0=self._soft_min_f0,
+            penalty_factor=self._penalty_factor,
+            lowpass_cutoff=self._lowpass_cutoff,
+            resample_freq=self._resample_freq,
+            delta_pitch=self._delta_pitch,
+            nccf_ballast=self._nccf_ballast,
+            lowpass_filter_width=self._lowpass_filter_width,
+            upsample_filter_width=self._upsample_filter_width)
+
+    def times(self, nframes):
+        """Returns the time label for the rows given by the `process` method"""
+        return np.vstack((
+            np.arange(nframes) * self.frame_shift,
+            np.arange(nframes) * self.frame_shift + self.frame_length)).T
+
+    def process(self, signal):
+        """Extract the (NCCF, pitch) per frame of ``signal``.
+
+        The signal's sample rate must match the processor's; output is
+        a [nframes, 2] Features.
+        """
+        if signal.nchannels != 1:
+            raise ValueError(
+                'audio signal must have one channel, but it has {}'
+                .format(signal.nchannels))
+        if self.sample_rate != signal.sample_rate:
+            raise ValueError(
+                'processor and signal mismatch in sample rates: '
+                '{} != {}'.format(self.sample_rate, signal.sample_rate))
+
+        opts = self.options()
+        data = signal.astype(np.int16).data.astype(np.float32)
+        nsamp = data.shape[0]
+        bucket = bucket_size(nsamp)
+        padded = np.zeros((1, bucket), dtype=np.float32)
+        padded[0, :nsamp] = data
+
+        nframes = num_pitch_frames(nsamp, opts)
+        nframes_max = num_pitch_frames(bucket, opts)
+        if nframes == 0:
+            out = np.zeros((0, 2), dtype=np.float32)
+        else:
+            feats = compute_pitch(
+                padded, np.array([nsamp], dtype=np.int32), opts,
+                nframes_max)
+            out = np.asarray(feats[0, :nframes])
+
+        return Features(
+            out, self.times(out.shape[0]),
+            properties=self.get_properties())
+
+
+class KaldiPitchPostProcessor(FeaturesPostProcessor):
+    """Processes the raw (NCCF, pitch) computed by the PitchProcessor
+
+    Turns the raw pitch quantites into usable features. By default it will
+    output three-dimensional features, (POV-feature, mean-subtracted-log-pitch,
+    delta-of-raw-pitch), but this is configurable in the options. The number of
+    rows of "output" will be the number of frames (rows) in "input", i.e. the
+    number of frames. The number of columns will be the number of different
+    types of features requested (by default, 3; 4 is the max). The four
+    parameters `add_pov_feature`, `add_normalized_log_pitch`,
+    `add_delta_pitch`, `add_raw_log_pitch` determine which features we create;
+    by default we create the first three.
+
+    POV stands for Probability of Voicing.
+
+    """
+
+    def __init__(self, pitch_scale=2.0, pov_scale=2.0, pov_offset=0.0,
+                 delta_pitch_scale=10.0, delta_pitch_noise_stddev=0.005,
+                 normalization_left_context=75,
+                 normalization_right_context=75,
+                 delta_window=2, delay=0,
+                 add_pov_feature=True, add_normalized_log_pitch=True,
+                 add_delta_pitch=True, add_raw_log_pitch=False):
+        super().__init__()
+        self.pitch_scale = pitch_scale
+        self.pov_scale = pov_scale
+        self.pov_offset = pov_offset
+        self.delta_pitch_scale = delta_pitch_scale
+        self.delta_pitch_noise_stddev = delta_pitch_noise_stddev
+        self.normalization_left_context = normalization_left_context
+        self.normalization_right_context = normalization_right_context
+        self.delta_window = delta_window
+        self.delay = delay
+        self.add_pov_feature = add_pov_feature
+        self.add_normalized_log_pitch = add_normalized_log_pitch
+        self.add_delta_pitch = add_delta_pitch
+        self.add_raw_log_pitch = add_raw_log_pitch
+
+    @property
+    def name(self):
+        return 'pitch postprocessing'
+
+    @property
+    def pitch_scale(self):
+        """Scaling factor for the final normalized log-pitch value"""
+        return self._pitch_scale
+
+    @pitch_scale.setter
+    def pitch_scale(self, value):
+        self._pitch_scale = float(value)
+
+    @property
+    def pov_scale(self):
+        """Scaling factor for final probability of voicing feature"""
+        return self._pov_scale
+
+    @pov_scale.setter
+    def pov_scale(self, value):
+        self._pov_scale = float(value)
+
+    @property
+    def pov_offset(self):
+        """This can be used to add an offset to the POV feature
+
+        Intended for use in Kaldi's online decoding as a substitute
+        for CMV (cepstral mean normalization)
+
+        """
+        return self._pov_offset
+
+    @pov_offset.setter
+    def pov_offset(self, value):
+        self._pov_offset = float(value)
+
+    @property
+    def delta_pitch_scale(self):
+        """Term to scale the final delta log-pitch feature"""
+        return self._delta_pitch_scale
+
+    @delta_pitch_scale.setter
+    def delta_pitch_scale(self, value):
+        self._delta_pitch_scale = float(value)
+
+    @property
+    def delta_pitch_noise_stddev(self):
+        """Standard deviation for noise we add to the delta log-pitch
+
+        The stddev is added before scaling. Should be about the same
+        as delta-pitch option to pitch creation. The purpose is to get
+        rid of peaks in the delta-pitch caused by discretization of
+        pitch values.
+
+        """
+        return np.float32(self._delta_pitch_noise_stddev)
+
+    @delta_pitch_noise_stddev.setter
+    def delta_pitch_noise_stddev(self, value):
+        self._delta_pitch_noise_stddev = float(value)
+
+    @property
+    def normalization_left_context(self):
+        """Left-context (in frames) for moving window normalization"""
+        return self._normalization_left_context
+
+    @normalization_left_context.setter
+    def normalization_left_context(self, value):
+        self._normalization_left_context = int(value)
+
+    @property
+    def normalization_right_context(self):
+        """Right-context (in frames) for moving window normalization"""
+        return self._normalization_right_context
+
+    @normalization_right_context.setter
+    def normalization_right_context(self, value):
+        self._normalization_right_context = int(value)
+
+    @property
+    def delta_window(self):
+        """Number of frames on each side of central frame"""
+        return self._delta_window
+
+    @delta_window.setter
+    def delta_window(self, value):
+        self._delta_window = int(value)
+
+    @property
+    def delay(self):
+        """Number of frames by which the pitch information is delayed"""
+        return self._delay
+
+    @delay.setter
+    def delay(self, value):
+        self._delay = int(value)
+
+    @property
+    def add_pov_feature(self):
+        """If true, the warped NCCF is added to output features"""
+        return self._add_pov_feature
+
+    @add_pov_feature.setter
+    def add_pov_feature(self, value):
+        self._add_pov_feature = bool(value)
+
+    @property
+    def add_normalized_log_pitch(self):
+        """If true, the normalized log-pitch is added to output features
+
+         Normalization is done with POV-weighted mean subtraction over
+         1.5 second window.
+
+        """
+        return self._add_normalized_log_pitch
+
+    @add_normalized_log_pitch.setter
+    def add_normalized_log_pitch(self, value):
+        self._add_normalized_log_pitch = bool(value)
+
+    @property
+    def add_delta_pitch(self):
+        """If true, time derivative of log-pitch is added to output features"""
+        return self._add_delta_pitch
+
+    @add_delta_pitch.setter
+    def add_delta_pitch(self, value):
+        self._add_delta_pitch = bool(value)
+
+    @property
+    def add_raw_log_pitch(self):
+        """If true, the log of the raw pitch is added to output features"""
+        return self._add_raw_log_pitch
+
+    @add_raw_log_pitch.setter
+    def add_raw_log_pitch(self, value):
+        self._add_raw_log_pitch = bool(value)
+
+    @property
+    def ndims(self):
+        return (
+            self.add_pov_feature
+            + self.add_normalized_log_pitch
+            + self.add_delta_pitch
+            + self.add_raw_log_pitch)
+
+    def options(self):
+        """All parameters bundled as a static ProcessPitchOpts"""
+        return ProcessPitchOpts(
+            pitch_scale=self._pitch_scale, pov_scale=self._pov_scale,
+            pov_offset=self._pov_offset,
+            delta_pitch_scale=self._delta_pitch_scale,
+            delta_pitch_noise_stddev=self._delta_pitch_noise_stddev,
+            normalization_left_context=self._normalization_left_context,
+            normalization_right_context=(
+                self._normalization_right_context),
+            delta_window=self._delta_window, delay=self._delay,
+            add_pov_feature=self._add_pov_feature,
+            add_normalized_log_pitch=self._add_normalized_log_pitch,
+            add_delta_pitch=self._add_delta_pitch,
+            add_raw_log_pitch=self._add_raw_log_pitch)
+
+    def get_properties(self, features):
+        properties = copy.deepcopy(features.properties)
+        properties['pitch'][self.name] = self.get_params()
+        properties['pipeline'][0]['columns'] = [0, self.ndims - 1]
+        return properties
+
+    def process(self, raw_pitch):
+        """Turn raw (NCCF, pitch) features into trainable features.
+
+        Output columns are (pov_feature, normalized_log_pitch,
+        delta_pitch, raw_log_pitch) in that order, filtered by the
+        ``add_*`` flags (at least one must be set).
+        """
+        if not (self.add_pov_feature or self.add_normalized_log_pitch
+                or self.add_delta_pitch or self.add_raw_log_pitch):
+            raise ValueError(
+                'at least one of the following options must be True: '
+                'add_pov_feature, add_normalized_log_pitch, '
+                'add_delta_pitch, add_raw_log_pitch')
+
+        if raw_pitch.shape[1] != 2:
+            raise ValueError(
+                'data shape must be (_, 2), but it is (_, {})'
+                .format(raw_pitch.shape[1]))
+
+        nframes = np.array([raw_pitch.nframes], dtype=np.int32)
+        noise = None
+        if self.add_delta_pitch and self._delta_pitch_noise_stddev != 0:
+            noise = jax.random.normal(
+                _fresh_key(), (1, raw_pitch.nframes), dtype=np.float32)
+
+        data = process_pitch(
+            np.asarray(raw_pitch.data, dtype=np.float32)[None],
+            nframes, self.options(), noise=noise)
+
+        return Features(
+            np.asarray(data[0]), raw_pitch.times,
+            properties=self.get_properties(raw_pitch))
