@@ -1,0 +1,120 @@
+"""The CREPE pitch CNN as a pure-JAX forward pass.
+
+Re-implements the keras model built by the reference
+(``shennong/processor/pitch_crepe.py:109-183``): six Conv-BN-MaxPool
+blocks over 1024-sample frames followed by a 360-way sigmoid
+classifier. Weights are converted once from the published keras ``.h5``
+checkpoints into ``.npz`` parameter files (see
+:func:`convert_keras_h5`); inference is a single jitted batched
+forward on the MXU.
+"""
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CAPACITY_MULTIPLIER = {
+    'tiny': 4, 'small': 8, 'medium': 16, 'large': 24, 'full': 32}
+
+_LAYER_FILTERS = (32, 4, 4, 4, 8, 16)
+_LAYER_WIDTHS = (512, 64, 64, 64, 64, 64)
+_LAYER_STRIDES = (4, 1, 1, 1, 1, 1)
+
+_BN_EPSILON = 1e-3  # keras BatchNormalization default
+
+SHARE_DIR = os.path.join(os.path.dirname(__file__), '..', 'share', 'crepe')
+
+
+def convert_keras_h5(h5_path):
+    """Convert a keras CREPE checkpoint to a flat parameter dict.
+
+    Keys: conv{i}/kernel [W, Cin, Cout], conv{i}/bias, conv{i}/{gamma,
+    beta, mean, var}, classifier/kernel [256*mult/4? , 360],
+    classifier/bias.
+    """
+    import h5py
+    params = {}
+    with h5py.File(h5_path, 'r') as fh:
+        for i in range(1, 7):
+            conv = fh[f'conv{i}']
+            sub = conv[list(conv.keys())[0]]
+            # keras kernel is [H, W=1, Cin, Cout]; squeeze the W axis
+            params[f'conv{i}/kernel'] = np.asarray(
+                sub['kernel:0'])[:, 0, :, :]
+            params[f'conv{i}/bias'] = np.asarray(sub['bias:0'])
+
+            bn = fh[f'conv{i}-BN']
+            sub = bn[list(bn.keys())[0]]
+            params[f'conv{i}/gamma'] = np.asarray(sub['gamma:0'])
+            params[f'conv{i}/beta'] = np.asarray(sub['beta:0'])
+            params[f'conv{i}/mean'] = np.asarray(sub['moving_mean:0'])
+            params[f'conv{i}/var'] = np.asarray(
+                sub['moving_variance:0'])
+
+        clf = fh['classifier']
+        sub = clf[list(clf.keys())[0]]
+        params['classifier/kernel'] = np.asarray(sub['kernel:0'])
+        params['classifier/bias'] = np.asarray(sub['bias:0'])
+    return params
+
+
+@functools.lru_cache(maxsize=None)
+def load_params(model_capacity):
+    """Load the converted npz parameters for a model capacity.
+
+    Looks for ``shennong_tpu/share/crepe/model-<capacity>.npz``.
+    Raises RuntimeError when the file is missing (only 'tiny' weights
+    ship with the repository; other capacities must be converted from
+    the published CREPE checkpoints with :func:`convert_keras_h5`).
+    """
+    if model_capacity not in CAPACITY_MULTIPLIER:
+        raise ValueError(
+            f'Model capacity {model_capacity} is not recognized.')
+    path = os.path.join(
+        os.path.abspath(SHARE_DIR), f'model-{model_capacity}.npz')
+    if not os.path.isfile(path):
+        raise RuntimeError(
+            f'CREPE weights file not found: {path} (convert the '
+            f'published keras checkpoint with '
+            f'shennong_tpu.models.crepe.convert_keras_h5)')
+    with np.load(path) as data:
+        return {k: jnp.asarray(v) for k, v in data.items()}
+
+
+@jax.jit
+def forward(params, frames):
+    """CREPE forward: [T, 1024] normalized frames -> [T, 360]
+    activations."""
+    x = frames[:, :, None]  # NWC, one channel
+
+    for i in range(1, 7):
+        kernel = params[f'conv{i}/kernel']
+        stride = _LAYER_STRIDES[i - 1]
+        x = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(stride,), padding='SAME',
+            dimension_numbers=('NWC', 'WIO', 'NWC'),
+            precision=jax.lax.Precision.HIGHEST)
+        x = x + params[f'conv{i}/bias']
+        x = jnp.maximum(x, 0.0)
+        # batch norm, inference mode
+        scale = params[f'conv{i}/gamma'] * jax.lax.rsqrt(
+            params[f'conv{i}/var'] + _BN_EPSILON)
+        x = (x - params[f'conv{i}/mean']) * scale + params[
+            f'conv{i}/beta']
+        # max pool (2,) stride 2, valid
+        x = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, 2, 1), (1, 2, 1), 'VALID')
+
+    # [T, 4, C] -> flatten (the keras Permute((2,1,3)) is a no-op in
+    # memory since the width axis is 1)
+    x = x.reshape(x.shape[0], -1)
+    logits = x @ params['classifier/kernel'] + params['classifier/bias']
+    return jax.nn.sigmoid(logits)
+
+
+def cents_mapping():
+    """Bin index -> cents mapping used by CREPE"""
+    return np.linspace(0, 7180, 360) + 1997.3794084376191

@@ -1,0 +1,343 @@
+"""CREPE pitch extraction and post-processing.
+
+API-compatible with ``shennong/processor/pitch_crepe.py``; the CNN
+runs as a jitted JAX forward pass (:mod:`shennong_tpu.models.crepe`)
+and the Viterbi smoothing / voicing decisions use
+:mod:`shennong_tpu.ops.viterbi` instead of hmmlearn. The POV-to-NCCF
+inversion is vectorized through a dense monotonic interpolation table
+rather than a per-frame bisection loop.
+"""
+
+import copy
+import warnings
+
+import numpy as np
+import scipy.signal
+
+import jax.numpy as jnp
+
+from shennong_tpu import Features
+from shennong_tpu.models import crepe
+from shennong_tpu.ops.viterbi import viterbi
+from shennong_tpu.processor.base import FeaturesProcessor
+from shennong_tpu.processor.pitch_kaldi import KaldiPitchPostProcessor
+
+
+def _to_local_average_cents(salience, centers):
+    """Weighted average of cents around the given center bins."""
+    mapping = crepe.cents_mapping()
+    out = np.zeros(len(centers))
+    for i, center in enumerate(centers):
+        start = max(0, int(center) - 4)
+        end = min(salience.shape[1], int(center) + 5)
+        weights = salience[i, start:end]
+        out[i] = np.sum(weights * mapping[start:end]) / np.sum(weights)
+    return out
+
+
+def _to_viterbi_cents(salience):
+    """Viterbi-smoothed cents decode (360-state banded prior)."""
+    nstates = salience.shape[1]
+    start = np.full(nstates, 1.0 / nstates)
+
+    grid = np.arange(nstates)
+    transition = np.maximum(12 - np.abs(grid[:, None] - grid[None, :]), 0)
+    transition = transition / transition.sum(axis=1, keepdims=True)
+
+    self_emission = 0.1
+    emission = (np.eye(nstates) * self_emission
+                + (1 - self_emission) / nstates)
+
+    observations = np.argmax(salience, axis=1)
+    log_obs = np.log(emission[:, observations].T + 1e-30)
+
+    path = np.asarray(viterbi(
+        jnp.asarray(np.log(start)),
+        jnp.asarray(np.log(transition + 1e-30)),
+        jnp.asarray(log_obs)))
+    return _to_local_average_cents(salience, path)
+
+
+def _nccf_to_pov(x):
+    """From Normalized Cross Correlation to Probability of Voicing"""
+    y = (-5.2 + 5.4 * np.exp(7.5 * (x - 1)) + 4.8 * x
+         - 2 * np.exp(-10 * x) + 4.2 * np.exp(20 * (x - 1)))
+    return 1 / (1 + np.exp(-y))
+
+
+def _pov_to_nccf(pov):
+    """Inverse of :func:`_nccf_to_pov` on [0, 1], vectorized.
+
+    The mapping is strictly increasing on [0, 1]; invert it by
+    interpolation on a dense grid (replacing the reference's per-frame
+    scipy bisection at ``pitch_crepe.py:594-601``).
+    """
+    grid = np.linspace(0.0, 1.0, 4097)
+    values = _nccf_to_pov(grid)
+    return np.interp(pov, values, grid)
+
+
+def predict_voicing(confidence):
+    """Viterbi-smoothed voiced/unvoiced decision from confidence.
+
+    A 2-state HMM with gaussian emissions (means 0 and 1, variance
+    0.25) and sticky transitions; returns 0/1 per frame.
+    """
+    means = np.array([0.0, 1.0])
+    variance = 0.25
+    log_obs = (
+        -0.5 * ((confidence[:, None] - means[None, :]) ** 2 / variance
+                + np.log(2 * np.pi * variance)))
+    log_start = np.log(np.array([0.5, 0.5]))
+    log_trans = np.log(np.array([[0.99, 0.01], [0.01, 0.99]]))
+    return np.asarray(viterbi(
+        jnp.asarray(log_start), jnp.asarray(log_trans),
+        jnp.asarray(log_obs)))
+
+
+class CrepePitchProcessor(FeaturesProcessor):
+    """Extracts the (POV, pitch) per frame from a speech signal
+
+    This processor uses the pre-trained CREPE model. The output will have as
+    many rows as there are frames, and two columns corresponding to (POV,
+    pitch). POV is the Probability of Voicing.
+
+    """
+
+    def __init__(self, model_capacity='tiny', viterbi=True, center=True,
+                 frame_shift=0.01, frame_length=0.025):
+        super().__init__()
+        self.model_capacity = model_capacity
+        self.viterbi = viterbi
+        self.center = center
+        self.frame_shift = frame_shift
+        self.frame_length = frame_length
+
+    @property
+    def name(self):
+        return 'crepe'
+
+    @property
+    def model_capacity(self):
+        """String specifying the model capacity to use
+
+        Must be 'tiny', 'small', 'medium', 'large' or 'full'. Only the
+        'tiny' weights ship with the package; other capacities require
+        converting the published CREPE checkpoints.
+
+        """
+        return self._model_capacity
+
+    @model_capacity.setter
+    def model_capacity(self, value):
+        if value not in crepe.CAPACITY_MULTIPLIER:
+            raise ValueError(
+                f'Model capacity {value} is not recognized.')
+        self._model_capacity = value
+
+    @property
+    def viterbi(self):
+        """Whether to apply viterbi smoothing to the estimated pitch curve"""
+        return self._viterbi
+
+    @viterbi.setter
+    def viterbi(self, value):
+        self._viterbi = bool(value)
+
+    @property
+    def center(self):
+        """Whether to center the window on the current frame.
+
+        When True, the output frame :math:`t` is centered at `audio[t *
+        hop_length]`. When False, the frame begins at `audio[t * hop_length]`.
+
+        """
+        return self._center
+
+    @center.setter
+    def center(self, value):
+        self._center = bool(value)
+
+    @property
+    def frame_shift(self):
+        """"Frame shift in seconds for running pitch estimation"""
+        return self._frame_shift
+
+    @frame_shift.setter
+    def frame_shift(self, value):
+        self._frame_shift = value
+
+    @property
+    def frame_length(self):
+        """Frame length in seconds"""
+        return self._frame_length
+
+    @frame_length.setter
+    def frame_length(self, value):
+        self._frame_length = value
+
+    @property
+    def sample_rate(self):
+        """CREPE operates at 16kHz"""
+        return 16000
+
+    @property
+    def ndims(self):
+        return 2
+
+    def times(self, nframes):
+        """Returns the time label for the rows given by :func:`process`"""
+        return np.vstack((
+            np.arange(nframes) * self.frame_shift,
+            np.arange(nframes) * self.frame_shift + self.frame_length)).T
+
+    def _get_activation(self, audio):
+        """The CNN activation matrix [nframes, 360]."""
+        params = crepe.load_params(self.model_capacity)
+        audio = audio.astype(np.float32)
+
+        if self.center:
+            audio = np.pad(audio, 512, mode='constant')
+
+        hop = int(16000 * self.frame_shift)
+        n_frames = 1 + int((len(audio) - 1024) / hop)
+        frames = np.lib.stride_tricks.as_strided(
+            audio, shape=(n_frames, 1024),
+            strides=(hop * audio.itemsize, audio.itemsize)).copy()
+
+        # per-frame normalization, as expected by the model
+        frames -= frames.mean(axis=1, keepdims=True)
+        frames /= np.maximum(frames.std(axis=1, keepdims=True), 1e-8)
+
+        return np.asarray(crepe.forward(params, jnp.asarray(frames)))
+
+    def process(self, audio):
+        """Extract (confidence, pitch) using CREPE.
+
+        The audio is transparently resampled to 16 kHz; the CNN output
+        grid is resampled onto the processor's frame grid.
+        """
+        if audio.nchannels != 1:
+            raise ValueError(
+                f'audio must have one channel but has {audio.nchannels}')
+
+        if audio.sample_rate != self.sample_rate:
+            self.log.debug('resampling audio to 16 kHz')
+            audio = audio.resample(self.sample_rate)
+
+        activation = self._get_activation(audio.data)
+        confidence = activation.max(axis=1)
+
+        if self.viterbi:
+            cents = _to_viterbi_cents(activation)
+        else:
+            cents = _to_local_average_cents(
+                activation, np.argmax(activation, axis=1))
+
+        frequency = 10 * 2 ** (cents / 1200)
+        frequency[np.isnan(frequency)] = 0
+
+        # resample onto the target frame grid
+        hop = np.round(self.sample_rate * self.frame_shift).astype(int)
+        nframes = 1 + int(
+            (audio.shape[0] - self.frame_length * self.sample_rate)
+            / hop)
+        with warnings.catch_warnings():
+            warnings.simplefilter('ignore')
+            data = scipy.signal.resample(
+                np.array([confidence, frequency]).T, nframes)
+
+        # clamp the interpolated confidences into [0, 1]
+        data[data[:, 0] < 1e-2, 0] = 0
+        data[data[:, 0] > 1, 0] = 1
+
+        return Features(
+            data, self.times(data.shape[0]),
+            properties=self.get_properties())
+
+
+class CrepePitchPostProcessor(KaldiPitchPostProcessor):
+    """Processes the raw (POV, pitch) computed by the CrepePitchProcessor
+
+    Turns the raw pitch quantities into usable features. Converts the POV into
+    NCCF usable by the Kaldi-style post-processing, then removes the pitch at
+    frames judged unvoiced (2-state HMM on the confidence) and replaces them
+    with interpolated values, finally runs the standard pitch
+    post-processing.
+
+    """
+
+    def __init__(self, pitch_scale=2.0, delta_pitch_scale=10.0,
+                 delta_pitch_noise_stddev=0.005,
+                 normalization_left_context=75,
+                 normalization_right_context=75,
+                 delta_window=2, delay=0,
+                 add_pov_feature=True, add_normalized_log_pitch=True,
+                 add_delta_pitch=True, add_raw_log_pitch=False):
+        super().__init__(
+            pitch_scale=pitch_scale,
+            delta_pitch_scale=delta_pitch_scale,
+            delta_pitch_noise_stddev=delta_pitch_noise_stddev,
+            normalization_left_context=normalization_left_context,
+            normalization_right_context=normalization_right_context,
+            delta_window=delta_window,
+            delay=delay,
+            add_pov_feature=add_pov_feature,
+            add_normalized_log_pitch=add_normalized_log_pitch,
+            add_delta_pitch=add_delta_pitch,
+            add_raw_log_pitch=add_raw_log_pitch)
+
+    @property
+    def name(self):
+        return 'crepe postprocessing'
+
+    def get_properties(self, features):
+        properties = copy.deepcopy(features.properties)
+        properties['crepe'][self.name] = self.get_params()
+        properties['pipeline'][0]['columns'] = [0, self.ndims - 1]
+        return properties
+
+    def process(self, crepe_pitch):
+        """Post-process raw (POV, pitch) from CREPE.
+
+        Unvoiced frames get interpolated pitch values; the POV column
+        is inverted into an NCCF before the Kaldi-style
+        post-processing runs.
+        """
+        if not (self.add_pov_feature or self.add_normalized_log_pitch
+                or self.add_delta_pitch or self.add_raw_log_pitch):
+            raise ValueError(
+                'at least one of the following options must be True: '
+                'add_pov_feature, add_normalized_log_pitch, '
+                'add_delta_pitch, add_raw_log_pitch')
+
+        if crepe_pitch.shape[1] != 2:
+            raise ValueError(
+                'data shape must be (_, 2), but it is (_, {})'
+                .format(crepe_pitch.shape[1]))
+
+        # interpolate pitch through unvoiced gaps
+        to_remove = predict_voicing(crepe_pitch.data[:, 0]) == 0
+        if np.all(to_remove):
+            raise ValueError('No voiced frames')
+
+        data = crepe_pitch.data[:, 1].copy()
+        keep = np.where(~to_remove)[0]
+        first, last = keep[0], keep[-1]
+        first_value, last_value = data[first], data[last]
+        data[to_remove] = np.interp(
+            np.where(to_remove)[0], keep, data[keep])
+        data[:first] = first_value
+        data[last:] = last_value
+
+        if not np.all(data > 0):
+            raise ValueError(
+                'Not all pitch values are positive: issue with '
+                'extracted pitch or interpolation')
+
+        nccf = _pov_to_nccf(np.clip(crepe_pitch.data[:, 0], 0, 1))
+
+        return super().process(
+            Features(np.vstack((nccf, data)).T,
+                     crepe_pitch.times,
+                     crepe_pitch.properties))

@@ -1,0 +1,115 @@
+"""Tests for the CREPE pitch processor and post-processor"""
+
+import numpy as np
+import pytest
+
+from shennong_tpu.processor.pitch_crepe import (
+    CrepePitchProcessor, CrepePitchPostProcessor,
+    _nccf_to_pov, _pov_to_nccf, predict_voicing)
+
+
+@pytest.fixture(scope='module')
+def crepe_pitch(audio):
+    return CrepePitchProcessor(model_capacity='tiny').process(audio)
+
+
+def test_params():
+    proc = CrepePitchProcessor()
+    params = proc.get_params()
+    assert len(params) == 5
+    assert params['model_capacity'] == 'tiny'
+    assert params['viterbi'] is True
+    assert proc.sample_rate == 16000
+    with pytest.raises(ValueError, match='not recognized'):
+        CrepePitchProcessor(model_capacity='huge')
+
+
+def test_shape_anchor(crepe_pitch):
+    assert crepe_pitch.shape == (140, 2)
+    assert np.all(crepe_pitch.data[:, 0] >= 0)
+    assert np.all(crepe_pitch.data[:, 0] <= 1)
+    assert np.all(crepe_pitch.data[:, 1] >= 0)
+
+
+def test_tracks_f0(crepe_pitch):
+    """CREPE tiny must roughly follow the synthetic F0 on confident
+    frames."""
+    times = crepe_pitch.times.mean(axis=1)
+    expected = 120 + 30 * np.sin(2 * np.pi * 0.7 * times)
+    confident = crepe_pitch.data[:, 0] > 0.5
+    assert confident.sum() > 20
+    err = np.abs(crepe_pitch.data[confident, 1] - expected[confident])
+    # tiny model on synthetic audio: octave errors possible, check the
+    # median only
+    assert np.median(err) < 20.0
+
+
+def test_no_viterbi(audio, crepe_pitch):
+    out = CrepePitchProcessor(
+        model_capacity='tiny', viterbi=False).process(audio)
+    assert out.shape == crepe_pitch.shape
+    assert not np.array_equal(out.data, crepe_pitch.data)
+
+
+def test_no_center(audio, crepe_pitch):
+    out = CrepePitchProcessor(
+        model_capacity='tiny', center=False).process(audio)
+    assert out.shape == crepe_pitch.shape
+
+
+def test_stereo_rejected(data_path):
+    from shennong_tpu.audio import Audio
+    stereo = Audio.load(str(data_path / 'test.stereo.wav'))
+    with pytest.raises(ValueError, match='one channel'):
+        CrepePitchProcessor().process(stereo)
+
+
+def test_resamples_8k(audio_8k):
+    out = CrepePitchProcessor(model_capacity='tiny').process(audio_8k)
+    assert out.ndims == 2
+    assert out.nframes > 0
+
+
+def test_pov_nccf_inversion():
+    nccf = np.linspace(0, 1, 100)
+    pov = _nccf_to_pov(nccf)
+    back = _pov_to_nccf(pov)
+    assert np.max(np.abs(back - nccf)) < 1e-3
+
+
+def test_predict_voicing():
+    confidence = np.concatenate(
+        [np.full(20, 0.9), np.full(20, 0.05), np.full(20, 0.95)])
+    voicing = predict_voicing(confidence)
+    assert np.array_equal(voicing[:20], np.ones(20))
+    assert np.array_equal(voicing[20:40], np.zeros(20))
+    assert np.array_equal(voicing[40:], np.ones(20))
+
+
+def test_post(crepe_pitch):
+    post = CrepePitchPostProcessor()
+    out = post.process(crepe_pitch)
+    assert out.shape == (crepe_pitch.nframes, 3)
+    assert out.properties['crepe']['crepe postprocessing']
+
+    post.add_raw_log_pitch = True
+    assert post.process(crepe_pitch).shape == (crepe_pitch.nframes, 4)
+
+
+def test_post_validation(crepe_pitch, mfcc):
+    post = CrepePitchPostProcessor(
+        add_pov_feature=False, add_normalized_log_pitch=False,
+        add_delta_pitch=False, add_raw_log_pitch=False)
+    with pytest.raises(ValueError, match='at least one'):
+        post.process(crepe_pitch)
+    with pytest.raises(ValueError, match='shape must be'):
+        CrepePitchPostProcessor().process(mfcc)
+
+
+def test_post_all_unvoiced(crepe_pitch):
+    from shennong_tpu import Features
+    silent = Features(
+        np.zeros_like(crepe_pitch.data), crepe_pitch.times,
+        properties=crepe_pitch.properties)
+    with pytest.raises(ValueError, match='No voiced frames'):
+        CrepePitchPostProcessor().process(silent)
