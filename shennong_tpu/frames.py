@@ -88,8 +88,8 @@ class Frames(BaseProcessor):
     def _options(self):
         return FrameOptions(
             sample_rate=float(self.sample_rate),
-            frame_shift_ms=self.frame_shift * 1000.0,
-            frame_length_ms=self.frame_length * 1000.0,
+            frame_shift_ms=float(np.float32(self.frame_shift * 1000.0)),
+            frame_length_ms=float(np.float32(self.frame_length * 1000.0)),
             snip_edges=self.snip_edges)
 
     def nframes(self, nsamples):

@@ -1,0 +1,168 @@
+"""Batched diagonal-covariance GMM operations.
+
+Replaces the ``kaldi.gmm`` C++ used by the reference UBM trainer
+(``shennong/processor/ubm.py``: multithreaded EM accumulation,
+gaussian selection, posteriors) with dense XLA linear algebra: GMM
+log-likelihoods are one matmul pair on the MXU, EM statistics are
+masked einsum reductions, gaussian selection is ``lax.top_k``. All
+quantities stay associative so multi-device training reduces to psum
+over per-shard statistics.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def gconsts(weights, means, inv_vars):
+    """Per-component log-normalizers of a diagonal GMM.
+
+    gconst_g = log w_g - 0.5 (D log 2pi + sum_d (log var_gd +
+    mean_gd^2 / var_gd)).
+    """
+    dim = means.shape[1]
+    return (
+        jnp.log(weights)
+        - 0.5 * (dim * math.log(2 * math.pi)
+                 - jnp.sum(jnp.log(inv_vars), axis=1)
+                 + jnp.sum(means * means * inv_vars, axis=1)))
+
+
+@jax.jit
+def log_likelihoods(feats, weights, means, inv_vars):
+    """Per-frame, per-component log-likelihoods: [N, D] -> [N, G]."""
+    consts = gconsts(weights, means, inv_vars)
+    linear = jnp.einsum(
+        'nd,gd->ng', feats, means * inv_vars,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    quadratic = jnp.einsum(
+        'nd,gd->ng', feats * feats, inv_vars,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    return consts[None, :] + linear - 0.5 * quadratic
+
+
+@functools.partial(jax.jit, static_argnames=('num_gselect',))
+def gaussian_selection(feats, weights, means, inv_vars, num_gselect):
+    """Top-k component indices per frame, best first.
+
+    Returns (total_loglike, indices [N, k]): the summed full-GMM
+    log-likelihood and the selected component indices.
+    """
+    loglikes = log_likelihoods(feats, weights, means, inv_vars)
+    tot = jnp.sum(jax.scipy.special.logsumexp(loglikes, axis=1))
+    _, indices = jax.lax.top_k(loglikes, num_gselect)
+    return tot, indices.astype(jnp.int32)
+
+
+@jax.jit
+def posteriors_preselect(feats, indices, weights, means, inv_vars):
+    """Posteriors restricted to preselected components.
+
+    Returns (loglike_per_frame [N], posteriors [N, k]) where the
+    posteriors are softmax-normalized over the selected components
+    only (Kaldi gmm-global-gselect-to-post).
+    """
+    consts = gconsts(weights, means, inv_vars)
+    sel_means = means[indices]           # [N, k, D]
+    sel_inv = inv_vars[indices]
+    sel_consts = consts[indices]
+    linear = jnp.einsum(
+        'nd,nkd->nk', feats, sel_means * sel_inv,
+        precision=jax.lax.Precision.HIGHEST)
+    quadratic = jnp.einsum(
+        'nd,nkd->nk', feats * feats, sel_inv,
+        precision=jax.lax.Precision.HIGHEST)
+    loglikes = sel_consts + linear - 0.5 * quadratic
+    norm = jax.scipy.special.logsumexp(loglikes, axis=1)
+    return norm, jnp.exp(loglikes - norm[:, None])
+
+
+@jax.jit
+def accumulate_stats(feats, frame_weights, weights, means, inv_vars):
+    """EM statistics of a feature matrix under the current model.
+
+    Returns (tot_like, occupancy [G], mean_acc [G, D], var_acc [G, D])
+    with per-frame ``frame_weights`` applied (Kaldi
+    AccumDiagGmm::AccumulateFromDiag).
+    """
+    loglikes = log_likelihoods(feats, weights, means, inv_vars)
+    norm = jax.scipy.special.logsumexp(loglikes, axis=1)
+    gamma = jnp.exp(loglikes - norm[:, None]) * frame_weights[:, None]
+
+    occupancy = jnp.sum(gamma, axis=0)
+    mean_acc = jnp.einsum(
+        'ng,nd->gd', gamma, feats,
+        precision=jax.lax.Precision.HIGHEST)
+    var_acc = jnp.einsum(
+        'ng,nd->gd', gamma, feats * feats,
+        precision=jax.lax.Precision.HIGHEST)
+    tot_like = jnp.sum(norm * frame_weights)
+    return tot_like, occupancy, mean_acc, var_acc
+
+
+def mle_update(occupancy, mean_acc, var_acc, weights, means, inv_vars,
+               min_gaussian_weight=1e-4, min_gaussian_occupancy=10.0,
+               min_variance=0.001, remove_low_count_gaussians=False):
+    """Maximum-likelihood update from accumulated statistics (numpy).
+
+    Components whose occupancy falls under the floors keep their old
+    parameters (or are dropped when ``remove_low_count_gaussians``).
+    Matches Kaldi MleDiagGmmUpdate semantics.
+    """
+    occupancy = np.asarray(occupancy, dtype=np.float64)
+    mean_acc = np.asarray(mean_acc, dtype=np.float64)
+    var_acc = np.asarray(var_acc, dtype=np.float64)
+    weights = np.asarray(weights, dtype=np.float64)
+    means = np.asarray(means, dtype=np.float64)
+    inv_vars = np.asarray(inv_vars, dtype=np.float64)
+
+    total = occupancy.sum()
+    updatable = (
+        (occupancy > min_gaussian_occupancy)
+        & (occupancy / max(total, 1e-10) > min_gaussian_weight))
+
+    new_weights = np.where(updatable, occupancy / total, weights)
+    safe_occ = np.maximum(occupancy, 1e-10)[:, None]
+    new_means = np.where(
+        updatable[:, None], mean_acc / safe_occ, means)
+    variances = var_acc / safe_occ - new_means ** 2
+    variances = np.maximum(variances, min_variance)
+    new_inv = np.where(updatable[:, None], 1.0 / variances, inv_vars)
+
+    if remove_low_count_gaussians and not updatable.all():
+        keep = updatable
+        new_weights = new_weights[keep]
+        new_means = new_means[keep]
+        new_inv = new_inv[keep]
+    new_weights = new_weights / new_weights.sum()
+
+    return new_weights, new_means, new_inv
+
+
+def split_gmm(weights, means, inv_vars, target, perturb_factor, rng):
+    """Split the heaviest components until reaching ``target``.
+
+    Kaldi DiagGmm::Split: each split halves the weight and perturbs
+    the two means by +-perturb_factor * std * N(0, 1).
+    """
+    weights = list(np.asarray(weights, dtype=np.float64))
+    means = list(np.asarray(means, dtype=np.float64))
+    inv_vars = list(np.asarray(inv_vars, dtype=np.float64))
+
+    while len(weights) < target:
+        heaviest = int(np.argmax(weights))
+        weights[heaviest] /= 2.0
+        weights.append(weights[heaviest])
+        std = 1.0 / np.sqrt(inv_vars[heaviest])
+        noise = rng.randn(means[heaviest].shape[0]) * std * perturb_factor
+        means.append(means[heaviest] + noise)
+        means[heaviest] = means[heaviest] - noise
+        inv_vars.append(inv_vars[heaviest].copy())
+
+    return (np.asarray(weights), np.asarray(means),
+            np.asarray(inv_vars))

@@ -1,0 +1,465 @@
+"""High-level features extraction pipeline (YAML config driven).
+
+API-compatible with ``shennong/pipeline.py``: build a default
+configuration with :func:`get_default_config` (optionally as a
+commented YAML string), run it with :func:`extract_features`.
+
+Execution model difference versus the reference: where the reference
+fans per-utterance jobs out to joblib threads (the Kaldi C++ releases
+the GIL), here each utterance runs through jitted batched XLA
+computations on the accelerator; the two CMVN passes of the reference
+become two sequential device phases with the (associative) CMVN
+statistics reduced between them.
+"""
+
+import os
+import textwrap
+
+import numpy as np
+import yaml
+
+from shennong_tpu import FeaturesCollection
+from shennong_tpu.logger import get_logger
+from shennong_tpu.utils import get_njobs
+from shennong_tpu.pipeline_manager import PipelineManager
+
+
+def valid_features():
+    """The features extractable by the pipeline (no post-processing)"""
+    return PipelineManager.valid_features
+
+
+def get_default_config(
+        features,
+        to_yaml=False,
+        yaml_commented=True,
+        with_pitch=False,
+        with_cmvn=False,
+        with_delta=False,
+        with_vtln=False):
+    """Build a default pipeline configuration.
+
+    Parameters
+    ----------
+    features : str
+        One of :func:`valid_features`.
+    to_yaml : bool, optional
+        When True return a YAML string instead of a dict.
+    yaml_commented : bool, optional
+        When True (and ``to_yaml``) document every parameter with its
+        docstring as a YAML comment.
+    with_pitch : False, 'kaldi' or 'crepe', optional
+        Include pitch extraction.
+    with_cmvn : bool, optional
+        Include CMVN normalization (by speaker, with VAD).
+    with_delta : bool, optional
+        Include delta features.
+    with_vtln : False, 'simple' or 'full', optional
+        Include VTLN warping ('simple' hides the inner features
+        configuration). Incompatible with spectrogram and bottleneck.
+
+    Returns
+    -------
+    config : dict or str
+    """
+    if features not in valid_features():
+        raise ValueError('invalid features "{}", must be in {}'.format(
+            features, ', '.join(valid_features())))
+
+    if with_pitch not in (False, 'kaldi', 'crepe'):
+        raise ValueError(
+            f'with_pitch argument must be False, "kaldi" or "crepe" '
+            f'but is "{with_pitch}"')
+
+    if with_vtln not in (False, 'simple', 'full'):
+        raise ValueError(
+            f'with_vtln argument must be False, "simple" or "full" '
+            f'but is "{with_vtln}"')
+
+    if with_vtln and features in ('spectrogram', 'bottleneck'):
+        raise ValueError(
+            f'VTLN is not compatible with {features} features')
+
+    config = {}
+
+    # sample_rate is determined by the input audio, htk_compat is not
+    # exposed through the pipeline
+    config[features] = {
+        k: v for k, v in
+        PipelineManager.get_processor_params(features).items()
+        if k not in ('sample_rate', 'htk_compat')}
+
+    if with_pitch:
+        config['pitch'] = {'processor': with_pitch}
+        for key, value in PipelineManager.get_processor_params(
+                f'{with_pitch}_pitch').items():
+            if key not in ('frame_length', 'frame_shift', 'sample_rate'):
+                config['pitch'][key] = value
+        config['pitch']['postprocessing'] = (
+            PipelineManager.get_processor_params(f'{with_pitch}_pitch_post'))
+
+    if with_cmvn:
+        config['cmvn'] = {'by_speaker': True, 'with_vad': True}
+        config['cmvn']['vad'] = PipelineManager.get_processor_params('vad')
+
+    if with_delta:
+        config['delta'] = PipelineManager.get_processor_params('delta')
+
+    if with_vtln:
+        config['vtln'] = PipelineManager.get_processor_params('vtln')
+        if with_vtln == 'simple':
+            config['vtln']['features'] = 'default'
+            config['vtln']['ubm']['features'] = 'default'
+
+    if to_yaml:
+        return _config_to_yaml(config, comments=yaml_commented)
+    return config
+
+
+def extract_features(
+        configuration,
+        utterances,
+        warps=None,
+        njobs=1,
+        log=get_logger('pipeline', 'warning')):
+    """Run a features extraction pipeline over ``utterances``.
+
+    Parameters
+    ----------
+    configuration : dict or str
+        Pipeline configuration (dict, YAML string or YAML file path),
+        see :func:`get_default_config`.
+    utterances : :class:`~shennong_tpu.utterances.Utterances`
+        The utterances to process.
+    warps : dict, optional
+        Precomputed VTLN warps indexed by speaker or utterance
+        (exclusive with a 'vtln' config section).
+    njobs : int, optional
+        Host-side parallelism for audio IO (device execution does not
+        depend on it).
+    log : logging.Logger, optional
+
+    Returns
+    -------
+    features : :class:`~shennong_tpu.features_collection.FeaturesCollection`
+    """
+    njobs = get_njobs(njobs, log=log)
+    config = init_config(configuration, log=log)
+
+    log.info(
+        'detected format for utterances index is: %s',
+        utterances.format(type=str))
+
+    if warps:
+        warps = _init_warps(warps, config, utterances, log)
+
+    return _extract_features(config, utterances, warps, njobs=njobs, log=log)
+
+
+def extract_features_warp(configuration, utterances, warp, log, njobs=1):
+    """Extract features with a single global VTLN warp.
+
+    Used internally by VTLN training to build the per-warp feature
+    sets.
+    """
+    njobs = get_njobs(njobs, log=log)
+    config = init_config(configuration, log=log)
+    manager = PipelineManager(config, utterances, log=log)
+
+    features = FeaturesCollection()
+    for utterance in utterances:
+        name, feats = _process_one(
+            utterance, manager, log, warp=warp, with_pitch=False)
+        features[name] = feats
+    return features
+
+
+def init_config(config, log=get_logger('pipeline', 'warning')):
+    """Validate and normalize a pipeline configuration.
+
+    Accepts a dict, a YAML string or a YAML file path; fills the
+    defaulted cmvn/pitch sub-sections and checks overall consistency.
+    """
+    try:
+        if os.path.isfile(config):
+            log.debug('loading configuration from %s', config)
+            with open(config, 'r') as fp:
+                config = fp.read()
+    except TypeError:
+        pass
+
+    if isinstance(config, str):
+        try:
+            config = yaml.load(config, Loader=yaml.FullLoader)
+        except yaml.YAMLError as err:
+            raise ValueError(f'error in configuration: {err}') from None
+
+    unknown_keys = [
+        k for k in config.keys()
+        if k not in list(PipelineManager.valid_processors) + ['pitch']]
+    if unknown_keys:
+        raise ValueError(
+            'invalid keys in configuration: {}'.format(
+                ', '.join(unknown_keys)))
+
+    features = [k for k in config.keys() if k in valid_features()]
+    if not features:
+        raise ValueError(
+            'the configuration does not define any features extraction '
+            '(must have one and only one entry of {})'
+            .format(', '.join(valid_features())))
+    if len(features) > 1:
+        raise ValueError(
+            'more than one features extraction processors are defined, '
+            '(must have one and only one entry of {}): {}'
+            .format(', '.join(valid_features()), ', '.join(features)))
+
+    if 'vtln' in config and features[0] in ('spectrogram', 'bottleneck'):
+        raise ValueError(f'{features[0]} features do not support VTLN')
+
+    if 'cmvn' in config:
+        if 'by_speaker' not in config['cmvn']:
+            log.warning(
+                'by_speaker option not specified for cmvn, '
+                'assuming it is false and doing cmvn by utterance')
+            config['cmvn']['by_speaker'] = False
+        if 'with_vad' not in config['cmvn']:
+            config['cmvn']['with_vad'] = True
+
+    if 'pitch' in config and 'postprocessing' not in config['pitch']:
+        config['pitch']['postprocessing'] = {}
+
+    steps = []
+    if 'pitch' in config:
+        steps.append(f'{config["pitch"]["processor"]} pitch')
+    if 'delta' in config:
+        steps.append('delta')
+    if 'cmvn' in config:
+        steps.append('cmvn by {}{}'.format(
+            'speaker' if config['cmvn']['by_speaker'] else 'utterance',
+            ' with vad' if config['cmvn']['with_vad'] else ''))
+    if 'vtln' in config:
+        steps.append('vtln by {}'.format(
+            'speaker' if config['vtln']['by_speaker'] else 'utterance'))
+    log.info(
+        'pipeline configured for %s features extraction%s',
+        features[0], ' with {}'.format(', '.join(steps)) if steps else '')
+
+    return config
+
+
+def _init_warps(warps, config, utterances, log):
+    features = [k for k in config.keys() if k in valid_features()][0]
+    if features in ('spectrogram', 'bottleneck'):
+        raise ValueError(f'{features} features do not support VTLN')
+
+    if 'vtln' in config:
+        raise ValueError(
+            'warps are given but "vtln" processor already defined '
+            'in the configuration')
+
+    if warps.keys() == utterances.by_name().keys():
+        log.info('VTLN warps are defined by utterance')
+    elif (utterances.has_speakers()
+          and warps.keys() == utterances.by_speaker().keys()):
+        log.info('VTLN warps are defined by speaker')
+        warps = {utt.name: warps[utt.speaker] for utt in utterances}
+    else:
+        raise ValueError(
+            'warps do not match utterances, either by speaker or by '
+            'utterance')
+
+    return {name: float(warp) for name, warp in warps.items()}
+
+
+def _extract_features(config, utterances, warps, log, njobs=1):
+    manager = PipelineManager(config, utterances, log=log)
+
+    # vtln: compute warps or install precomputed ones
+    if warps:
+        manager.warps = warps
+    elif 'vtln' in config:
+        manager.warps = manager.get_vtln_processor(
+            'vtln').process(utterances, njobs=njobs)
+
+    if 'cmvn' in config:
+        # pass 1: features + pitch extraction, CMVN stats accumulation
+        pass_one = [
+            _extract_pass_one(utterance, manager, log=log)
+            for utterance in utterances]
+        # pass 2: CMVN application, deltas, pitch concatenation
+        features = FeaturesCollection(dict(
+            _extract_pass_two(utterance, manager, feats, pitch, log=log)
+            for utterance, feats, pitch in pass_one))
+    else:
+        features = FeaturesCollection(dict(
+            _extract_single_pass(utterance, manager, log=log)
+            for utterance in utterances))
+
+    return features
+
+
+def _extract_pass_one(utterance, manager, log):
+    log.debug('%s: load audio', utterance.audio_file)
+    audio = manager.get_audio(utterance)
+
+    log.debug('%s: extract %s', utterance.name, manager.features)
+    if manager.warps:
+        features = manager.get_features_processor(utterance).process(
+            audio, vtln_warp=manager.get_warp(utterance))
+    else:
+        features = manager.get_features_processor(utterance).process(audio)
+
+    if 'cmvn' in manager.config:
+        log.debug('%s: accumulate cmvn', utterance.name)
+        if manager.config['cmvn']['with_vad']:
+            energy = manager.get_energy_processor(utterance).process(audio)
+            vad = manager.get_vad_processor(utterance).process(energy)
+            vad = vad.data.reshape((vad.shape[0],))
+        else:
+            vad = None
+        manager.get_cmvn_processor(utterance).accumulate(
+            features, weights=vad)
+
+    if 'pitch' in manager.config:
+        log.debug(
+            '%s: extract %s pitch', utterance.name,
+            manager.config['pitch']['processor'])
+        pitch = manager.get_pitch_processor(utterance).process(audio)
+        pitch = manager.get_pitch_post_processor(utterance).process(pitch)
+    else:
+        pitch = None
+
+    if utterance.speaker:
+        features.properties['speaker'] = utterance.speaker
+    features.properties['audio'] = {
+        'file': os.path.abspath(utterance.audio_file),
+        'sample_rate': manager.audio_metadata[
+            utterance.audio_file].sample_rate}
+    if utterance.tstart is not None:
+        features.properties['audio']['tstart'] = utterance.tstart
+        features.properties['audio']['tstop'] = utterance.tstop
+    features.properties['audio']['duration'] = utterance.duration
+
+    return utterance, features, pitch
+
+
+def _extract_pass_two(utterance, manager, features, pitch, log,
+                      tolerance=2):
+    if 'cmvn' in manager.config:
+        log.debug('%s: apply cmvn', utterance.name)
+        features = manager.get_cmvn_processor(utterance).process(features)
+
+    if 'delta' in manager.config:
+        log.debug('%s: apply delta', utterance.name)
+        features = manager.get_delta_processor(utterance).process(features)
+
+    if pitch:
+        log.debug('%s: concatenate pitch', utterance.name)
+        features = features.concatenate(pitch, tolerance=tolerance, log=log)
+
+    return utterance.name, features
+
+
+def _extract_single_pass(utterance, manager, log):
+    _, features, pitch = _extract_pass_one(utterance, manager, log=log)
+    return _extract_pass_two(utterance, manager, features, pitch, log=log)
+
+
+def _process_one(utterance, manager, log, warp=None, with_pitch=True):
+    """Single utterance with an explicit warp, no cmvn (VTLN training)."""
+    log.debug('%s: load audio', utterance.name)
+    audio = manager.get_audio(utterance)
+
+    log.debug('%s: extract %s', utterance.name, manager.features)
+    features = manager.get_features_processor(utterance).process(
+        audio, vtln_warp=warp)
+
+    if 'delta' in manager.config:
+        log.debug('%s: apply delta', utterance.name)
+        features = manager.get_delta_processor(utterance).process(features)
+
+    return utterance.name, features
+
+
+def _config_to_yaml(config, comments=True):
+    """Serialize a configuration dict to YAML, with the parameters
+    docstrings as comments when requested."""
+    # keep the dict insertion order in the YAML output
+    yaml.add_representer(
+        dict, lambda self, data:
+        yaml.representer.SafeRepresenter.represent_dict(self, data.items()))
+    # numpy scalars must be converted to Python types before dumping
+    # (their numpy-2 repr is not YAML-parsable)
+    for np_type in (np.float32, np.float64):
+        yaml.add_representer(
+            np_type, lambda dumper, d: dumper.represent_float(float(d)))
+    for np_type in (np.int32, np.int64):
+        yaml.add_representer(
+            np_type, lambda dumper, d: dumper.represent_int(int(d)))
+    yaml.add_representer(
+        np.bool_, lambda dumper, d: dumper.represent_bool(bool(d)))
+
+    try:
+        pitch_processor = config['pitch']['processor']
+    except KeyError:
+        pitch_processor = None
+
+    config = yaml.dump(config).strip()
+    if not comments:
+        return config + '\n'
+
+    commented = []
+    processors = []
+    prev_offset = 0
+    for line in config.split('\n'):
+        key = line.split(': ')[0]
+        offset = len(key) - len(key.strip())
+        for _ in range((prev_offset - offset) // 2):
+            processors.pop()
+        if line.endswith(':'):
+            processor = line[:-1].strip()
+            if processor == 'postprocessing':
+                processor = f'{processors[-1]}_post'
+            processors.append(processor)
+            if processor == 'vad' and offset != 4:
+                commented.append(
+                    "  # The vad options are not used if 'with_vad' "
+                    "is false")
+            commented.append(line)
+        else:
+            param = line.split(': ')[0].strip()
+            default = line.split(': ')[1].strip()
+            processor = processors[-1]
+
+            if processor == 'cmvn' and param == 'by_speaker':
+                docstring = (
+                    'If false, do normalization by utterance, '
+                    'if true do normalization by speaker.')
+            elif processor == 'cmvn' and param == 'with_vad':
+                docstring = (
+                    'If true do normalization only on frames where '
+                    'voice activity has been detected, if false do not '
+                    'consider voice activity for normalization.')
+            elif param == 'features' and default == 'default':
+                docstring = (
+                    'Features extraction configuration. Default is to use '
+                    'MFCCs with default parameters. Regenerate this '
+                    'configuration file with "speech-features config" using '
+                    'the "--vtln-full" option to expose all the parameters.')
+            elif processor == 'pitch' and param == 'processor':
+                docstring = f'Computing pitch using {pitch_processor}'
+            elif 'pitch' in processor and param != 'processor':
+                docstring = PipelineManager.get_docstring(
+                    pitch_processor + '_' + processor, param, default)
+            else:
+                docstring = PipelineManager.get_docstring(
+                    processor, param, default)
+
+            commented += [
+                ' ' * offset + '# ' + wrapped
+                for wrapped in textwrap.wrap(docstring, width=68 - offset)]
+            commented.append(line)
+        prev_offset = offset
+
+    return '\n'.join(commented) + '\n'

@@ -246,10 +246,13 @@ class FramesProcessor(FeaturesProcessor, metaclass=abc.ABCMeta):
 
     def frame_options(self):
         """The current framing parameters as a static FrameOptions"""
+        # snap the ms values to float32 like Kaldi's option structs:
+        # a float32 seconds value times 1000 lands back on the exact
+        # millisecond count (e.g. float32(0.01) * 1000 -> 10.0f)
         return FrameOptions(
             sample_rate=self._sample_rate,
-            frame_shift_ms=self._frame_shift * 1000.0,
-            frame_length_ms=self._frame_length * 1000.0,
+            frame_shift_ms=float(np.float32(self._frame_shift * 1000.0)),
+            frame_length_ms=float(np.float32(self._frame_length * 1000.0)),
             dither=self._dither,
             preemph_coeff=self._preemph_coeff,
             remove_dc_offset=self._remove_dc_offset,

@@ -199,8 +199,8 @@ class KaldiPitchProcessor(FeaturesProcessor):
         """All parameters bundled as a static PitchOpts"""
         return PitchOpts(
             sample_rate=self._sample_rate,
-            frame_shift_ms=self._frame_shift * 1000.0,
-            frame_length_ms=self._frame_length * 1000.0,
+            frame_shift_ms=float(np.float32(self._frame_shift * 1000.0)),
+            frame_length_ms=float(np.float32(self._frame_length * 1000.0)),
             min_f0=self._min_f0, max_f0=self._max_f0,
             soft_min_f0=self._soft_min_f0,
             penalty_factor=self._penalty_factor,

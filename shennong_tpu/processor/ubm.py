@@ -1,0 +1,562 @@
+"""Universal Background Model: diagonal-covariance GMM trainer.
+
+API-compatible with ``shennong/processor/ubm.py`` (the port of Kaldi's
+gmm-global-* tools), with every per-frame C++ loop replaced by the
+batched linear algebra of :mod:`shennong_tpu.ops.gmm`: EM accumulation
+is two matmuls per utterance, gaussian selection is a top-k, and all
+statistics are associative reductions (multi-device training shards
+utterances and psums the stats).
+
+Representation difference versus the reference: the model is a plain
+``DiagGmm`` dataclass of numpy arrays (weights, means, inv_vars)
+rather than a pykaldi object; save/load uses npz instead of the Kaldi
+binary format. Gaussian selection and posteriors are stored as dense
+``[nframes, num_gselect]`` index/value arrays per utterance instead of
+nested Python lists.
+"""
+
+import copy
+import os
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from shennong_tpu import pipeline, FeaturesCollection
+from shennong_tpu.base import BaseProcessor
+from shennong_tpu.logger import null_logger
+from shennong_tpu.ops import gmm as gmm_ops
+from shennong_tpu.postprocessor.cmvn import SlidingWindowCmvnPostProcessor
+from shennong_tpu.postprocessor.vad import VadPostProcessor
+
+
+class DiagGmm:
+    """A diagonal-covariance GMM: weights [G], means [G, D],
+    inv_vars [G, D]."""
+
+    def __init__(self, weights, means, inv_vars):
+        self.weights = np.asarray(weights, dtype=np.float64)
+        self.means = np.asarray(means, dtype=np.float64)
+        self.inv_vars = np.asarray(inv_vars, dtype=np.float64)
+
+    def num_gauss(self):
+        return self.weights.shape[0]
+
+    def dim(self):
+        return self.means.shape[1]
+
+    def get_means(self):
+        return self.means
+
+    def as_jax(self):
+        return (jnp.asarray(self.weights, dtype=jnp.float32),
+                jnp.asarray(self.means, dtype=jnp.float32),
+                jnp.asarray(self.inv_vars, dtype=jnp.float32))
+
+
+class DiagUbmProcessor(BaseProcessor):
+    """Universal Background Model with Diagonal GMM"""
+
+    def __init__(self, num_gauss,
+                 num_iters=4, num_gselect=15, initial_gauss_proportion=0.5,
+                 num_iters_init=20, num_frames=500000,
+                 subsample=5, min_gaussian_weight=1e-4,
+                 remove_low_count_gaussians=False, seed=0,
+                 features=None, vad=None):
+        super().__init__()
+
+        self.num_gauss = num_gauss
+        self.num_iters = num_iters
+        self.num_iters_init = num_iters_init
+        self.num_gselect = num_gselect
+        self.initial_gauss_proportion = initial_gauss_proportion
+        self.num_frames = num_frames
+        self.subsample = subsample
+        self.min_gaussian_weight = min_gaussian_weight
+        self.remove_low_count_gaussians = remove_low_count_gaussians
+        self.seed = seed
+
+        if vad is None:
+            config = VadPostProcessor().get_params()
+            config['energy_threshold'] = 5.5
+            self.vad = config
+        else:
+            self.vad = vad
+
+        if features in (None, 'default'):
+            config = pipeline.get_default_config('mfcc', with_delta=True)
+            config['sliding_window_cmvn'] = (
+                SlidingWindowCmvnPostProcessor().get_params())
+            config['sliding_window_cmvn']['cmn_window'] = 300
+            config['delta']['window'] = 3
+            self.features = config
+        else:
+            self.features = features
+
+        self.gmm = None
+        self.selection = None
+
+    @property
+    def name(self):
+        """Processor name"""
+        return 'ubm'
+
+    @property
+    def num_gauss(self):
+        """Number of Gaussians in the model"""
+        return self._num_gauss
+
+    @num_gauss.setter
+    def num_gauss(self, value):
+        if int(value) < 2:
+            raise ValueError(
+                'Number of gaussians must be at least 2, not {}'
+                .format(value))
+        self._num_gauss = int(value)
+
+    @property
+    def num_iters(self):
+        """Number of iterations of training."""
+        return self._num_iters
+
+    @num_iters.setter
+    def num_iters(self, value):
+        self._num_iters = int(value)
+
+    @property
+    def num_iters_init(self):
+        """ Number of E-M iterations for model initialization."""
+        return self._num_iters_init
+
+    @num_iters_init.setter
+    def num_iters_init(self, value):
+        self._num_iters_init = int(value)
+
+    @property
+    def num_gselect(self):
+        """Number of Gaussians per frame to limit computation to, for speed."""
+        return self._num_gselect
+
+    @num_gselect.setter
+    def num_gselect(self, value):
+        self._num_gselect = int(value)
+
+    @property
+    def initial_gauss_proportion(self):
+        """Proportion of Gaussians to start with in initialization phase
+        (then split)"""
+        return self._initial_gauss_proportion
+
+    @initial_gauss_proportion.setter
+    def initial_gauss_proportion(self, value):
+        self._initial_gauss_proportion = float(value)
+
+    @property
+    def num_frames(self):
+        """Maximum num-frames to keep in memory for model initialization."""
+        return self._num_frames
+
+    @num_frames.setter
+    def num_frames(self, value):
+        self._num_frames = int(value)
+
+    @property
+    def subsample(self):
+        """In main E-M phase, use every n frames (a speedup)"""
+        return self._subsample
+
+    @subsample.setter
+    def subsample(self, value):
+        self._subsample = int(value)
+
+    @property
+    def min_gaussian_weight(self):
+        """Minimum weight below which a Gaussian is not updated"""
+        return np.float32(self._min_gaussian_weight)
+
+    @min_gaussian_weight.setter
+    def min_gaussian_weight(self, value):
+        self._min_gaussian_weight = float(value)
+
+    @property
+    def remove_low_count_gaussians(self):
+        """Remove Gaussians with a weight below `min_gaussian_weight`"""
+        return self._remove_low_count_gaussians
+
+    @remove_low_count_gaussians.setter
+    def remove_low_count_gaussians(self, value):
+        self._remove_low_count_gaussians = bool(value)
+
+    @property
+    def features(self):
+        """Features extraction configuration"""
+        return self._features
+
+    @features.setter
+    def features(self, value):
+        if not isinstance(value, dict):
+            raise TypeError('Features configuration must be a dict')
+        if 'mfcc' not in value:
+            raise ValueError('Need mfcc features to train UBM-GMM')
+        self._features = copy.deepcopy(value)
+
+    @property
+    def vad(self):
+        """VAD configuration for the UBM-GMM"""
+        return self._vad
+
+    @vad.setter
+    def vad(self, value):
+        if not isinstance(value, dict):
+            raise TypeError('VAD configuration must be a dict')
+        vad_keys = VadPostProcessor().get_params().keys()
+        if not value.keys() <= vad_keys:
+            raise ValueError('Unknown parameters given for VAD config')
+        self._vad = copy.deepcopy(value)
+
+    @property
+    def seed(self):
+        """Random seed for initialization from random frames"""
+        return self._seed
+
+    @seed.setter
+    def seed(self, value):
+        self._seed = int(value)
+        self._rng = np.random.RandomState(seed=self._seed)
+
+    @classmethod
+    def load(cls, path):
+        """Load a GMM from an npz checkpoint"""
+        if not os.path.isfile(path):
+            raise OSError('{}: file not found'.format(path))
+        with np.load(path) as data:
+            gmm = DiagGmm(
+                data['weights'], data['means'], data['inv_vars'])
+        ubm = DiagUbmProcessor(gmm.num_gauss())
+        ubm.gmm = gmm
+        return ubm
+
+    def save(self, path):
+        """Save the GMM to an npz checkpoint"""
+        if os.path.isfile(path):
+            raise OSError('{}: file already exists'.format(path))
+        if not isinstance(self.gmm, DiagGmm):
+            raise TypeError('GMM not initialized')
+        np.savez(
+            path, weights=self.gmm.weights, means=self.gmm.means,
+            inv_vars=self.gmm.inv_vars)
+
+    def initialize_gmm(self, feats_collection, njobs=1):
+        """Initialize the GMM and run the initial EM with splitting.
+
+        Means start from randomly sampled frames (reservoir sampling
+        bounded by ``num_frames``), variances from the global data
+        variance; EM iterations interleave with component splitting up
+        to ``num_gauss``.
+        """
+        num_gauss_init = int(
+            self.initial_gauss_proportion * self.num_gauss)
+        self.log.info('Initializing model')
+        self.log.debug(
+            'Starting from %s gaussians, reaching %s in %s iterations',
+            num_gauss_init, self.num_gauss, self.num_iters_init)
+
+        # reservoir-sample at most num_frames frames
+        self.log.debug('Reading features')
+        all_feats = np.concatenate(
+            [feats.data for feats in feats_collection.values()], axis=0)
+        num_read = all_feats.shape[0]
+        if num_read > self.num_frames:
+            # faithful reservoir semantics: uniform subset
+            chosen = self._reservoir_indices(num_read)
+            feats = all_feats[chosen]
+            self.log.debug(
+                'Kept %s out of %s input frames = %s %%',
+                self.num_frames, num_read,
+                100 * self.num_frames / num_read)
+        else:
+            feats = all_feats
+            self.log.debug(
+                'Number of frames read %s was less than'
+                ' target number %s, using all we read',
+                num_read, self.num_frames)
+
+        self._init_from_random_frames(feats, num_gauss_init)
+
+        cur_num_gauss = num_gauss_init
+        gauss_inc = int((self.num_gauss - num_gauss_init)
+                        / (self.num_iters_init / 2))
+        if gauss_inc == 0:
+            self.log.warning(
+                'Number of gaussians %s is too low', self.num_gauss)
+            gauss_inc = 1
+
+        for i in range(self.num_iters_init):
+            self.log.debug('Iteration %s', i)
+            weights, means, inv_vars = self.gmm.as_jax()
+            tot_like, occ, mean_acc, var_acc = gmm_ops.accumulate_stats(
+                jnp.asarray(feats, dtype=jnp.float32),
+                jnp.ones(feats.shape[0], dtype=jnp.float32),
+                weights, means, inv_vars)
+            self.log.debug(
+                'Likelihood per frame: %s over %s frames',
+                float(tot_like) / feats.shape[0], feats.shape[0])
+
+            new = gmm_ops.mle_update(
+                occ, mean_acc, var_acc, self.gmm.weights,
+                self.gmm.means, self.gmm.inv_vars,
+                min_gaussian_weight=self._min_gaussian_weight,
+                remove_low_count_gaussians=False)
+            self.gmm = DiagGmm(*new)
+
+            next_num_gauss = min(
+                self.num_gauss, cur_num_gauss + gauss_inc)
+            if next_num_gauss > self.gmm.num_gauss():
+                self.log.debug(
+                    'Splitting to %s Gaussians', next_num_gauss)
+                self.gmm = DiagGmm(*gmm_ops.split_gmm(
+                    self.gmm.weights, self.gmm.means, self.gmm.inv_vars,
+                    next_num_gauss, 0.1, self._rng))
+                cur_num_gauss = next_num_gauss
+
+    def _reservoir_indices(self, num_read):
+        """Frame indices kept by the reference's reservoir sampling."""
+        kept = np.arange(self.num_frames)
+        for row in range(self.num_frames, num_read):
+            if self._rng.random_sample() <= self.num_frames / (row + 1):
+                kept[self._rng.randint(0, self.num_frames)] = row
+        return kept
+
+    def _init_from_random_frames(self, feats, num_gauss):
+        """Means from random distinct frames, variance from the data."""
+        num_frames, dim = feats.shape
+        if num_frames < 10 * num_gauss:
+            raise ValueError(
+                f'Too few frames to train on ({num_frames} frames)')
+
+        feats64 = feats.astype(np.float64)
+        mean = feats64.mean(axis=0)
+        var = (feats64 ** 2).mean(axis=0) - mean ** 2
+        if var.max() <= 0:
+            raise ValueError(
+                f'Features do not have positive variance {var}')
+
+        chosen = self._rng.choice(num_frames, num_gauss, replace=False)
+        self.gmm = DiagGmm(
+            np.full(num_gauss, 1.0 / num_gauss),
+            feats64[chosen],
+            np.tile(1.0 / var, (num_gauss, 1)))
+
+    def gaussian_selection(self, feats_collection):
+        """Select the ``num_gselect`` best components per frame.
+
+        Stores per-utterance [nframes, num_gselect] index arrays in
+        ``self.selection`` (refining a previous selection when one
+        exists, like Kaldi's preselect mode).
+        """
+        if not isinstance(self.gmm, DiagGmm):
+            raise TypeError('GMM not initialized')
+
+        already = self.selection is not None
+        if not already:
+            self.selection = {}
+
+        if self.num_gselect > self.gmm.num_gauss():
+            self.log.warning(
+                'You asked for %s Gaussians but GMM only has %s,'
+                ' returning this many. Note: this means the'
+                ' Gaussian selection is pointless',
+                self.num_gselect, self.gmm.num_gauss())
+            self.num_gselect = self.gmm.num_gauss()
+
+        weights, means, inv_vars = self.gmm.as_jax()
+        tot_like, tot_frames = 0.0, 0
+        for utt in feats_collection.keys():
+            feats = jnp.asarray(
+                feats_collection[utt].data, dtype=jnp.float32)
+            if already and utt not in self.selection:
+                raise ValueError(
+                    f'No gselect information for utterance {utt}')
+            like, indices = gmm_ops.gaussian_selection(
+                feats, weights, means, inv_vars, self.num_gselect)
+            self.selection[utt] = np.asarray(indices)
+            tot_like += float(like)
+            tot_frames += feats.shape[0]
+
+        self.log.debug(
+            'Done %s utterances, mean UBM log-likelihood is %s over %s '
+            'frames', len(feats_collection),
+            tot_like / max(tot_frames, 1), tot_frames)
+
+    def gaussian_selection_to_post(self, feats_collection,
+                                   min_post=None):
+        """Per-frame posteriors over the selected components.
+
+        Returns a dict utterance -> (indices [nframes, k], posteriors
+        [nframes, k]); posteriors below ``min_post`` are pruned and
+        the rest renormalized.
+        """
+        if not isinstance(self.selection, dict):
+            raise ValueError('Gaussian selection has not been done')
+
+        weights, means, inv_vars = self.gmm.as_jax()
+        posteriors = {}
+        tot_loglike, tot_frames = 0.0, 0
+        for utt in feats_collection.keys():
+            if utt not in self.selection:
+                raise ValueError(
+                    f'No gselect information for utterance {utt}')
+            indices = self.selection[utt]
+            feats = feats_collection[utt].data
+            if indices.shape[0] != feats.shape[0]:
+                raise ValueError(
+                    f'Input gselect utterance {utt} has wrong size '
+                    f'{indices.shape[0]} vs {feats.shape[0]}')
+
+            norm, post = gmm_ops.posteriors_preselect(
+                jnp.asarray(feats, dtype=jnp.float32),
+                jnp.asarray(indices), weights, means, inv_vars)
+            post = np.asarray(post, dtype=np.float64)
+
+            if min_post is not None:
+                pruned = np.where(post < min_post, 0.0, post)
+                totals = pruned.sum(axis=1, keepdims=True)
+                # frames losing all mass keep their best component
+                best = post.argmax(axis=1)
+                empty = totals[:, 0] == 0
+                pruned[empty, best[empty]] = 1.0
+                totals = pruned.sum(axis=1, keepdims=True)
+                post = pruned / totals
+
+            posteriors[utt] = (indices, post)
+            tot_loglike += float(jnp.sum(norm))
+            tot_frames += feats.shape[0]
+
+        self.log.debug(
+            'Overall likelihood per frame is %s over %s frames',
+            tot_loglike / max(tot_frames, 1), tot_frames)
+        return posteriors
+
+    def accumulate(self, feats_collection, weights_collection=None,
+                   njobs=1):
+        """Accumulate EM statistics over a features collection.
+
+        Returns (occupancy, mean_acc, var_acc) numpy arrays; the
+        reduction over utterances is associative (a psum across
+        devices in the distributed path).
+        """
+        if not isinstance(self.gmm, DiagGmm):
+            raise TypeError('GMM not initialized')
+
+        dim = self.gmm.dim()
+        for utt, feats in feats_collection.items():
+            if feats.ndims != dim:
+                raise ValueError(
+                    f'Features from utterance {utt} have wrong'
+                    f' dims {feats.ndims}, instead of {dim}')
+
+        if weights_collection is not None:
+            if weights_collection.keys() != feats_collection.keys():
+                raise ValueError(
+                    'Keys differ between weights and features '
+                    'collections')
+            for utt, weights in weights_collection.items():
+                if weights.shape[0] != feats_collection[utt].nframes:
+                    raise ValueError(
+                        f'Wrong size for weights on utterance {utt}')
+
+        jweights, jmeans, jinv = self.gmm.as_jax()
+        occ = np.zeros(self.gmm.num_gauss())
+        mean_acc = np.zeros((self.gmm.num_gauss(), dim))
+        var_acc = np.zeros((self.gmm.num_gauss(), dim))
+        tot_like, tot_weight = 0.0, 0.0
+
+        for utt in feats_collection.keys():
+            feats = feats_collection[utt].data
+            if weights_collection is None:
+                frame_weights = np.ones(feats.shape[0], dtype=np.float32)
+            else:
+                frame_weights = np.asarray(
+                    weights_collection[utt], dtype=np.float32)
+            like, o, m, v = gmm_ops.accumulate_stats(
+                jnp.asarray(feats, dtype=jnp.float32),
+                jnp.asarray(frame_weights), jweights, jmeans, jinv)
+            occ += np.asarray(o, dtype=np.float64)
+            mean_acc += np.asarray(m, dtype=np.float64)
+            var_acc += np.asarray(v, dtype=np.float64)
+            tot_like += float(like)
+            tot_weight += float(frame_weights.sum())
+
+        self.log.debug(
+            'Overall likelihood per frame = %s over %s weighted frames',
+            tot_like / max(tot_weight, 1e-10), tot_weight)
+        return occ, mean_acc, var_acc
+
+    def estimate(self, gmm_accs, mixup=None, perturb_factor=0.01):
+        """Re-estimate the GMM from accumulated statistics."""
+        if not isinstance(self.gmm, DiagGmm):
+            raise TypeError('GMM not initialized')
+        if mixup is not None and mixup <= self.num_gauss:
+            raise ValueError(
+                'Mixup parameter must be greater than the number of '
+                'gaussians')
+
+        occ, mean_acc, var_acc = gmm_accs
+        new = gmm_ops.mle_update(
+            occ, mean_acc, var_acc, self.gmm.weights, self.gmm.means,
+            self.gmm.inv_vars,
+            min_gaussian_weight=self._min_gaussian_weight,
+            remove_low_count_gaussians=self._remove_low_count_gaussians)
+        self.gmm = DiagGmm(*new)
+
+        if mixup is not None:
+            self.gmm = DiagGmm(*gmm_ops.split_gmm(
+                self.gmm.weights, self.gmm.means, self.gmm.inv_vars,
+                int(mixup), perturb_factor, self._rng))
+
+    def process(self, utterances, njobs=1):
+        """Train the UBM-GMM on the given utterances.
+
+        Extracts the configured features (MFCC + delta + sliding
+        CMVN), trims them with energy VAD, initializes the model and
+        runs ``num_iters`` EM iterations.
+        """
+        cmvn_config = self.features.pop('sliding_window_cmvn', None)
+        self.log.info('Training UBM using %s jobs', njobs)
+        raw_features = pipeline.extract_features(
+            self.features, utterances, njobs=njobs, log=null_logger())
+
+        # VAD decision per utterance
+        vad = {}
+        for utt, feats in raw_features.items():
+            decision = VadPostProcessor(**self.vad).process(feats)
+            vad[utt] = decision.data.reshape(
+                (decision.shape[0],)).astype(bool)
+
+        # sliding-window normalization
+        features = FeaturesCollection()
+        if cmvn_config is not None:
+            proc = SlidingWindowCmvnPostProcessor(**cmvn_config)
+            for utt, feats in raw_features.items():
+                features[utt] = proc.process(feats)
+            self.features['sliding_window_cmvn'] = cmvn_config
+        else:
+            features = raw_features
+
+        features = features.trim(vad)
+
+        self.initialize_gmm(features, njobs=njobs)
+        self.log.info('Training for %s iterations', self.num_iters)
+        features = FeaturesCollection({
+            utt: feats.copy(subsample=self.subsample)
+            for utt, feats in features.items()})
+
+        remove_low_count = self.remove_low_count_gaussians
+        self.remove_low_count_gaussians = False
+        for i in range(self.num_iters):
+            self.log.debug('Training pass %s', i + 1)
+            accs = self.accumulate(features, njobs=njobs)
+            if i == self.num_iters - 1:
+                self.remove_low_count_gaussians = remove_low_count
+            self.estimate(accs)
+        self.log.info('Done training UBM.')

@@ -1,0 +1,444 @@
+"""VTLN warp factor estimation (linear VTLN).
+
+API-compatible with ``shennong/processor/vtln.py`` (the port of
+Kaldi's gmm-train-lvtln-special / gmm-global-est-lvtln-trans). The
+expensive inner loops — per-warp least-squares base transforms, fMLLR
+statistic accumulation, per-class objective evaluation — run as the
+vectorized linear algebra of :mod:`shennong_tpu.ops.fmllr`; GMM
+likelihoods come from :mod:`shennong_tpu.ops.gmm` on device.
+"""
+
+import copy
+import os
+import yaml
+
+import numpy as np
+
+from shennong_tpu import pipeline, FeaturesCollection, Features
+from shennong_tpu.base import BaseProcessor
+from shennong_tpu.logger import null_logger
+from shennong_tpu.ops.fmllr import (
+    FmllrStats, LinearVtln, compute_mapping_transform)
+from shennong_tpu.processor.ubm import DiagUbmProcessor
+from shennong_tpu.postprocessor.cmvn import SlidingWindowCmvnPostProcessor
+from shennong_tpu.postprocessor.vad import VadPostProcessor
+
+
+class VtlnProcessor(BaseProcessor):
+    """VTLN model"""
+
+    def __init__(self, num_iters=15, min_warp=0.85,
+                 max_warp=1.25, warp_step=0.01,
+                 logdet_scale=0.0, norm_type='offset',
+                 subsample=5, features=None,
+                 ubm=None, by_speaker=True):
+        super().__init__()
+
+        self.num_iters = num_iters
+        self.min_warp = min_warp
+        self.max_warp = max_warp
+        self.warp_step = warp_step
+        self.logdet_scale = logdet_scale
+        self.norm_type = norm_type
+        self.subsample = subsample
+        self.by_speaker = by_speaker
+
+        if features in (None, 'default'):
+            config = pipeline.get_default_config('mfcc', with_delta=True)
+            config['sliding_window_cmvn'] = (
+                SlidingWindowCmvnPostProcessor().get_params())
+            config['sliding_window_cmvn']['cmn_window'] = 300
+            config['delta']['window'] = 3
+            self.features = config
+        else:
+            self.features = features
+
+        if ubm is None:
+            self.ubm = DiagUbmProcessor(64).get_params()
+        else:
+            self.ubm = ubm
+
+        self.lvtln = None
+        self.transforms = None
+        self.warps = None
+
+    @property
+    def name(self):
+        return 'vtln'
+
+    @property
+    def num_iters(self):
+        """Number of iterations of training"""
+        return self._num_iters
+
+    @num_iters.setter
+    def num_iters(self, value):
+        self._num_iters = int(value)
+
+    @property
+    def min_warp(self):
+        """Minimum warp considered"""
+        return self._min_warp
+
+    @min_warp.setter
+    def min_warp(self, value):
+        self._min_warp = float(value)
+
+    @property
+    def max_warp(self):
+        """Maximum warp considered"""
+        return self._max_warp
+
+    @max_warp.setter
+    def max_warp(self, value):
+        self._max_warp = float(value)
+
+    @property
+    def warp_step(self):
+        """Warp step"""
+        return self._warp_step
+
+    @warp_step.setter
+    def warp_step(self, value):
+        self._warp_step = float(value)
+
+    @property
+    def logdet_scale(self):
+        """Scale on log-determinant term in auxiliary function"""
+        return self._logdet_scale
+
+    @logdet_scale.setter
+    def logdet_scale(self, value):
+        self._logdet_scale = float(value)
+
+    @property
+    def norm_type(self):
+        """Type of fMLLR applied (``offset``, ``none`` or ``diag``)"""
+        return self._norm_type
+
+    @norm_type.setter
+    def norm_type(self, value):
+        if value not in ['offset', 'none', 'diag']:
+            raise ValueError('Invalid norm type {}'.format(value))
+        self._norm_type = value
+
+    @property
+    def subsample(self):
+        """When computing base LVTLN transforms, use every n frames
+         (a speedup)"""
+        return self._subsample
+
+    @subsample.setter
+    def subsample(self, value):
+        self._subsample = int(value)
+
+    @property
+    def by_speaker(self):
+        """Compute the warps for each speaker, or each utterance"""
+        return self._by_speaker
+
+    @by_speaker.setter
+    def by_speaker(self, value):
+        self._by_speaker = bool(value)
+
+    @property
+    def features(self):
+        """Features extraction configuration"""
+        return self._features
+
+    @features.setter
+    def features(self, value):
+        if not isinstance(value, dict):
+            raise TypeError(
+                'Features extraction configuration must be a dict')
+        if 'mfcc' not in value:
+            raise ValueError('Need mfcc features to train VTLN model')
+        self._features = copy.deepcopy(value)
+
+    @property
+    def ubm(self):
+        "Diagonal UBM-GMM configuration"
+        return self._ubm
+
+    @ubm.setter
+    def ubm(self, value):
+        if not isinstance(value, dict):
+            raise TypeError('UBM configuration must be a dict')
+        ubm_keys = DiagUbmProcessor(2).get_params().keys()
+        if not value.keys() <= ubm_keys:
+            raise ValueError('Unknown parameters given for UBM config')
+        self._ubm = copy.deepcopy(value)
+
+    @classmethod
+    def load(cls, path):
+        """Load the LVTLN transforms from an npz checkpoint"""
+        if not os.path.isfile(path):
+            raise OSError('{}: file not found'.format(path))
+        vtln = VtlnProcessor()
+        vtln.lvtln = LinearVtln.load(path)
+        return vtln
+
+    def save(self, path):
+        """Save the LVTLN transforms to an npz checkpoint"""
+        if os.path.isfile(path):
+            raise OSError('{}: file already exists'.format(path))
+        if not isinstance(self.lvtln, LinearVtln):
+            raise TypeError('VTLN not initialized')
+        self.lvtln.save(path)
+
+    @classmethod
+    def load_warps(cls, path):
+        """Load precomputed warps from a YAML file"""
+        if not os.path.isfile(path):
+            raise OSError('{}: file not found'.format(path))
+        try:
+            with open(path, 'r') as fp:
+                return yaml.load(fp, Loader=yaml.FullLoader)
+        except yaml.YAMLError as err:  # pragma: nocover
+            raise ValueError(
+                'Error in VTLN warps file when loading: {}'.format(err))
+
+    def save_warps(self, path):
+        """Save the computed warps to a YAML file"""
+        if os.path.isfile(path):
+            raise OSError('{}: file already exists'.format(path))
+        if not isinstance(self.warps, dict):
+            raise TypeError('Warps not computed')
+        with open(path, 'w') as fp:
+            yaml.dump(self.warps, fp)
+
+    def compute_mapping_transform(
+            self, feats_untransformed, feats_transformed,
+            class_idx, warp, weights=None):
+        """Fit one warp class as the least-squares map from unwarped
+        to warped features (with per-dimension variance
+        normalization)."""
+        if not isinstance(self.lvtln, LinearVtln):
+            raise TypeError('VTLN not initialized')
+        dim = self.lvtln.dim
+
+        def pairs():
+            for utt in feats_untransformed:
+                if utt not in feats_transformed:
+                    raise ValueError(
+                        f'No transformed features for key {utt}')
+                x = feats_untransformed[utt].data
+                y = feats_transformed[utt].data
+                if x.shape != y.shape or x.shape[1] != dim:
+                    raise ValueError(
+                        'Number of rows and/or columns differs: '
+                        f'{x.shape[0]} vs {y.shape[0]} rows, '
+                        f'{x.shape[1]} vs {y.shape[1]} columns, '
+                        f'{dim} dim')
+                w = None
+                if weights is not None:
+                    if utt not in weights:
+                        raise ValueError(
+                            f'No weights for utterance {utt}')
+                    w = weights[utt]
+                yield x, y, w
+
+        matrix = compute_mapping_transform(pairs(), dim)
+        self.lvtln.set_transform(class_idx, matrix)
+        self.lvtln.set_warp(class_idx, warp)
+
+    def estimate(self, ubm, feats_collection, posteriors,
+                 utt2speak=None):
+        """Estimate per-speaker (or per-utterance) LVTLN transforms.
+
+        ``posteriors`` maps utterances to (indices, values) posterior
+        arrays from
+        :func:`DiagUbmProcessor.gaussian_selection_to_post`. Returns
+        (transforms, warps) dicts.
+        """
+        if not isinstance(self.lvtln, LinearVtln):
+            raise TypeError('VTLN not initialized')
+
+        transforms, warps = {}, {}
+        tot_impr, tot_count = 0.0, 0.0
+        class_counts = np.zeros(self.lvtln.num_classes)
+
+        if utt2speak is not None:
+            groups = {}
+            for utt, spk in utt2speak.items():
+                groups.setdefault(spk, []).append(utt)
+        else:
+            groups = {utt: [utt] for utt in feats_collection}
+
+        for group, utts in sorted(groups.items()):
+            stats = FmllrStats(self.lvtln.dim)
+            for utt in utts:
+                if utt not in posteriors:
+                    raise ValueError(f'No posterior for utterance {utt}')
+                feats = feats_collection[utt].data
+                indices, values = posteriors[utt]
+                if indices.shape[0] != feats.shape[0]:
+                    raise ValueError(
+                        f'Posterior has wrong size {indices.shape[0]}'
+                        f' vs {feats.shape[0]}')
+                stats.accumulate(feats, indices, values, ubm.gmm)
+
+            class_idx, _, transform, objf_impr, count = (
+                self.lvtln.compute_transform(
+                    stats, self.norm_type, self.logdet_scale))
+            class_counts[class_idx] += 1
+            transforms[group] = transform
+            warps[group] = self.lvtln.get_warp(class_idx)
+            self.log.debug(
+                '%s: auxf-impr from LVTLN is %s, over %s frames',
+                group, objf_impr / count, count)
+            tot_impr += objf_impr
+            tot_count += count
+
+        self.log.debug(
+            'Distribution of classes is %s, overall LVTLN auxf-impr '
+            'per frame is %s over %s frames', class_counts,
+            tot_impr / max(tot_count, 1e-10), tot_count)
+        return transforms, warps
+
+    def process(self, utterances, ubm=None, group_by='utterance',
+                njobs=1):
+        """Compute the VTLN warp factor of each utterance (or speaker).
+
+        Trains (or reuses) a UBM-GMM, fits the per-warp base linear
+        transforms by re-extracting warped MFCCs for each warp class,
+        then alternates transform estimation and model updates for
+        ``num_iters`` iterations. Returns a dict of warps keyed by
+        utterance or by speaker according to ``group_by``.
+        """
+        if group_by not in ('utterance', 'speaker'):
+            raise ValueError(
+                f'group_by must be "utterance" or "speaker", '
+                f'it is: {group_by}')
+        if group_by == 'speaker' and not self.by_speaker:
+            raise ValueError(
+                'Asking to group warps by speaker but they are computed '
+                'per utterance, please set VtlnProcessor.by_speaker to '
+                'True')
+        if self.by_speaker and not utterances.has_speakers():
+            raise ValueError(
+                'Requested speaker based VTLN, but speaker'
+                ' information is missing')
+
+        utt2speak = None
+        if self.by_speaker:
+            utt2speak = {utt.name: utt.speaker for utt in utterances}
+
+        if self.min_warp > self.max_warp:
+            raise ValueError(
+                f'Min warp > max warp: {self.min_warp} > {self.max_warp}')
+
+        # the UBM-GMM
+        if ubm is None:
+            ubm = DiagUbmProcessor(**self.ubm)
+            ubm.log.setLevel(self.log.getEffectiveLevel())
+            ubm.process(utterances, njobs=njobs)
+        else:
+            if ubm.gmm is None:
+                raise ValueError('Given UBM-GMM has not been trained')
+            self.ubm = ubm.get_params()
+
+        self.log.info('Initializing base LVTLN transforms')
+        dim = ubm.gmm.dim()
+        num_classes = int(
+            1.5 + (self.max_warp - self.min_warp) / self.warp_step)
+        default_class = int(0.5 + (1 - self.min_warp) / self.warp_step)
+        self.lvtln = LinearVtln(dim, num_classes, default_class)
+
+        cmvn_config = self.features.pop('sliding_window_cmvn', None)
+
+        raw_mfcc = pipeline.extract_features(
+            self.features, utterances, njobs=njobs, log=null_logger())
+
+        # VAD decisions
+        self.log.debug('... computing VAD decision')
+        vad = {}
+        for utt, feats in raw_mfcc.items():
+            decision = VadPostProcessor(**ubm.vad).process(feats)
+            vad[utt] = decision.data.reshape(
+                (decision.shape[0],)).astype(bool)
+
+        # normalized features for the model updates
+        orig_features = FeaturesCollection()
+        if cmvn_config is not None:
+            proc = SlidingWindowCmvnPostProcessor(**cmvn_config)
+            for utt, feats in raw_mfcc.items():
+                orig_features[utt] = proc.process(feats)
+        else:
+            orig_features = raw_mfcc
+        orig_features = orig_features.trim(vad)
+        orig_features = FeaturesCollection({
+            utt: feats.copy(subsample=self.subsample)
+            for utt, feats in orig_features.items()})
+
+        # base transforms: solve the unwarped -> warped LS map per class
+        featsub_unwarped = raw_mfcc.trim(vad)
+        featsub_unwarped = FeaturesCollection({
+            utt: feats.copy(subsample=self.subsample)
+            for utt, feats in featsub_unwarped.items()})
+
+        for c in range(num_classes):
+            this_warp = self.min_warp + c * self.warp_step
+            self.log.info(
+                'Computing base transform (warp=%s) %s/%s',
+                this_warp, c + 1, num_classes)
+            featsub_warped = pipeline.extract_features_warp(
+                self.features, utterances, this_warp,
+                null_logger(), njobs=njobs).trim(vad)
+            featsub_warped = FeaturesCollection({
+                utt: feats.copy(subsample=self.subsample)
+                for utt, feats in featsub_warped.items()})
+            self.compute_mapping_transform(
+                featsub_unwarped, featsub_warped, c, this_warp)
+
+        del featsub_warped, featsub_unwarped, vad
+
+        if cmvn_config is not None:
+            self.features['sliding_window_cmvn'] = cmvn_config
+
+        self.log.debug('Computing Gaussian selection info')
+        ubm.gaussian_selection(orig_features)
+
+        self.log.info(
+            'Computing LVTLN transforms (%s iterations)', self.num_iters)
+        posteriors = ubm.gaussian_selection_to_post(orig_features)
+        self.transforms, self.warps = self.estimate(
+            ubm, orig_features, posteriors, utt2speak)
+
+        for i in range(self.num_iters):
+            self.log.debug(
+                'Updating model on pass %s/%s', i + 1, self.num_iters)
+
+            # apply the current transforms to the features
+            features = FeaturesCollection()
+            for utt, feats in orig_features.items():
+                key = utt if utt2speak is None else utt2speak[utt]
+                linear = self.transforms[key][:, :feats.ndims]
+                offset = self.transforms[key][:, feats.ndims]
+                data = feats.data @ linear.T + offset
+                features[utt] = Features(
+                    data, feats.times, feats.properties)
+
+            # update the model on the transformed features
+            accs = ubm.accumulate(features, njobs=njobs)
+            ubm.estimate(accs)
+
+            # re-estimate the transforms
+            posteriors = ubm.gaussian_selection_to_post(features)
+            self.transforms, self.warps = self.estimate(
+                ubm, orig_features, posteriors, utt2speak)
+
+        if self.by_speaker:
+            self.transforms = {
+                utt: self.transforms[spk]
+                for utt, spk in utt2speak.items()}
+            self.warps = {
+                utt: self.warps[spk]
+                for utt, spk in utt2speak.items()}
+
+        self.log.info('Done training LVTLN model')
+        if group_by == 'utterance':
+            return self.warps
+        return {
+            spk: self.warps[utts[0].name]
+            for spk, utts in utterances.by_speaker().items()}

@@ -1,0 +1,155 @@
+"""Tests for the UBM-GMM trainer"""
+
+import numpy as np
+import pytest
+
+from shennong_tpu import Features, FeaturesCollection, Utterances
+from shennong_tpu.ops import gmm as gmm_ops
+from shennong_tpu.processor.ubm import DiagGmm, DiagUbmProcessor
+
+
+@pytest.fixture(scope='module')
+def utterances(wav_file):
+    return Utterances([
+        ('u1', wav_file, 's1', 0.0, 0.7),
+        ('u2', wav_file, 's1', 0.7, 1.4)])
+
+
+@pytest.fixture
+def gmm_data():
+    """Synthetic 2-cluster data with a known structure."""
+    rng = np.random.RandomState(0)
+    a = rng.randn(500, 4) * 0.5 + np.array([2, 0, 0, 0])
+    b = rng.randn(500, 4) * 0.5 - np.array([2, 0, 0, 0])
+    return np.vstack([a, b]).astype(np.float32)
+
+
+def test_params_validation():
+    with pytest.raises(ValueError, match='at least 2'):
+        DiagUbmProcessor(1)
+    with pytest.raises(TypeError, match='must be a dict'):
+        DiagUbmProcessor(2, vad='nope')
+    with pytest.raises(ValueError, match='Unknown parameters'):
+        DiagUbmProcessor(2, vad={'bad': 1})
+    with pytest.raises(ValueError, match='mfcc'):
+        DiagUbmProcessor(2, features={'plp': {}})
+    proc = DiagUbmProcessor(8)
+    assert 'mfcc' in proc.features
+    assert 'sliding_window_cmvn' in proc.features
+
+
+def test_gmm_ops_loglike(gmm_data):
+    """GMM log-likelihoods match a direct computation."""
+    import jax.numpy as jnp
+    weights = np.array([0.4, 0.6])
+    means = np.array([[2.0, 0, 0, 0], [-2.0, 0, 0, 0]])
+    inv_vars = np.full((2, 4), 4.0)
+
+    ll = np.asarray(gmm_ops.log_likelihoods(
+        jnp.asarray(gmm_data), jnp.asarray(weights, dtype=jnp.float32),
+        jnp.asarray(means, dtype=jnp.float32),
+        jnp.asarray(inv_vars, dtype=jnp.float32)))
+
+    # direct per-frame computation
+    x = gmm_data[7]
+    for g in range(2):
+        direct = (
+            np.log(weights[g])
+            + np.sum(-0.5 * np.log(2 * np.pi / inv_vars[g])
+                     - 0.5 * (x - means[g]) ** 2 * inv_vars[g]))
+        assert ll[7, g] == pytest.approx(direct, abs=1e-3)
+
+
+def test_em_recovers_clusters(gmm_data):
+    """A 2-gaussian EM separates the two synthetic clusters."""
+    import jax.numpy as jnp
+    rng = np.random.RandomState(1)
+    gmm = DiagGmm(
+        np.array([0.5, 0.5]),
+        gmm_data[rng.choice(1000, 2)],
+        np.ones((2, 4)))
+
+    for _ in range(10):
+        _, occ, mean_acc, var_acc = gmm_ops.accumulate_stats(
+            jnp.asarray(gmm_data),
+            jnp.ones(1000, dtype=jnp.float32), *gmm.as_jax())
+        gmm = DiagGmm(*gmm_ops.mle_update(
+            occ, mean_acc, var_acc, gmm.weights, gmm.means,
+            gmm.inv_vars))
+
+    centers = sorted(gmm.means[:, 0])
+    assert centers[0] == pytest.approx(-2, abs=0.2)
+    assert centers[1] == pytest.approx(2, abs=0.2)
+    assert np.allclose(gmm.weights, 0.5, atol=0.05)
+
+
+def test_split():
+    rng = np.random.RandomState(0)
+    weights, means, inv_vars = gmm_ops.split_gmm(
+        np.array([0.6, 0.4]), np.zeros((2, 3)), np.ones((2, 3)),
+        4, 0.1, rng)
+    assert weights.shape == (4,)
+    assert weights.sum() == pytest.approx(1.0)
+    assert means.shape == (4, 3)
+
+
+def test_process(utterances):
+    ubm = DiagUbmProcessor(
+        4, num_iters=2, num_iters_init=4, num_frames=1000)
+    ubm.process(utterances)
+    assert isinstance(ubm.gmm, DiagGmm)
+    assert ubm.gmm.num_gauss() == 4
+    assert ubm.gmm.dim() == 39  # mfcc 13 * delta order 2
+    assert np.all(np.isfinite(ubm.gmm.means))
+    assert np.all(ubm.gmm.inv_vars > 0)
+    assert ubm.gmm.weights.sum() == pytest.approx(1.0)
+
+
+def test_save_load(tmpdir, utterances):
+    ubm = DiagUbmProcessor(
+        4, num_iters=1, num_iters_init=2, num_frames=1000)
+    ubm.process(utterances)
+    path = str(tmpdir.join('ubm.npz'))
+    ubm.save(path)
+    loaded = DiagUbmProcessor.load(path)
+    assert np.array_equal(loaded.gmm.means, ubm.gmm.means)
+    assert np.array_equal(loaded.gmm.weights, ubm.gmm.weights)
+    with pytest.raises(OSError, match='already exists'):
+        ubm.save(path)
+    with pytest.raises(OSError, match='not found'):
+        DiagUbmProcessor.load(str(tmpdir.join('nope.npz')))
+
+
+def test_selection_and_posteriors(utterances):
+    ubm = DiagUbmProcessor(
+        4, num_iters=1, num_iters_init=2, num_frames=1000,
+        num_gselect=2)
+    ubm.process(utterances)
+
+    rng = np.random.RandomState(3)
+    fc = FeaturesCollection(
+        u1=Features(
+            rng.randn(50, 39).astype(np.float32), np.arange(50.0)))
+
+    ubm.selection = None
+    ubm.gaussian_selection(fc)
+    assert ubm.selection['u1'].shape == (50, 2)
+
+    posteriors = ubm.gaussian_selection_to_post(fc)
+    indices, post = posteriors['u1']
+    assert post.shape == (50, 2)
+    assert np.allclose(post.sum(axis=1), 1.0, atol=1e-5)
+
+    # pruning keeps normalization
+    posteriors = ubm.gaussian_selection_to_post(fc, min_post=0.4)
+    _, post = posteriors['u1']
+    assert np.allclose(post.sum(axis=1), 1.0, atol=1e-5)
+    assert np.all((post == 0) | (post >= 0.4) | (post == 1.0))
+
+
+def test_accumulate_validation(utterances):
+    ubm = DiagUbmProcessor(2)
+    fc = FeaturesCollection(
+        u1=Features(np.zeros((5, 3)), np.arange(5.0)))
+    with pytest.raises(TypeError, match='not initialized'):
+        ubm.accumulate(fc)

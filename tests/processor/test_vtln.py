@@ -1,0 +1,205 @@
+"""Tests for the VTLN processor"""
+
+import numpy as np
+import pytest
+
+from shennong_tpu import Utterances
+from shennong_tpu.ops.fmllr import (
+    FmllrStats, LinearVtln, apply_transform_to_stats, auxf,
+    compute_mapping_transform, solve_diagonal, solve_offset)
+from shennong_tpu.processor.ubm import DiagGmm, DiagUbmProcessor
+from shennong_tpu.processor.vtln import VtlnProcessor
+
+
+@pytest.fixture(scope='module')
+def utterances(wav_file):
+    return Utterances([
+        ('u1', wav_file, 's1', 0.0, 0.7),
+        ('u2', wav_file, 's2', 0.7, 1.4)])
+
+
+def test_params_validation():
+    proc = VtlnProcessor()
+    assert proc.num_iters == 15
+    assert proc.min_warp == 0.85
+    assert proc.max_warp == 1.25
+    with pytest.raises(ValueError, match='Invalid norm type'):
+        VtlnProcessor(norm_type='bad')
+    with pytest.raises(TypeError, match='must be a dict'):
+        VtlnProcessor(ubm=3)
+    with pytest.raises(ValueError, match='Unknown parameters'):
+        VtlnProcessor(ubm={'bad_key': 1})
+    with pytest.raises(ValueError, match='mfcc'):
+        VtlnProcessor(features={'plp': {}})
+
+
+def test_process_validation(utterances):
+    with pytest.raises(ValueError, match='group_by'):
+        VtlnProcessor().process(utterances, group_by='nope')
+    with pytest.raises(ValueError, match='by_speaker'):
+        VtlnProcessor(by_speaker=False).process(
+            utterances, group_by='speaker')
+    with pytest.raises(ValueError, match='Min warp'):
+        VtlnProcessor(min_warp=1.2, max_warp=1.0).process(utterances)
+    no_spk = Utterances([(u.name, u.audio_file) for u in utterances])
+    with pytest.raises(ValueError, match='speaker information'):
+        VtlnProcessor(by_speaker=True).process(no_spk)
+
+
+def _toy_gmm(dim=3):
+    rng = np.random.RandomState(0)
+    return DiagGmm(
+        np.array([0.5, 0.5]), rng.randn(2, dim),
+        np.abs(rng.randn(2, dim)) + 0.5)
+
+
+def test_fmllr_stats_identity_optimum():
+    """With untransformed data the offset solution is near zero and
+    the identity transform is near-optimal."""
+    rng = np.random.RandomState(1)
+    gmm = _toy_gmm()
+    feats = np.repeat(gmm.means, 100, axis=0) + rng.randn(200, 3) * 0.1
+    indices = np.repeat(
+        np.array([[0], [1]]), 100, axis=0).astype(np.int32)
+    values = np.ones((200, 1))
+
+    stats = FmllrStats(3)
+    stats.accumulate(feats, indices, values, gmm)
+    assert stats.beta == pytest.approx(200)
+
+    offset = solve_offset(stats)
+    # data is drawn from the model: offsets should be small
+    assert np.abs(offset[:, 3]).max() < 0.2
+
+    # the optimal offset cannot be worse than identity
+    identity = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
+    assert auxf(offset, stats) >= auxf(identity, stats) - 1e-6
+
+    # the diagonal solution is a local maximum of the auxiliary
+    # function: any perturbation of its parameters lowers it
+    diag = solve_diagonal(stats)
+    best = auxf(diag, stats)
+    rng2 = np.random.RandomState(0)
+    for _ in range(20):
+        perturbed = diag.copy()
+        d = rng2.randint(3)
+        perturbed[d, d] += rng2.randn() * 0.05
+        perturbed[d, 3] += rng2.randn() * 0.05
+        assert auxf(perturbed, stats) <= best + 1e-9
+
+
+def test_apply_transform_to_stats():
+    """auxf(W, transformed stats) == auxf(W o A, original stats) minus
+    the beta log|det A| term."""
+    rng = np.random.RandomState(2)
+    gmm = _toy_gmm()
+    feats = rng.randn(100, 3)
+    indices = rng.randint(0, 2, (100, 1)).astype(np.int32)
+    values = np.ones((100, 1))
+    stats = FmllrStats(3)
+    stats.accumulate(feats, indices, values, gmm)
+
+    A = np.eye(3) + rng.randn(3, 3) * 0.1
+    transformed = apply_transform_to_stats(A, stats)
+
+    W = np.concatenate([np.eye(3), rng.randn(3, 1) * 0.1], axis=1)
+    combined = np.concatenate([W[:, :3] @ A, W[:, 3:]], axis=1)
+
+    # quadratic parts must agree; the logdet parts differ by log|A|
+    sign, logdet_a = np.linalg.slogdet(A)
+    assert auxf(W, transformed) + stats.beta * logdet_a == \
+        pytest.approx(auxf(combined, stats), rel=1e-10)
+
+
+def test_compute_mapping_transform_recovers_linear_map():
+    """The LS fit recovers a known linear map."""
+    rng = np.random.RandomState(3)
+    x = rng.randn(500, 3)
+    true_map = np.eye(3) + rng.randn(3, 3) * 0.2
+    y = x @ true_map.T
+
+    fitted = compute_mapping_transform([(x, y, None)], 3)
+    # rows are recovered up to the per-dimension variance
+    # normalization: directions match the true map
+    for d in range(3):
+        cos = (fitted[d] @ true_map[d]) / (
+            np.linalg.norm(fitted[d]) * np.linalg.norm(true_map[d]))
+        assert cos == pytest.approx(1.0, abs=1e-6)
+    # and the mapped features have the same per-dim variance as x
+    mapped = x @ fitted.T
+    assert np.allclose(mapped.var(axis=0), x.var(axis=0), rtol=1e-6)
+
+
+def test_linear_vtln_picks_matching_class():
+    """compute_transform selects the class whose transform matches
+    how the data was generated."""
+    rng = np.random.RandomState(4)
+    gmm = _toy_gmm()
+    lv = LinearVtln(3, 3, 1)
+    # volume-preserving class maps (like Kaldi's variance-normalized
+    # base transforms, class selection carries no logdet term)
+    scale_maps = [
+        np.diag([s, 1.0 / s, 1.0]) for s in (0.8, 1.0, 1.25)]
+    for c, mat in enumerate(scale_maps):
+        lv.set_transform(c, mat)
+        lv.set_warp(c, [0.9, 1.0, 1.1][c])
+
+    # draw data exactly from the GMM, then 'unwarp' it with the
+    # inverse of class 2: the best class to re-warp it is class 2
+    comps = rng.randint(0, 2, 400)
+    stds = 1.0 / np.sqrt(gmm.inv_vars)
+    clean = gmm.means[comps] + rng.randn(400, 3) * stds[comps]
+    feats = clean @ np.linalg.inv(scale_maps[2]).T
+
+    indices = comps[:, None].astype(np.int32)
+    values = np.ones((400, 1))
+    stats = FmllrStats(3)
+    stats.accumulate(feats, indices, values, gmm)
+
+    class_idx, _, transform, impr, count = lv.compute_transform(
+        stats, 'offset', 0.0)
+    assert class_idx == 2
+    assert impr > 0
+    assert count == pytest.approx(400)
+    assert transform.shape == (3, 4)
+
+
+def test_process_end_to_end(utterances):
+    """Full VTLN training on a small warp range returns plausible
+    warps for both speakers."""
+    vtln = VtlnProcessor(
+        num_iters=2, min_warp=0.95, max_warp=1.05, warp_step=0.05,
+        subsample=2,
+        ubm={'num_gauss': 4, 'num_iters': 1, 'num_iters_init': 2,
+             'num_frames': 1000})
+    warps = vtln.process(utterances)
+    assert sorted(warps.keys()) == ['u1', 'u2']
+    for warp in warps.values():
+        assert 0.95 <= warp <= 1.05
+
+    # warps can be saved/loaded as yaml
+    assert isinstance(vtln.warps, dict)
+
+
+def test_save_load_warps(tmpdir):
+    vtln = VtlnProcessor()
+    vtln.warps = {'u1': 1.0, 'u2': 0.95}
+    path = str(tmpdir.join('warps.yaml'))
+    vtln.save_warps(path)
+    assert VtlnProcessor.load_warps(path) == vtln.warps
+    with pytest.raises(OSError, match='already exists'):
+        vtln.save_warps(path)
+    with pytest.raises(OSError, match='not found'):
+        VtlnProcessor.load_warps(str(tmpdir.join('nope.yaml')))
+
+
+def test_save_load_lvtln(tmpdir):
+    vtln = VtlnProcessor()
+    with pytest.raises(TypeError, match='not initialized'):
+        vtln.save(str(tmpdir.join('lvtln.npz')))
+    vtln.lvtln = LinearVtln(5, 3, 1)
+    path = str(tmpdir.join('lvtln.npz'))
+    vtln.save(path)
+    loaded = VtlnProcessor.load(path)
+    assert loaded.lvtln.dim == 5
+    assert loaded.lvtln.num_classes == 3
