@@ -1,0 +1,96 @@
+"""Benchmark: full MFCC + CMVN + delta + Kaldi-pitch pipeline on TPU.
+
+Measures the real-time factor (audio seconds processed per wall-clock
+second on one chip) of the fused production pipeline
+(:func:`shennong_tpu.parallel.fused.mfcc_pitch_pipeline`) on synthetic
+speech-like utterances, and prints one JSON line:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is measured against the BASELINE.json target of 50x
+real-time per chip for this pipeline (the reference publishes no
+throughput numbers; it runs this workload as single-machine joblib
+threads over Kaldi C++).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_signal(nsamples, sample_rate, seed):
+    rng = np.random.RandomState(seed)
+    t = np.arange(nsamples) / sample_rate
+    f0 = 120 + 30 * np.sin(2 * np.pi * 0.7 * t + seed)
+    phase = 2 * np.pi * np.cumsum(f0) / sample_rate
+    voiced = sum((0.6 ** k) * np.sin((k + 1) * phase) for k in range(6))
+    envelope = (0.5 * (1 + np.sin(2 * np.pi * 3.1 * t))) ** 2
+    signal = voiced * envelope * 0.4 + rng.randn(nsamples) * 0.02
+    return (signal / np.abs(signal).max() * 2 ** 15 * 0.7).astype(
+        np.float32)
+
+
+def main():
+    import jax
+
+    from shennong_tpu.ops import mel as melmod
+    from shennong_tpu.ops.framing import num_frames
+    from shennong_tpu.ops.pitch import PitchOpts, ProcessPitchOpts, \
+        num_pitch_frames
+    from shennong_tpu.ops.spectral import MfccOpts
+    from shennong_tpu.parallel.fused import mfcc_pitch_pipeline
+
+    backend = jax.devices()[0].platform
+    sample_rate = 16000
+    batch = 16
+    duration = 10.0  # seconds per utterance
+    nsamples = int(sample_rate * duration)
+
+    signals = np.stack([
+        make_signal(nsamples, sample_rate, seed) for seed in range(batch)])
+    lengths = np.full(batch, nsamples, dtype=np.int32)
+
+    mfcc_opts = MfccOpts()
+    pitch_opts = PitchOpts()
+    post_opts = ProcessPitchOpts()
+    mel_weights = melmod.mel_banks(
+        23, mfcc_opts.frame.padded_window_size, float(sample_rate),
+        20.0, 0.0, 100.0, -500.0, 1.0)[0]
+
+    nframes_max = num_frames(nsamples, mfcc_opts.frame)
+    pitch_frames_max = num_pitch_frames(nsamples, pitch_opts)
+
+    def run():
+        out, nframes = mfcc_pitch_pipeline(
+            signals, lengths, mel_weights, mfcc_opts, pitch_opts,
+            post_opts, nframes_max, pitch_frames_max)
+        out.block_until_ready()
+        return out
+
+    # compile + warmup
+    out = run()
+    assert np.all(np.isfinite(np.asarray(out[:, :10]))), 'non-finite output'
+
+    # timed runs
+    best = float('inf')
+    for _ in range(5):
+        start = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - start)
+
+    audio_seconds = batch * duration
+    xrt = audio_seconds / best
+    target = 50.0  # BASELINE.json: >= 50x real-time per chip
+
+    print(json.dumps({
+        'metric': f'xRT mfcc+cmvn+delta+pitch pipeline ({backend})',
+        'value': round(xrt, 1),
+        'unit': 'x_realtime_per_chip',
+        'vs_baseline': round(xrt / target, 3)}))
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -151,15 +151,16 @@ def plp_batch(signals, nsamples, mel_weights, equal_loudness, opts,
             log_energy = framing.windowed_log_energy(processed)
 
     power = power_spectrum(processed, opts.frame.padded_window_size)
-    mel_energies = jnp.einsum(
-        'bfp,mp->bfm', power, mel_weights,
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
+    from shennong_tpu.ops.spectral import _mel_apply
+    mel_energies = _mel_apply(power, mel_weights)
 
     if opts.rasta:
         log_mel = jnp.log(mel_energies + np.finfo(np.float32).eps)
         mel_energies = jnp.exp(rasta_filter(log_mel))
 
+    # equal_loudness broadcasts for both [M] and per-utterance [B, M]
+    if equal_loudness.ndim == 2:
+        equal_loudness = equal_loudness[:, None, :]
     mel_energies = mel_energies * equal_loudness
     mel_energies = jnp.power(mel_energies, opts.compress_factor)
 

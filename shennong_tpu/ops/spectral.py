@@ -94,6 +94,17 @@ def _floor_energy(log_energy, energy_floor):
     return log_energy
 
 
+def _mel_apply(power, mel_weights):
+    """Power spectrum -> mel energies; supports a shared [M, P] matrix
+    or per-utterance [B, M, P] matrices (per-utterance VTLN warps in
+    one batch)."""
+    subscripts = 'bfp,bmp->bfm' if mel_weights.ndim == 3 else 'bfp,mp->bfm'
+    return jnp.einsum(
+        subscripts, power, mel_weights,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
 @functools.partial(
     jax.jit, static_argnames=('opts', 'nframes_max'))
 def spectrogram_batch(signals, nsamples, opts, nframes_max, key=None):
@@ -134,10 +145,7 @@ def fbank_batch(signals, nsamples, mel_weights, opts, nframes_max,
     if not opts.use_power:
         power = jnp.sqrt(power)
 
-    mel_energies = jnp.einsum(
-        'bfp,mp->bfm', power, mel_weights,
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
+    mel_energies = _mel_apply(power, mel_weights)
     if opts.use_log_fbank:
         mel_energies = jnp.log(jnp.maximum(mel_energies, FLT_EPSILON))
 
@@ -166,10 +174,7 @@ def mfcc_batch(signals, nsamples, mel_weights, opts, nframes_max,
         signals, nsamples, opts, nframes_max, key)
     power = power_spectrum(processed, opts.frame.padded_window_size)
 
-    mel_energies = jnp.einsum(
-        'bfp,mp->bfm', power, mel_weights,
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
+    mel_energies = _mel_apply(power, mel_weights)
     log_mel = jnp.log(jnp.maximum(mel_energies, FLT_EPSILON))
 
     dct = jnp.asarray(

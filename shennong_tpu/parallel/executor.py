@@ -1,0 +1,180 @@
+"""Batched multi-utterance feature extraction engine.
+
+One :class:`BatchExecutor` drives a frame-based processor (MFCC,
+filterbank, spectrogram, PLP, energy, Kaldi pitch) over a whole
+utterance collection: signals are loaded host-side, sorted into padded
+length buckets, and each bucket runs as one jitted XLA program — on a
+multi-device mesh, sharded over the utterance axis. This is the
+TPU-native replacement of the reference's joblib pools.
+"""
+
+import numpy as np
+
+import jax
+
+from shennong_tpu import Features, FeaturesCollection
+from shennong_tpu.ops import pitch as pitch_ops
+from shennong_tpu.ops import plp as plp_ops
+from shennong_tpu.ops import spectral
+from shennong_tpu.ops.framing import num_frames
+from shennong_tpu.parallel import batch as batching
+from shennong_tpu.parallel import mesh as meshing
+
+
+class BatchExecutor:
+    """Runs a processor over utterance collections in padded batches.
+
+    Parameters
+    ----------
+    processor :
+        A frame-based processor (MfccProcessor, FilterbankProcessor,
+        SpectrogramProcessor, PlpProcessor, EnergyProcessor or
+        KaldiPitchProcessor).
+    batch_size : int, optional
+        Utterances per device batch, default 16.
+    mesh : jax.sharding.Mesh, optional
+        When given, batches are sharded over the mesh's 'data' axis
+        (one shard of utterances per device).
+    """
+
+    def __init__(self, processor, batch_size=16, mesh=None):
+        self.processor = processor
+        self.batch_size = int(batch_size)
+        self.mesh = mesh
+
+    def _sharding(self):
+        if self.mesh is None:
+            return None
+        return meshing.batch_sharding(self.mesh)
+
+    def _pad_multiple(self):
+        if self.mesh is None:
+            return 1
+        return self.mesh.devices.size
+
+    def _device_put(self, signals, nsamples):
+        sharding = self._sharding()
+        if sharding is None:
+            return signals, nsamples
+        return (jax.device_put(signals, sharding),
+                jax.device_put(nsamples, sharding))
+
+    def process_all(self, utterances, vtln_warp=None, njobs=4):
+        """Extract features for every utterance.
+
+        ``vtln_warp`` optionally maps utterance names to warp factors
+        (mel-based processors only). Returns a FeaturesCollection.
+        """
+        proc = self.processor
+        name = proc.name
+
+        # the whole batch shares the processor's sample rate
+        from shennong_tpu.audio import Audio
+        for utt in utterances:
+            rate = Audio.scan(utt.audio_file).sample_rate
+            if float(proc.sample_rate) != float(rate):
+                raise ValueError(
+                    'processor and signal mismatch in sample rates: '
+                    '{} != {}'.format(proc.sample_rate, rate))
+
+        items = batching.load_signals(utterances, njobs=njobs)
+
+        collection = FeaturesCollection()
+        for names, signals, nsamples, nvalid in batching.make_batches(
+                items, self.batch_size, self._pad_multiple()):
+            feats = self._run_batch(
+                names, signals, nsamples, vtln_warp)
+            for row, utt_name in enumerate(names):
+                if name == 'pitch':
+                    nframes = pitch_ops.num_pitch_frames(
+                        int(nsamples[row]), proc.options())
+                else:
+                    nframes = num_frames(
+                        int(nsamples[row]), proc.frame_options())
+                data = np.asarray(feats[row, :nframes])
+                if name == 'energy':
+                    data = data.astype(np.float64)[:, None]
+                properties = (
+                    proc.get_properties(
+                        vtln_warp=vtln_warp[utt_name])
+                    if vtln_warp is not None and hasattr(
+                        proc, 'mel_weights')
+                    else proc.get_properties())
+                collection[utt_name] = Features(
+                    data, proc.times(data.shape[0]),
+                    properties=properties)
+        return collection
+
+    def _run_batch(self, names, signals, nsamples, vtln_warp):
+        proc = self.processor
+        name = proc.name
+        signals, nsamples_dev = self._device_put(signals, nsamples)
+
+        if name == 'pitch':
+            opts = proc.options()
+            nframes_max = pitch_ops.num_pitch_frames(
+                signals.shape[1], opts)
+            return pitch_ops.compute_pitch(
+                signals, nsamples_dev, opts, nframes_max)
+
+        frame_opts = proc.frame_options()
+        nframes_max = num_frames(signals.shape[1], frame_opts)
+        key = None
+        if frame_opts.dither != 0:
+            from shennong_tpu.processor.base import _fresh_key
+            key = _fresh_key()
+
+        if name == 'energy':
+            import dataclasses
+            frame = frame_opts
+            if proc.raw_energy:
+                frame = dataclasses.replace(
+                    frame, preemph_coeff=0.0, window_type='rectangular')
+            opts = spectral.EnergyOpts(
+                frame=frame, raw_energy=proc.raw_energy,
+                compression=proc.compression)
+            return spectral.energy_batch(
+                signals, nsamples_dev, opts, nframes_max,
+                compression=proc.compression, key=key)
+
+        if name == 'spectrogram':
+            return spectral.spectrogram_batch(
+                signals, nsamples_dev, proc.options(), nframes_max,
+                key=key)
+
+        # mel-based processors, with optional per-utterance warps
+        if vtln_warp is None:
+            mel_weights = proc.mel_weights(1.0)
+        else:
+            warps = [vtln_warp[utt] for utt in names]
+            # padding rows reuse the last warp
+            warps += [warps[-1]] * (signals.shape[0] - len(warps))
+            if len(set(warps)) == 1:
+                mel_weights = proc.mel_weights(warps[0])
+            else:
+                mel_weights = np.stack(
+                    [proc.mel_weights(w) for w in warps])
+
+        if name == 'plp':
+            if vtln_warp is None:
+                eql = proc.equal_loudness(1.0)
+            else:
+                eqls = [proc.equal_loudness(w) for w in warps]
+                eql = (eqls[0] if len(set(warps)) == 1
+                       else np.stack(eqls))
+            return plp_ops.plp_batch(
+                signals, nsamples_dev, mel_weights, eql,
+                proc.options(), nframes_max, key=key)
+
+        if name == 'mfcc':
+            return spectral.mfcc_batch(
+                signals, nsamples_dev, mel_weights, proc.options(),
+                nframes_max, key=key)
+
+        if name == 'filterbank':
+            return spectral.fbank_batch(
+                signals, nsamples_dev, mel_weights, proc.options(),
+                nframes_max, key=key)
+
+        raise ValueError(
+            f'processor {name} does not support batched execution')

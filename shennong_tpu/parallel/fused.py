@@ -1,0 +1,145 @@
+"""Fused production pipelines: whole feature stacks as one XLA program.
+
+This is the serving-path counterpart of the YAML pipeline: the full
+MFCC + CMVN + delta + pitch stack compiled into a single jitted
+program over a padded utterance batch (no host round-trips between
+stages), and a distributed GMM training step whose statistics reduce
+with psum over a device mesh.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from shennong_tpu.ops import pitch as pitch_ops
+from shennong_tpu.ops import postops, spectral
+from shennong_tpu.ops.framing import num_frames
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('mfcc_opts', 'pitch_opts', 'post_opts',
+                     'nframes_max', 'pitch_frames_max', 'delta_order',
+                     'delta_window'))
+def mfcc_pitch_pipeline(signals, nsamples, mel_weights, mfcc_opts,
+                        pitch_opts, post_opts, nframes_max,
+                        pitch_frames_max, delta_order=2,
+                        delta_window=2):
+    """MFCC + per-utterance CMVN + deltas + Kaldi pitch, fused.
+
+    [B, T] padded signals -> [B, F, 13*(delta_order+1) + pitch_dims]
+    feature batch plus the per-utterance frame counts. Mirrors the
+    reference's `mfcc --cmvn --delta --pitch kaldi` pipeline with
+    per-utterance CMVN; every stage is fused into one XLA program.
+    """
+    feats = spectral.mfcc_batch(
+        signals, nsamples, mel_weights, mfcc_opts, nframes_max)
+
+    # per-utterance frame counts, traced
+    shift = mfcc_opts.frame.window_shift
+    length = mfcc_opts.frame.window_size
+    nframes = jnp.maximum((nsamples - length) // shift + 1, 0)
+
+    # masked per-utterance CMVN (mean + variance)
+    t = jnp.arange(feats.shape[1])[None, :, None]
+    valid = t < nframes[:, None, None]
+    count = jnp.maximum(
+        nframes.astype(jnp.float32), 1.0)[:, None, None]
+    masked = jnp.where(valid, feats, 0.0)
+    mean = jnp.sum(masked, axis=1, keepdims=True) / count
+    var = jnp.sum(masked * masked, axis=1, keepdims=True) / count \
+        - mean * mean
+    feats = jnp.where(
+        valid, (feats - mean) * jax.lax.rsqrt(
+            jnp.maximum(var, 1e-20)), 0.0)
+
+    # deltas
+    feats = postops.compute_deltas(
+        feats, nframes, order=delta_order, window=delta_window)
+
+    # pitch + post-processing
+    raw_pitch = pitch_ops.compute_pitch(
+        signals, nsamples, pitch_opts, pitch_frames_max)
+    pitch_feats = pitch_ops.process_pitch(
+        raw_pitch, pitch_ops.pitch_num_frames_device(
+            _resampled_len(nsamples, pitch_opts), pitch_opts),
+        post_opts)
+
+    # concatenate on the common frame grid (the reference trims to
+    # the shortest within a 2-frame tolerance; here both live on the
+    # same padded grid, valid lengths may differ per utterance)
+    common = min(feats.shape[1], pitch_feats.shape[1])
+    out = jnp.concatenate(
+        [feats[:, :common], pitch_feats[:, :common]], axis=-1)
+    out_frames = jnp.minimum(nframes, common)
+    return out, out_frames
+
+
+def _resampled_len(nsamples, opts):
+    import math as _math
+    gcd = _math.gcd(int(opts.sample_rate), int(opts.resample_freq))
+    out_r = int(opts.resample_freq) // gcd
+    in_r = int(opts.sample_rate) // gcd
+    prod = nsamples.astype(jnp.int32) * out_r
+    last = prod // in_r
+    exact = (last * in_r == prod)
+    return (last - exact.astype(jnp.int32) + 1).astype(jnp.int32)
+
+
+def make_gmm_training_step(mesh, mfcc_opts, nframes_max):
+    """A distributed GMM EM step over a data-parallel mesh.
+
+    Returns a function (signals, nsamples, weights, means, inv_vars)
+    -> updated (weights, means, inv_vars): each device extracts MFCC
+    for its shard of utterances and accumulates EM statistics; the
+    statistics psum over the 'data' axis before the on-device MLE
+    update (the TPU-native equivalent of the reference's multithreaded
+    C++ accumulation, ``shennong/processor/ubm.py:656``).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from shennong_tpu.ops import gmm as gmm_ops
+    from shennong_tpu.ops import mel as melmod
+
+    mel_weights = jnp.asarray(melmod.mel_banks(
+        mfcc_opts.mel.num_bins, mfcc_opts.frame.padded_window_size,
+        mfcc_opts.frame.sample_rate, mfcc_opts.mel.low_freq,
+        mfcc_opts.mel.high_freq, mfcc_opts.mel.vtln_low,
+        mfcc_opts.mel.vtln_high, 1.0)[0])
+
+    def shard_step(signals, nsamples, weights, means, inv_vars):
+        feats = spectral.mfcc_batch(
+            signals, nsamples, mel_weights, mfcc_opts, nframes_max)
+
+        shift = mfcc_opts.frame.window_shift
+        length = mfcc_opts.frame.window_size
+        nframes = jnp.maximum((nsamples - length) // shift + 1, 0)
+        t = jnp.arange(feats.shape[1])[None, :]
+        frame_weights = (t < nframes[:, None]).astype(jnp.float32)
+
+        flat = feats.reshape(-1, feats.shape[-1])
+        flat_weights = frame_weights.reshape(-1)
+        _, occ, mean_acc, var_acc = gmm_ops.accumulate_stats(
+            flat, flat_weights, weights, means, inv_vars)
+
+        # global statistics ride the ICI
+        occ = jax.lax.psum(occ, 'data')
+        mean_acc = jax.lax.psum(mean_acc, 'data')
+        var_acc = jax.lax.psum(var_acc, 'data')
+
+        # on-device MLE update (no floors: the dryrun/training hot path)
+        total = jnp.sum(occ)
+        new_weights = occ / total
+        safe = jnp.maximum(occ, 1e-10)[:, None]
+        new_means = mean_acc / safe
+        new_vars = jnp.maximum(
+            var_acc / safe - new_means ** 2, 1e-3)
+        return new_weights, new_means, 1.0 / new_vars
+
+    return jax.jit(shard_map(
+        shard_step, mesh=mesh,
+        in_specs=(P('data'), P('data'), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_rep=False))

@@ -238,6 +238,32 @@ class FramesProcessor(FeaturesProcessor, metaclass=abc.ABCMeta):
     def snip_edges(self, value):
         self._snip_edges = bool(value)
 
+    def process_all(self, utterances, njobs=None, **kwargs):
+        """Batched extraction over a whole utterance collection.
+
+        Overrides the generic per-utterance loop: utterances are
+        sorted into padded length buckets and each bucket runs as one
+        jitted XLA program (see
+        :class:`shennong_tpu.parallel.executor.BatchExecutor`).
+        ``kwargs`` may contain a ``vtln_warp`` dict (mel-based
+        processors); other per-utterance arguments fall back to the
+        sequential path.
+        """
+        njobs = get_njobs(njobs, log=self.log)
+        for name, value in kwargs.items():
+            if not isinstance(value, dict):
+                raise ValueError(f'argument "{name}" is not a dict')
+            if value.keys() != utterances.by_name().keys():
+                raise ValueError(
+                    f'utterances and "{name}" have different names')
+
+        if set(kwargs) <= {'vtln_warp'} and hasattr(self, 'options'):
+            from shennong_tpu.parallel.executor import BatchExecutor
+            return BatchExecutor(self).process_all(
+                utterances, vtln_warp=kwargs.get('vtln_warp'),
+                njobs=njobs)
+        return super().process_all(utterances, njobs=njobs, **kwargs)
+
     def times(self, nframes):
         """(tstart, tstop) label for each output frame"""
         return np.vstack((

@@ -68,6 +68,17 @@ class EnergyProcessor(FramesProcessor):
     def raw_energy(self, value):
         self._raw_energy = bool(value)
 
+    def options(self):
+        """All parameters bundled as a static EnergyOpts"""
+        import dataclasses
+        frame = self.frame_options()
+        if self._raw_energy:
+            frame = dataclasses.replace(
+                frame, preemph_coeff=0.0, window_type='rectangular')
+        return EnergyOpts(
+            frame=frame, raw_energy=self._raw_energy,
+            compression=self._compression)
+
     def process(self, signal):
         """Compute the compressed frame energies of ``signal``.
 

@@ -217,6 +217,13 @@ class KaldiPitchProcessor(FeaturesProcessor):
             np.arange(nframes) * self.frame_shift,
             np.arange(nframes) * self.frame_shift + self.frame_length)).T
 
+    def process_all(self, utterances, njobs=None, **kwargs):
+        """Batched pitch extraction over an utterance collection."""
+        if not kwargs:
+            from shennong_tpu.parallel.executor import BatchExecutor
+            return BatchExecutor(self).process_all(utterances)
+        return super().process_all(utterances, njobs=njobs, **kwargs)
+
     def process(self, signal):
         """Extract the (NCCF, pitch) per frame of ``signal``.
 
