@@ -1,0 +1,164 @@
+"""ctypes bindings to the native IO runtime (shennong_io.cpp).
+
+The C++ library provides the host-side data plane of the framework: a
+threaded batched WAV loader filling the executor's padded device
+upload buffers, fast WAV header scans and a bulk Kaldi ark
+indexer/reader. The library is compiled on first use (g++, cached next
+to the source); every entry point has a pure-Python fallback so the
+package works without a toolchain.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SOURCE = os.path.join(_HERE, 'shennong_io.cpp')
+_LIBRARY = os.path.join(_HERE, 'libshennong_io.so')
+
+_lock = threading.Lock()
+_lib = None
+_failed = False
+
+
+def _build():
+    subprocess.run(
+        ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', '-pthread',
+         '-o', _LIBRARY, _SOURCE],
+        check=True, capture_output=True)
+
+
+def load_library():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _failed
+    if _lib is not None or _failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _failed:
+            return _lib
+        try:
+            if (not os.path.isfile(_LIBRARY)
+                    or os.path.getmtime(_LIBRARY)
+                    < os.path.getmtime(_SOURCE)):
+                _build()
+            lib = ctypes.CDLL(_LIBRARY)
+
+            lib.shennong_wav_scan.restype = ctypes.c_int
+            lib.shennong_wav_scan.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int64)]
+
+            lib.shennong_load_wav_batch.restype = ctypes.c_int
+            lib.shennong_load_wav_batch.argtypes = [
+                ctypes.c_char_p, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int32]
+
+            lib.shennong_ark_index.restype = ctypes.c_int64
+            lib.shennong_ark_index.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+
+            lib.shennong_ark_read.restype = ctypes.c_int
+            lib.shennong_ark_read.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p]
+
+            _lib = lib
+        except Exception:
+            _failed = True
+    return _lib
+
+
+def available():
+    """True when the native library could be built and loaded"""
+    return load_library() is not None
+
+
+def wav_scan(path):
+    """(channels, sample_rate, nsamples) of a WAV file, or None."""
+    lib = load_library()
+    if lib is None:
+        return None
+    channels = ctypes.c_int32()
+    rate = ctypes.c_int32()
+    nsamples = ctypes.c_int64()
+    status = lib.shennong_wav_scan(
+        str(path).encode(), ctypes.byref(channels), ctypes.byref(rate),
+        ctypes.byref(nsamples))
+    if status != 0:
+        return None
+    return channels.value, rate.value, nsamples.value
+
+
+def load_wav_batch(paths, start_samples, max_counts, row_stride,
+                   num_threads=8):
+    """Load mono WAV segments concurrently into a padded batch.
+
+    Returns (batch [len(paths), row_stride] float32 in int16 range,
+    counts [len(paths)] int64) or None if the native library is
+    unavailable or any file failed (callers then fall back to the
+    Python loader).
+    """
+    lib = load_library()
+    if lib is None:
+        return None
+
+    batch = len(paths)
+    packed = b''.join(str(p).encode() + b'\0' for p in paths)
+    starts = np.asarray(start_samples, dtype=np.int64)
+    counts = np.asarray(max_counts, dtype=np.int64)
+    out = np.empty((batch, row_stride), dtype=np.float32)
+    out_counts = np.empty(batch, dtype=np.int64)
+
+    failures = lib.shennong_load_wav_batch(
+        packed, batch,
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        row_stride,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        num_threads)
+    if failures:
+        return None
+    return out, out_counts
+
+
+def ark_index(path, max_records=1 << 20, keys_capacity=1 << 24):
+    """Index a binary ark: list of (key, offset, rows, cols,
+    is_double), or None."""
+    lib = load_library()
+    if lib is None:
+        return None
+    keys_buf = ctypes.create_string_buffer(keys_capacity)
+    meta = np.empty((max_records, 4), dtype=np.int64)
+    count = lib.shennong_ark_index(
+        str(path).encode(), keys_buf, keys_capacity,
+        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        max_records)
+    if count < 0:
+        return None
+    keys = keys_buf.raw.split(b'\0')[:count]
+    return [
+        (keys[i].decode(), int(meta[i, 0]), int(meta[i, 1]),
+         int(meta[i, 2]), bool(meta[i, 3]))
+        for i in range(count)]
+
+
+def ark_read_matrix(path, offset, rows, cols, is_double):
+    """Bulk-read one ark matrix record, or None."""
+    lib = load_library()
+    if lib is None:
+        return None
+    dtype = np.float64 if is_double else np.float32
+    out = np.empty((rows, cols), dtype=dtype)
+    status = lib.shennong_ark_read(
+        str(path).encode(), offset, out.nbytes,
+        out.ctypes.data_as(ctypes.c_void_p))
+    return out if status == 0 else None

@@ -1,25 +1,70 @@
-"""Length bucketing and padded batch assembly."""
+"""Length bucketing and padded batch assembly (host data plane).
+
+WAV decoding goes through the native C++ threaded loader
+(:mod:`shennong_tpu.native`) when available — one call decodes a whole
+utterance batch concurrently straight into the padded upload buffer —
+with a pure-Python fallback for other formats or missing toolchains.
+"""
 
 import concurrent.futures
 
 import numpy as np
 
+from shennong_tpu import native
 from shennong_tpu.ops.framing import bucket_size
 
 
+def _utterance_bounds(utt, sample_rate):
+    """(first_sample, sample_count) of an utterance in its file."""
+    if utt.tstart is None:
+        return 0, None
+    start = int(utt.tstart * sample_rate)
+    stop = int(utt.tstop * sample_rate)
+    return start, stop - start
+
+
+def _load_signals_native(utterances):
+    """Decode all utterances with the C++ batch loader, or None."""
+    paths, starts, counts = [], [], []
+    for utt in utterances:
+        scan = native.wav_scan(utt.audio_file)
+        if scan is None or scan[0] != 1:
+            return None
+        channels, rate, nsamples = scan
+        start, count = _utterance_bounds(utt, rate)
+        if count is None:
+            count = nsamples - start
+        paths.append(utt.audio_file)
+        starts.append(start)
+        counts.append(count)
+
+    stride = max(counts)
+    loaded = native.load_wav_batch(paths, starts, counts, stride)
+    if loaded is None:
+        return None
+    batch, out_counts = loaded
+    return [
+        (utt.name, batch[i, :out_counts[i]])
+        for i, utt in enumerate(utterances)]
+
+
 def load_signals(utterances, njobs=4):
-    """Load all utterance audio concurrently (host IO).
+    """Load all utterance audio (native threaded loader, Python
+    fallback).
 
     Returns a list of (name, float32 samples in int16 range) in
-    utterance order. Audio IO is the only part of the pipeline that
-    benefits from host threads; everything downstream is device work.
+    utterance order.
     """
+    utterances = list(utterances)
+    if native.available():
+        items = _load_signals_native(utterances)
+        if items is not None:
+            return items
+
     def load_one(utt):
         audio = utt.load_audio().astype(np.int16)
         return utt.name, audio.data.astype(np.float32)
 
-    # Audio.load caches by file; process sequentially per file order
-    # (utterances are already sorted by audio file) but overlap IO
     with concurrent.futures.ThreadPoolExecutor(
             max_workers=max(1, njobs)) as pool:
         return list(pool.map(load_one, utterances))

@@ -318,7 +318,27 @@ def write_ark_matrix(fp, key, matrix):
 
 
 def read_ark(filename):
-    """Iterate over (key, matrix) pairs of a Kaldi binary ark file."""
+    """Iterate over (key, matrix) pairs of a Kaldi binary ark file.
+
+    Uses the native C++ indexer/bulk reader when available
+    (:mod:`shennong_tpu.native`), falling back to the pure-Python
+    codec.
+    """
+    from shennong_tpu import native
+    if native.available():
+        index = native.ark_index(filename)
+        if index is not None:
+            done = True
+            for key, offset, rows, cols, is_double in index:
+                matrix = native.ark_read_matrix(
+                    filename, offset, rows, cols, is_double)
+                if matrix is None:  # pragma: nocover
+                    done = False
+                    break
+                yield key, matrix
+            if done:
+                return
+
     with open(filename, 'rb') as fp:
         while True:
             key = _read_token(fp)

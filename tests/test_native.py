@@ -1,0 +1,96 @@
+"""Tests for the native C++ IO runtime and its Python fallback"""
+
+import numpy as np
+import pytest
+
+from shennong_tpu import Utterances, native
+from shennong_tpu.audio import Audio
+from shennong_tpu.parallel.batch import load_signals
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason='native library not built')
+
+
+def test_wav_scan(wav_file):
+    channels, rate, nsamples = native.wav_scan(wav_file)
+    assert channels == 1
+    assert rate == 16000
+    assert nsamples == 22713
+
+    assert native.wav_scan('/no/such/file.wav') is None
+
+
+def test_wav_scan_matches_python(wav_file, wav_file_8k,
+                                 wav_file_float32):
+    for path in (wav_file, wav_file_8k, wav_file_float32):
+        meta = Audio.scan(path)
+        channels, rate, nsamples = native.wav_scan(path)
+        assert channels == meta.nchannels
+        assert rate == meta.sample_rate
+        assert nsamples == meta.nsamples
+
+
+def test_load_wav_batch(wav_file, audio):
+    batch, counts = native.load_wav_batch(
+        [wav_file, wav_file], [0, 8000], [22713, 8000], 22713)
+    assert batch.shape == (2, 22713)
+    assert counts.tolist() == [22713, 8000]
+    assert np.array_equal(batch[0], audio.data.astype(np.float32))
+    assert np.array_equal(
+        batch[1, :8000], audio.data[8000:16000].astype(np.float32))
+    # padding is zero
+    assert np.all(batch[1, 8000:] == 0)
+
+
+def test_load_wav_batch_float32(wav_file_float32, wav_file):
+    """float32 WAVs decode to the same int16-range values."""
+    batch, counts = native.load_wav_batch(
+        [wav_file_float32], [0], [22713], 22713)
+    reference = Audio.load(wav_file).data.astype(np.float32)
+    assert np.allclose(batch[0], reference, atol=1.0)
+
+
+def test_load_signals_native_vs_python(wav_file):
+    utterances = Utterances([
+        ('u1', wav_file, 0.0, 0.5),
+        ('u2', wav_file, 0.5, 1.4)])
+
+    items_native = load_signals(utterances)
+
+    # force the python path
+    import shennong_tpu.parallel.batch as batch_mod
+    native_avail = native.available
+    try:
+        native.available = lambda: False
+        items_python = load_signals(utterances)
+    finally:
+        native.available = native_avail
+
+    assert [n for n, _ in items_native] == [n for n, _ in items_python]
+    for (_, a), (_, b) in zip(items_native, items_python):
+        assert np.array_equal(a, b)
+
+
+def test_ark_index_and_read(tmpdir):
+    from shennong_tpu.serializers import read_ark, write_ark_matrix
+
+    path = str(tmpdir.join('test.ark'))
+    mats = {
+        'utt_a': np.random.RandomState(0).rand(7, 3).astype(np.float32),
+        'utt_b': np.random.RandomState(1).rand(4, 5),
+    }
+    with open(path, 'wb') as fp:
+        for key, mat in mats.items():
+            write_ark_matrix(fp, key, mat)
+
+    index = native.ark_index(path)
+    assert [entry[0] for entry in index] == ['utt_a', 'utt_b']
+    for key, offset, rows, cols, is_double in index:
+        loaded = native.ark_read_matrix(
+            path, offset, rows, cols, is_double)
+        assert np.array_equal(loaded, mats[key])
+
+    # and the serializer-level reader agrees
+    python_read = dict(read_ark(path))
+    for key in mats:
+        assert np.array_equal(python_read[key], mats[key])
