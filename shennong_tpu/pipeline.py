@@ -282,21 +282,98 @@ def _extract_features(config, utterances, warps, log, njobs=1):
         manager.warps = manager.get_vtln_processor(
             'vtln').process(utterances, njobs=njobs)
 
-    if 'cmvn' in config:
-        # pass 1: features + pitch extraction, CMVN stats accumulation
+    # batched pass 1 whenever the whole collection shares one device
+    # program (everything except bottleneck and crepe pitch, which
+    # keep their own internal batching)
+    pass_one = _batched_pass_one(manager, utterances, log, njobs)
+    if pass_one is None:
         pass_one = [
             _extract_pass_one(utterance, manager, log=log)
             for utterance in utterances]
-        # pass 2: CMVN application, deltas, pitch concatenation
-        features = FeaturesCollection(dict(
-            _extract_pass_two(utterance, manager, feats, pitch, log=log)
-            for utterance, feats, pitch in pass_one))
-    else:
-        features = FeaturesCollection(dict(
-            _extract_single_pass(utterance, manager, log=log)
-            for utterance in utterances))
 
+    features = FeaturesCollection(dict(
+        _extract_pass_two(utterance, manager, feats, pitch, log=log)
+        for utterance, feats, pitch in pass_one))
     return features
+
+
+def _batched_pass_one(manager, utterances, log, njobs):
+    """Pass 1 as whole-collection batched device programs.
+
+    Returns the same (utterance, features, pitch) triplets as the
+    sequential :func:`_extract_pass_one`, or None when the
+    configuration requires the per-utterance path (bottleneck
+    features, crepe pitch, heterogeneous sample rates).
+    """
+    from shennong_tpu.parallel.executor import BatchExecutor
+
+    config = manager.config
+    if manager.features == 'bottleneck':
+        return None
+    if 'pitch' in config and config['pitch']['processor'] != 'kaldi':
+        return None
+    rates = set(
+        meta.sample_rate for meta in manager.audio_metadata.values())
+    if len(rates) != 1:
+        return None
+
+    utterances = list(utterances)
+    first = utterances[0]
+
+    log.debug('batched extraction of %s', manager.features)
+    proc = manager.get_features_processor(first)
+    warp_arg = dict(manager.warps) if manager.warps else None
+    feats_collection = BatchExecutor(proc).process_all(
+        utterances, vtln_warp=warp_arg, njobs=njobs)
+
+    if 'cmvn' in config and config['cmvn']['with_vad']:
+        log.debug('batched energy + vad')
+        energies = BatchExecutor(
+            manager.get_energy_processor(first)).process_all(
+                utterances, njobs=njobs)
+        vad_proc = manager.get_vad_processor(first)
+        vads = {
+            name: vad_proc.process(energy).data.reshape(-1)
+            for name, energy in energies.items()}
+    else:
+        vads = None
+
+    if 'pitch' in config:
+        log.debug('batched pitch extraction')
+        pitch_raw = BatchExecutor(
+            manager.get_pitch_processor(first)).process_all(
+                utterances, njobs=njobs)
+        pitch_post = manager.get_pitch_post_processor(first)
+        pitches = {
+            name: pitch_post.process(raw)
+            for name, raw in pitch_raw.items()}
+    else:
+        pitches = None
+
+    triplets = []
+    for utterance in utterances:
+        features = feats_collection[utterance.name]
+
+        if 'cmvn' in config:
+            manager.get_cmvn_processor(utterance).accumulate(
+                features,
+                weights=vads[utterance.name] if vads else None)
+
+        if utterance.speaker:
+            features.properties['speaker'] = utterance.speaker
+        features.properties['audio'] = {
+            'file': os.path.abspath(utterance.audio_file),
+            'sample_rate': manager.audio_metadata[
+                utterance.audio_file].sample_rate}
+        if utterance.tstart is not None:
+            features.properties['audio']['tstart'] = utterance.tstart
+            features.properties['audio']['tstop'] = utterance.tstop
+        features.properties['audio']['duration'] = utterance.duration
+
+        triplets.append((
+            utterance, features,
+            pitches[utterance.name] if pitches else None))
+    return triplets
 
 
 def _extract_pass_one(utterance, manager, log):
