@@ -143,7 +143,7 @@ def _reflect_indices(indices, nsamples):
 
 @functools.partial(jax.jit, static_argnames=('opts', 'nframes_max'))
 def extract_frames(signals, nsamples, opts, nframes_max):
-    """Gather raw (unprocessed) frames from a padded signal batch.
+    """Extract raw (unprocessed) frames from a padded signal batch.
 
     Parameters
     ----------
@@ -155,13 +155,41 @@ def extract_frames(signals, nsamples, opts, nframes_max):
     Returns
     -------
     frames : [batch, nframes_max, window_size] float32
+
+    With ``snip_edges`` every valid frame lies entirely inside its
+    signal, so frames assemble from plain strided slices (the padding
+    region yields zero frames beyond each utterance's true frame
+    count, which callers discard). Without ``snip_edges`` the edge
+    frames reflect around the signal boundaries, which requires the
+    general gather path.
     """
     size = opts.window_size
+    shift = opts.window_shift
+
+    if opts.snip_edges:
+        # slice-and-concat framing: chunk the signal into shift-sized
+        # blocks, a frame is ceil(size/shift) consecutive (trimmed)
+        # blocks — pure reshapes/slices, no gather
+        needed = (nframes_max + size // shift + 1) * shift
+        if signals.shape[1] < needed:
+            signals = jnp.pad(
+                signals, ((0, 0), (0, needed - signals.shape[1])))
+        elif signals.shape[1] % shift:
+            signals = jnp.pad(
+                signals,
+                ((0, 0), (0, shift - signals.shape[1] % shift)))
+        chunks = signals.reshape(signals.shape[0], -1, shift)
+        pieces = [
+            chunks[:, j:j + nframes_max] for j in range(size // shift)]
+        if size % shift:
+            pieces.append(
+                chunks[:, size // shift:size // shift + nframes_max,
+                       :size % shift])
+        return jnp.concatenate(pieces, axis=-1)
+
     starts = (
-        jnp.arange(nframes_max, dtype=jnp.int32) * opts.window_shift)
-    if not opts.snip_edges:
-        shift = opts.window_shift
-        starts = starts + shift // 2 - size // 2
+        jnp.arange(nframes_max, dtype=jnp.int32) * shift
+        + shift // 2 - size // 2)
     indices = starts[:, None] + jnp.arange(size, dtype=jnp.int32)[None, :]
 
     # per-utterance reflection against the true signal length

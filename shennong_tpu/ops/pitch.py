@@ -156,44 +156,49 @@ def _viterbi_lags(local_cost, inter_frame_factor, nframes):
     idx = jnp.arange(nlags)
     penalty = (
         (idx[:, None] - idx[None, :]).astype(jnp.float32) ** 2
-        * inter_frame_factor)  # [L_prev, L_cur]
+        * inter_frame_factor)  # symmetric [L, L]
 
     frame_ids = jnp.arange(maxframes)
     valid = (frame_ids[None, :] < nframes[:, None])  # [B, F]
 
+    # Forward pass: min-plus only (no argmin) — backpointers are
+    # recovered on the backward pass in O(L) per frame by re-solving
+    # the argmin along the chosen path, halving the O(L^2) work.
     def forward_step(carry, inputs):
         fwd = carry  # [B, L]
         cost_t, valid_t = inputs  # [B, L], [B]
-        total = fwd[:, :, None] + penalty[None, :, :]  # [B, Lp, Lc]
-        best_prev = jnp.argmin(total, axis=1).astype(jnp.int32)
-        new_fwd = cost_t + jnp.min(total, axis=1)
+        # reduce over the previous-lag axis placed minor for the VPU
+        total = fwd[:, None, :] + penalty[None, :, :]  # [B, Lc, Lp]
+        new_fwd = cost_t + jnp.min(total, axis=2)
         # re-center to avoid drift, mask padded frames as pass-through
         new_fwd = new_fwd - jnp.min(new_fwd, axis=1, keepdims=True)
         new_fwd = jnp.where(valid_t[:, None], new_fwd, fwd)
-        return new_fwd, best_prev
+        # emit the pre-update forward costs for the backward pass
+        return new_fwd, fwd
 
     init = local_cost[:, 0, :]
     init = init - jnp.min(init, axis=1, keepdims=True)
     xs = (local_cost[:, 1:].transpose(1, 0, 2), valid[:, 1:].T)
-    final_fwd, backptrs = jax.lax.scan(forward_step, init, xs)
-    # backptrs: [F-1, B, L]; backptrs[t] maps lag at frame t+1 to the
-    # best lag at frame t
+    final_fwd, fwd_hist = jax.lax.scan(
+        forward_step, init, xs, unroll=4)
+    # fwd_hist[t] = forward costs after frame t (before frame t+1)
 
     # start the backtrace at the last *valid* frame of each utterance
     last_best = jnp.argmin(final_fwd, axis=1).astype(jnp.int32)  # [B]
 
     def backward_step(carry, inputs):
         best_next = carry  # [B]
-        ptrs_t, valid_next = inputs  # [B, L], [B]
-        best_here = jnp.take_along_axis(
-            ptrs_t, best_next[:, None], axis=1)[:, 0]
+        fwd_t, valid_next = inputs  # [B, L], [B]
+        # argmin_i fwd_t[i] + penalty[i, best_next] (penalty symmetric)
+        scores = fwd_t + jnp.take(penalty, best_next, axis=0)
+        best_here = jnp.argmin(scores, axis=1).astype(jnp.int32)
         # if frame t+1 is padding, the state passes through unchanged
         best_here = jnp.where(valid_next, best_here, best_next)
         return best_here, best_here
 
     _, best_rev = jax.lax.scan(
         backward_step, last_best,
-        (backptrs[::-1], valid[:, 1:].T[::-1]))
+        (fwd_hist[::-1], valid[:, 1:].T[::-1]), unroll=4)
     # best_rev holds frames F-2 .. 0 (reversed); append the last frame
     best = jnp.concatenate(
         [best_rev[::-1].T, last_best[:, None]], axis=1)  # [B, F]
