@@ -245,19 +245,29 @@ def compute_pitch(signals, nsamples, opts, nframes_max):
     first_lag, last_lag = opts.first_lag, opts.last_lag
     full_window = window_size + last_lag
 
-    # 2. extract outer windows (zero beyond the valid samples)
-    starts = jnp.arange(nframes_max, dtype=jnp.int32) * shift
-    sample_idx = starts[:, None] + jnp.arange(full_window)[None, :]
-    in_bounds = sample_idx[None, :, :] < num_rs[:, None, None]
-    gather_idx = jnp.minimum(sample_idx, num_rs_max - 1)
-    windows = jnp.take_along_axis(
-        resampled[:, None, :],
-        jnp.broadcast_to(
-            gather_idx[None, :, :],
-            (signals.shape[0],) + gather_idx.shape).reshape(
-                signals.shape[0], -1)[:, None, :],
-        axis=2).reshape(signals.shape[0], nframes_max, full_window)
-    windows = jnp.where(in_bounds, windows, 0.0)
+    # 2. extract outer windows: frame starts are multiples of the
+    # shift, so windows assemble from strided chunk slices (the
+    # resampled buffer is zero beyond each utterance's valid samples,
+    # giving Kaldi's zero padding of tail windows for free)
+    needed = (nframes_max + full_window // shift + 1) * shift
+    padded_rs = resampled
+    if padded_rs.shape[1] < needed:
+        padded_rs = jnp.pad(
+            padded_rs, ((0, 0), (0, needed - padded_rs.shape[1])))
+    elif padded_rs.shape[1] % shift:
+        padded_rs = jnp.pad(
+            padded_rs,
+            ((0, 0), (0, shift - padded_rs.shape[1] % shift)))
+    chunks = padded_rs.reshape(padded_rs.shape[0], -1, shift)
+    pieces = [
+        chunks[:, j:j + nframes_max]
+        for j in range(full_window // shift)]
+    if full_window % shift:
+        pieces.append(
+            chunks[:, full_window // shift:
+                   full_window // shift + nframes_max,
+                   :full_window % shift])
+    windows = jnp.concatenate(pieces, axis=-1)
 
     # subtract the mean of the first window_size samples (Kaldi
     # ComputeCorrelation's zero_mean_wave)

@@ -18,6 +18,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from shennong_tpu.ops.framing import bucket_size
+
+
+def pad_frame_axis(data, minimum=128):
+    """Pad a [nframes, dim] matrix to a frame-count bucket.
+
+    Single-utterance post-processing calls jit once per distinct
+    (bucket, dim) pair instead of once per utterance length. Returns
+    (padded [1, bucket, dim] float32, nframes [1] int32).
+    """
+    nframes = data.shape[0]
+    bucket = bucket_size(nframes, minimum=minimum)
+    padded = np.zeros((1, bucket, data.shape[1]), dtype=np.float32)
+    padded[0, :nframes] = data
+    return padded, np.array([nframes], dtype=np.int32)
+
 
 # ------------------------------------------------------------------- deltas
 

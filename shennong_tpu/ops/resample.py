@@ -93,10 +93,45 @@ def linear_resample(signals, nsamples_in_max, rate_in, rate_out,
     length); per-utterance true lengths are handled by the caller
     (padding is zeros, which the filter treats as signal-off-the-end
     exactly like Kaldi's boundary truncation).
+
+    Integer decimation ratios (the pitch tracker's 16k->4k) take a
+    strided-slice fast path: every output sample shares one filter
+    phase, so the resample is a weighted sum of ``taps`` strided
+    views — no gather.
     """
-    indices, weights, _ = linear_resample_plan(
+    indices, weights, nout = linear_resample_plan(
         int(nsamples_in_max), float(rate_in), float(rate_out),
         float(filter_cutoff), int(num_zeros))
+
+    ratio = float(rate_in) / float(rate_out)
+    if ratio == int(ratio):
+        # one filter phase for every output; boundary truncation in
+        # Kaldi is identical to reading zeros outside the signal, so
+        # zero padding makes the shared weights exact everywhere
+        step = int(ratio)
+        width = num_zeros / (2.0 * filter_cutoff)
+        first0 = int(np.ceil(-width * rate_in))
+        taps_idx = first0 + np.arange(
+            int(np.floor(width * rate_in)) - first0 + 1)
+        shared = (filter_func(
+            taps_idx / rate_in, filter_cutoff, num_zeros)
+            / rate_in).astype(np.float32)
+
+        lead = max(0, -first0)
+        tail = max(0, taps_idx[-1] + (nout - 1) * step + 1
+                   - signals.shape[1])
+        padded = jnp.pad(signals, ((0, 0), (lead, tail)))
+        out = jnp.zeros((signals.shape[0], nout), dtype=jnp.float32)
+        for d, weight in zip(taps_idx, shared):
+            if weight == 0.0:
+                continue
+            start = lead + int(d)
+            sliced = jax.lax.slice_in_dim(
+                padded, start, start + (nout - 1) * step + 1,
+                stride=step, axis=1)
+            out = out + float(weight) * sliced
+        return out
+
     gathered = signals[:, indices]  # [B, T_out, taps]
     return jnp.einsum(
         'bot,ot->bo', gathered, jnp.asarray(weights),

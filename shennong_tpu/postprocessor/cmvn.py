@@ -266,14 +266,13 @@ class SlidingWindowCmvnPostProcessor(FeaturesPostProcessor):
 
     def process(self, features):
         """Apply sliding-window normalization to ``features``."""
-        data = np.asarray(features.data, dtype=np.float32)
-        nframes = np.array([data.shape[0]], dtype=np.int32)
+        padded, nframes = postops.pad_frame_axis(features.data)
         out = postops.sliding_window_cmvn(
-            data[None, :, :], nframes,
+            padded, nframes,
             center=self._center, cmn_window=self._cmn_window,
             min_window=self._min_window,
             normalize_variance=self._normalize_variance)
         return Features(
-            np.asarray(out[0]).astype(features.dtype),
+            np.asarray(out[0, :features.nframes]).astype(features.dtype),
             features.times,
             self.get_properties(features))

@@ -76,12 +76,10 @@ class DeltaPostProcessor(FeaturesPostProcessor):
         Output has ``(order + 1) * ndims`` columns: the input followed
         by the derivative of each order.
         """
-        data = np.asarray(features.data, dtype=np.float32)
-        nframes = np.array([data.shape[0]], dtype=np.int32)
+        padded, nframes = postops.pad_frame_axis(features.data)
         out = postops.compute_deltas(
-            data[None, :, :], nframes,
-            order=self._order, window=self._window)
+            padded, nframes, order=self._order, window=self._window)
         return Features(
-            np.asarray(out[0]).astype(features.dtype),
+            np.asarray(out[0, :features.nframes]).astype(features.dtype),
             features.times,
             self.get_properties(features))

@@ -105,9 +105,8 @@ class VadPostProcessor(FeaturesPostProcessor):
 
         Returns uint8 features with 1 for voiced frames, 0 otherwise.
         """
-        log_energy = np.asarray(
-            features.data[:, 0], dtype=np.float32)[None, :]
-        nframes = np.array([features.nframes], dtype=np.int32)
+        padded, nframes = postops.pad_frame_axis(features.data[:, :1])
+        log_energy = padded[:, :, 0]
         vad = postops.compute_vad_energy(
             log_energy, nframes,
             energy_threshold=self._energy_threshold,
@@ -115,5 +114,6 @@ class VadPostProcessor(FeaturesPostProcessor):
             frames_context=self._frames_context,
             proportion_threshold=self._proportion_threshold)
         return Features(
-            np.asarray(vad[0], dtype=np.uint8)[:, None],
+            np.asarray(
+                vad[0, :features.nframes], dtype=np.uint8)[:, None],
             features.times, properties=self.get_properties(features))

@@ -487,16 +487,15 @@ class KaldiPitchPostProcessor(FeaturesPostProcessor):
                 'data shape must be (_, 2), but it is (_, {})'
                 .format(raw_pitch.shape[1]))
 
-        nframes = np.array([raw_pitch.nframes], dtype=np.int32)
+        from shennong_tpu.ops.postops import pad_frame_axis
+        padded, nframes = pad_frame_axis(raw_pitch.data)
         noise = None
         if self.add_delta_pitch and self._delta_pitch_noise_stddev != 0:
             noise = jax.random.normal(
-                _fresh_key(), (1, raw_pitch.nframes), dtype=np.float32)
+                _fresh_key(), (1, padded.shape[1]), dtype=np.float32)
 
-        data = process_pitch(
-            np.asarray(raw_pitch.data, dtype=np.float32)[None],
-            nframes, self.options(), noise=noise)
+        data = process_pitch(padded, nframes, self.options(), noise=noise)
 
         return Features(
-            np.asarray(data[0]), raw_pitch.times,
+            np.asarray(data[0, :raw_pitch.nframes]), raw_pitch.times,
             properties=self.get_properties(raw_pitch))
