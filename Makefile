@@ -1,0 +1,13 @@
+# Developer entry points for shennong-tpu
+
+.PHONY: test bench lint clean
+
+test:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+clean:
+	find . -name '__pycache__' -type d -exec rm -rf {} +
+	rm -f shennong_tpu/native/libshennong_io.so
