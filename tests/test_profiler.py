@@ -19,4 +19,4 @@ def test_stage_timer(caplog):
         stages = timer.report(audio_seconds=10.0)
     assert set(stages) == {'alpha', 'beta'}
     assert stages['alpha'] > 0
-    assert any('alpha' in r.message % r.args for r in caplog.records)
+    assert any("alpha" in r.getMessage() for r in caplog.records)
