@@ -21,7 +21,7 @@ class PipelineManager:
 
     valid_features = [
         'spectrogram', 'filterbank', 'mfcc', 'plp', 'bottleneck']
-    """The main features available, excluding post-processing"""
+    """Names of the main feature extraction algorithms"""
 
     valid_processors = {
         'bottleneck': ('processor', 'BottleneckProcessor'),
@@ -41,7 +41,7 @@ class PipelineManager:
         'sliding_window_cmvn':
             ('postprocessor', 'SlidingWindowCmvnPostProcessor'),
         'vad': ('postprocessor', 'VadPostProcessor')}
-    """The processors as a dict {name: (module, class)}"""
+    """Config-section names mapped to their (package, class)"""
 
     _processor_modules = {
         'crepe_pitch': 'pitch_crepe',
@@ -127,22 +127,22 @@ class PipelineManager:
             else ' from {} speakers'.format(
                 len(set(utt.speaker for utt in self.utterances))))
         self.log.info(
-            'get %s utterances%s in %s audio files, total duration: %s',
+            'processing %s utterances%s from %s audio files '
+            '(total duration %s)',
             len(self.utterances), speakers, len(self.audio_metadata),
             datetime.timedelta(seconds=total_duration))
 
-        if not all(
-                meta.nchannels == 1
-                for meta in self.audio_metadata.values()):
+        if any(meta.nchannels != 1
+               for meta in self.audio_metadata.values()):
             raise ValueError('all audio files are not mono')
 
         samplerates = set(
             meta.sample_rate for meta in self.audio_metadata.values())
         if len(samplerates) > 1:
             self.log.warning(
-                'several sample rates found in audio files: %s, features '
-                'extraction pipeline will work but this may not be a good '
-                'idea to work on heterogeneous data',
+                'audio files mix several sample rates (%s); extraction '
+                'will proceed but heterogeneous corpora are usually a '
+                'mistake',
                 ', '.join(str(s) + 'Hz' for s in samplerates))
 
     def _set_logger(self, processor):
@@ -182,44 +182,49 @@ class PipelineManager:
     def get_docstring(cls, processor, param, default):
         """The docstring of a processor's parameter, cleaned up for
         inclusion as a YAML comment."""
-        docstring = getattr(
+        text = getattr(
             cls.get_processor_class(processor), param).__doc__ or ''
 
-        docstring = re.sub(r'\n\n', '. ', docstring)
-        docstring = re.sub(r'\n', ' ', docstring)
-        docstring = re.sub(r'`', '', docstring)
-        docstring = re.sub(':func:', '', docstring)
-        docstring += '. Default is {}.'.format(default)
-        docstring = re.sub(r'\.+', '.', docstring)
-        docstring = re.sub(r' +', ' ', docstring)
-        docstring = re.sub(r'\. \.', '.', docstring)
-        return docstring.strip()
+        # flatten paragraphs into sentences, strip markup, append the
+        # default value, normalize whitespace and dots
+        for pattern, replacement in (
+                (r'\n\n', '. '), (r'\n', ' '), (r'`', ''),
+                (':func:', '')):
+            text = re.sub(pattern, replacement, text)
+        text += '. Default is {}.'.format(default)
+        for pattern, replacement in (
+                (r'\.+', '.'), (r' +', ' '), (r'\. \.', '.')):
+            text = re.sub(pattern, replacement, text)
+        return text.strip()
 
     def get_audio(self, utterance):
         """Load (and for bottleneck, resample) an utterance's audio."""
         audio = utterance.load_audio()
-        if self.features == 'bottleneck':
-            # resample now so every processor in the pipeline sees the
-            # same 8 kHz signal
-            self.log.debug(
-                'resampling audio from %dHz@%db to %dHz@%db',
-                audio.sample_rate, audio.dtype.itemsize * 8, 8000, 16)
-            audio = audio.resample(8000).astype(np.int16)
-            self._audio_metadata[utterance.audio_file] = Audio._metadata(
-                audio.nchannels, audio.sample_rate,
-                audio.nsamples, audio.duration)
+        if self.features != 'bottleneck':
+            return audio
+
+        # the bottleneck nets run at 8 kHz: convert here so every
+        # downstream processor agrees on the rate
+        self.log.debug(
+            'resampling audio from %dHz@%db to %dHz@%db',
+            audio.sample_rate, audio.dtype.itemsize * 8, 8000, 16)
+        audio = audio.resample(8000).astype(np.int16)
+        self._audio_metadata[utterance.audio_file] = Audio._metadata(
+            audio.nchannels, audio.sample_rate,
+            audio.nsamples, audio.duration)
         return audio
+
+    def _rate_of(self, utterance):
+        return self._audio_metadata[utterance.audio_file].sample_rate
 
     def get_features_processor(self, utterance):
         """The main features processor for an utterance"""
         proc = self.get_processor_class(self.features)(
             **self.config[self.features])
         try:
-            proc.sample_rate = self.audio_metadata[
-                utterance.audio_file].sample_rate
+            proc.sample_rate = self._rate_of(utterance)
         except AttributeError:
-            # bottleneck does not support changing the sample rate
-            pass
+            pass  # bottleneck pins its own sample rate
         return self._set_logger(proc)
 
     def get_energy_processor(self, utterance):
@@ -227,8 +232,7 @@ class PipelineManager:
         proc = self.get_processor_class('energy')()
         proc.frame_length = self.frame_length
         proc.frame_shift = self.frame_shift
-        proc.sample_rate = self._audio_metadata[
-            utterance.audio_file].sample_rate
+        proc.sample_rate = self._rate_of(utterance)
         return self._set_logger(proc)
 
     def get_vad_processor(self, _):
@@ -244,17 +248,18 @@ class PipelineManager:
 
     def get_pitch_processor(self, utterance):
         """The pitch processor configured for an utterance"""
-        params = {k: v for k, v in self.config['pitch'].items()
-                  if k not in ('processor', 'postprocessing')}
-        params['sample_rate'] = self._audio_metadata[
-            utterance.audio_file].sample_rate
-        params['frame_shift'] = self.frame_shift
-        params['frame_length'] = self.frame_length
+        params = dict(
+            self.config['pitch'],
+            frame_shift=self.frame_shift,
+            frame_length=self.frame_length)
+        params.pop('processor', None)
+        params.pop('postprocessing', None)
 
-        name = 'kaldi_pitch'
         if self.config['pitch']['processor'] == 'crepe':
-            name = 'crepe_pitch'
-            del params['sample_rate']
+            name = 'crepe_pitch'  # crepe pins its own 16 kHz rate
+        else:
+            name = 'kaldi_pitch'
+            params['sample_rate'] = self._rate_of(utterance)
         return self._set_logger(self.get_processor_class(name)(**params))
 
     def get_pitch_post_processor(self, _):

@@ -1,8 +1,9 @@
 """Base class for feature post-processors.
 
-API-compatible with ``shennong/postprocessor/base.py`` of the
-reference: a post-processor consumes Features and produces Features,
-chaining provenance metadata in the properties.
+A post-processor maps Features to Features (delta, CMVN, VAD...),
+appending its own entry to the provenance metadata chain carried in
+the properties dict. Mirrors the contract of the reference's
+``shennong/postprocessor/base.py``.
 """
 
 import abc
@@ -12,21 +13,22 @@ from shennong_tpu.processor.base import FeaturesProcessor
 
 
 class FeaturesPostProcessor(FeaturesProcessor):
-    """Base class of all features post-processors"""
+    """Common behavior of the post-processors (Features -> Features)"""
 
     @abc.abstractmethod
     def process(self, features):
-        """Return new features post-processed from input ``features``"""
+        """Return new features computed from the input ``features``"""
 
     def get_properties(self, features):
+        """Extend the input features' properties with this step.
+
+        The returned dict is a deep copy of the input properties with
+        this post-processor's parameters stored under its name and a
+        new entry appended to the ``pipeline`` provenance list.
+        """
         properties = copy.deepcopy(features.properties)
         properties[self.name] = self.get_params()
-
-        if 'pipeline' not in properties:
-            properties['pipeline'] = []
-
-        properties['pipeline'].append({
+        properties.setdefault('pipeline', []).append({
             'name': self.name,
             'columns': [0, self.ndims - 1]})
-
         return properties

@@ -27,7 +27,7 @@ class DeltaPostProcessor(FeaturesPostProcessor):
 
     @property
     def order(self):
-        """Order of delta computation"""
+        """Highest derivative order to compute"""
         return self._order
 
     @order.setter
@@ -36,11 +36,10 @@ class DeltaPostProcessor(FeaturesPostProcessor):
 
     @property
     def window(self):
-        """Parameter controlling window for delta computation
+        """Half-width of the regression window per derivative order
 
-        The actual window size for each delta order is 1 + 2 *
-        `window`. The behavior at the edges is to replicate the first
-        or last frame.
+        Each order looks at 2 * window + 1 frames; utterance edges
+        replicate the first/last frame.
 
         """
         return self._window
@@ -55,19 +54,16 @@ class DeltaPostProcessor(FeaturesPostProcessor):
     @property
     def ndims(self):
         raise ValueError(
-            'output dimension for delta processor depends on input')
+            'the delta output dimension is input-dependent '
+            '((order + 1) times the input dimension)')
 
     def get_properties(self, features):
-        ndims = (self.order + 1) * features.ndims
         properties = copy.deepcopy(features.properties)
         properties[self.name] = {
-            'order': self.order,
-            'window': self.window}
-        if 'pipeline' not in properties:
-            properties['pipeline'] = []
-        properties['pipeline'].append({
+            'order': self.order, 'window': self.window}
+        properties.setdefault('pipeline', []).append({
             'name': self.name,
-            'columns': [0, ndims - 1]})
+            'columns': [0, (self.order + 1) * features.ndims - 1]})
         return properties
 
     def process(self, features):

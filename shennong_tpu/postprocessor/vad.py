@@ -31,9 +31,10 @@ class VadPostProcessor(FeaturesPostProcessor):
 
     @property
     def energy_threshold(self):
-        """Constant term in energy threshold for MFCC0 for VAD
+        """Base value of the voicing energy cutoff
 
-        See also :func:`energy_mean_scale`
+        The actual cutoff also includes the scaled mean log-energy,
+        see energy_mean_scale.
 
         """
         return np.float32(self._energy_threshold)
@@ -44,11 +45,10 @@ class VadPostProcessor(FeaturesPostProcessor):
 
     @property
     def energy_mean_scale(self):
-        """Scale factor of the mean log-energy
+        """Weight of the utterance mean log-energy in the cutoff
 
-        If this is set to `s`, to get the actual threshold we let `m`
-        be the mean log-energy of the file, and use `s*m +`
-        :func:`energy_threshold`. Must be greater or equal to 0.
+        The decision threshold is energy_threshold + scale * mean;
+        must be non-negative.
 
         """
         return np.float32(self._energy_mean_scale)
@@ -62,10 +62,10 @@ class VadPostProcessor(FeaturesPostProcessor):
 
     @property
     def frames_context(self):
-        """Number of frames of context on each side of central frame
+        """Half-width of the voting window, in frames
 
-        The size of the window for which energy is monitored is
-        `2 * frames_context + 1`. Must be greater or equal to 0.
+        Each decision looks at 2 * frames_context + 1 frames; must be
+        non-negative.
 
         """
         return self._frames_context
@@ -79,11 +79,9 @@ class VadPostProcessor(FeaturesPostProcessor):
 
     @property
     def proportion_threshold(self):
-        """Proportion of frames beyond the energy threshold
+        """Fraction of the voting window that must exceed the cutoff
 
-        Parameter controlling the proportion of frames within the
-        window that need to have more energy than the threshold. Must
-        be in ]0, 1[.
+        Strictly between 0 and 1.
 
         """
         return np.float32(self._proportion_threshold)

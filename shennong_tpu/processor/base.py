@@ -118,10 +118,9 @@ class FramesProcessor(FeaturesProcessor, metaclass=abc.ABCMeta):
 
     @property
     def sample_rate(self):
-        """Waveform sample frequency in Hertz
+        """Expected sampling rate of the input waveform (Hz).
 
-        Must match the sample rate of the signal specified in
-        `process`
+        Signals handed to process must be sampled at this rate.
 
         """
         return np.float32(self._sample_rate)
@@ -132,7 +131,7 @@ class FramesProcessor(FeaturesProcessor, metaclass=abc.ABCMeta):
 
     @property
     def frame_shift(self):
-        """Frame shift in seconds"""
+        """Time step between two consecutive frames, in seconds"""
         return np.float32(self._frame_shift)
 
     @frame_shift.setter
@@ -141,7 +140,7 @@ class FramesProcessor(FeaturesProcessor, metaclass=abc.ABCMeta):
 
     @property
     def frame_length(self):
-        """Frame length in seconds"""
+        """Duration of the analysis window, in seconds"""
         return np.float32(self._frame_length)
 
     @frame_length.setter
@@ -150,11 +149,7 @@ class FramesProcessor(FeaturesProcessor, metaclass=abc.ABCMeta):
 
     @property
     def dither(self):
-        """Amount of dithering
-
-        0.0 means no dither
-
-        """
+        """Dithering noise amplitude (0 disables dithering)"""
         return np.float32(self._dither)
 
     @dither.setter
@@ -163,7 +158,7 @@ class FramesProcessor(FeaturesProcessor, metaclass=abc.ABCMeta):
 
     @property
     def preemph_coeff(self):
-        """Coefficient for use in signal preemphasis"""
+        """Pre-emphasis filter coefficient (0 disables it)"""
         return np.float32(self._preemph_coeff)
 
     @preemph_coeff.setter
@@ -172,7 +167,7 @@ class FramesProcessor(FeaturesProcessor, metaclass=abc.ABCMeta):
 
     @property
     def remove_dc_offset(self):
-        """If True, subtract mean from waveform on each frame"""
+        """Whether each frame gets its mean (DC offset) removed"""
         return self._remove_dc_offset
 
     @remove_dc_offset.setter
@@ -181,10 +176,10 @@ class FramesProcessor(FeaturesProcessor, metaclass=abc.ABCMeta):
 
     @property
     def window_type(self):
-        """Type of window
+        """Analysis window shape
 
-        Must be 'hamming', 'hanning', 'povey', 'rectangular' or
-        'blackman'
+        One of 'hamming', 'hanning', 'povey', 'rectangular' or
+        'blackman'.
 
         """
         return self._window_type
@@ -199,11 +194,7 @@ class FramesProcessor(FeaturesProcessor, metaclass=abc.ABCMeta):
 
     @property
     def round_to_power_of_two(self):
-        """If true, round window size to power of two
-
-        This is done by zero-padding input to FFT
-
-        """
+        """Whether frames are zero-padded to a power-of-two FFT size"""
         return self._round_to_power_of_two
 
     @round_to_power_of_two.setter
@@ -212,9 +203,9 @@ class FramesProcessor(FeaturesProcessor, metaclass=abc.ABCMeta):
 
     @property
     def blackman_coeff(self):
-        """Constant coefficient for generalized Blackman window
+        """Shape constant of the generalized Blackman window
 
-        Used only if `window_type` is 'blackman'
+        Only relevant when window_type is 'blackman'.
 
         """
         return np.float32(self._blackman_coeff)
@@ -225,11 +216,11 @@ class FramesProcessor(FeaturesProcessor, metaclass=abc.ABCMeta):
 
     @property
     def snip_edges(self):
-        """If true, output only frames that completely fit in the file
+        """Whether to emit only frames fully contained in the signal
 
-        When True the number of frames depends on the `frame_length`.
-        If False, the number of frames depends only on the
-        `frame_shift`, and we reflect the data at the ends.
+        With snipping, the frame count depends on the frame_length;
+        without, it depends on the frame_shift alone and edge frames
+        read boundary-reflected samples.
 
         """
         return self._snip_edges
@@ -342,11 +333,7 @@ class MelFeaturesProcessor(FramesProcessor, metaclass=abc.ABCMeta):
 
     @property
     def num_bins(self):
-        """Number of triangular mel-frequency bins
-
-        The minimal number of bins is 3
-
-        """
+        """Count of triangular filters in the mel bank (minimum 3)"""
         return self._num_bins
 
     @num_bins.setter
@@ -355,7 +342,7 @@ class MelFeaturesProcessor(FramesProcessor, metaclass=abc.ABCMeta):
 
     @property
     def low_freq(self):
-        """Low cutoff frequency for mel bins in Hertz"""
+        """Lowest edge of the mel filterbank (Hz)"""
         return np.float32(self._low_freq)
 
     @low_freq.setter
@@ -364,9 +351,9 @@ class MelFeaturesProcessor(FramesProcessor, metaclass=abc.ABCMeta):
 
     @property
     def high_freq(self):
-        """High cutoff frequency for mel bins in Hertz
+        """Highest edge of the mel filterbank (Hz)
 
-        If `high_freq` < 0, offset from the Nyquist frequency
+        Non-positive values count down from the Nyquist frequency.
 
         """
         return np.float32(self._high_freq)
@@ -377,11 +364,7 @@ class MelFeaturesProcessor(FramesProcessor, metaclass=abc.ABCMeta):
 
     @property
     def vtln_low(self):
-        """Low inflection point in piecewise linear VTLN warping function
-
-        In Hertz
-
-        """
+        """Lower knee (Hz) of the piecewise-linear VTLN warp"""
         return np.float32(self._vtln_low)
 
     @vtln_low.setter
@@ -390,9 +373,9 @@ class MelFeaturesProcessor(FramesProcessor, metaclass=abc.ABCMeta):
 
     @property
     def vtln_high(self):
-        """High inflection point in piecewise linear VTLN warping function
+        """Upper knee (Hz) of the piecewise-linear VTLN warp
 
-        In Hertz. If `vtln_high` < 0, offset from `high_freq`
+        Negative values count down from high_freq.
 
         """
         return np.float32(self._vtln_high)

@@ -43,10 +43,9 @@ class EnergyProcessor(FramesProcessor):
 
     @property
     def compression(self):
-        """Type of energy compression
+        """Compression applied to the frame energies
 
-        Must be 'off' (disable compression), 'log' (natural logarithm)
-        or 'sqrt' (squared root).
+        One of 'log' (natural log), 'sqrt', or 'off' (linear).
 
         """
         return self._compression
@@ -61,7 +60,8 @@ class EnergyProcessor(FramesProcessor):
 
     @property
     def raw_energy(self):
-        """If true, compute energy before preemphasis and windowing"""
+        """Measure energy on the raw frame, prior to pre-emphasis
+        and windowing"""
         return self._raw_energy
 
     @raw_energy.setter

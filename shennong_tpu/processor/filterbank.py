@@ -45,7 +45,7 @@ class FilterbankProcessor(MelFeaturesProcessor):
 
     @property
     def use_energy(self):
-        """Add an extra dimension with energy to the filterbank output"""
+        """Prepend a frame-energy column to the filterbank output"""
         return self._use_energy
 
     @use_energy.setter
@@ -54,7 +54,7 @@ class FilterbankProcessor(MelFeaturesProcessor):
 
     @property
     def energy_floor(self):
-        """Floor on energy (absolute, not relative) in filterbanks"""
+        """Absolute floor applied to the frame energy"""
         return self._energy_floor
 
     @energy_floor.setter
@@ -63,7 +63,8 @@ class FilterbankProcessor(MelFeaturesProcessor):
 
     @property
     def raw_energy(self):
-        """If true, compute energy before preemphasis and windowing"""
+        """Measure energy on the raw frame, prior to pre-emphasis
+        and windowing"""
         return self._raw_energy
 
     @raw_energy.setter
@@ -72,12 +73,9 @@ class FilterbankProcessor(MelFeaturesProcessor):
 
     @property
     def htk_compat(self):
-        """If True, get closer to HTK filterbank features.
+        """HTK-style column layout (energy column last)
 
-        Put energy last.
-
-        Warning: Not sufficient to get HTK compatible features (need
-        to change other parameters)
+        Note this alone does not make the output HTK-identical.
 
         """
         return self._htk_compat
@@ -88,7 +86,7 @@ class FilterbankProcessor(MelFeaturesProcessor):
 
     @property
     def use_log_fbank(self):
-        """If true, produce log-filterbank, else produce linear"""
+        """Log-compress the filterbank outputs (else linear)"""
         return self._use_log_fbank
 
     @use_log_fbank.setter
@@ -97,7 +95,7 @@ class FilterbankProcessor(MelFeaturesProcessor):
 
     @property
     def use_power(self):
-        """If true, use power, else use magnitude"""
+        """Feed the power spectrum to the filters (else magnitude)"""
         return self._use_power
 
     @use_power.setter

@@ -46,9 +46,9 @@ class MfccProcessor(MelFeaturesProcessor):
 
     @property
     def num_ceps(self):
-        """Number of cepstra in MFCC computation (including C0)
+        """How many cepstral coefficients to keep (C0 included)
 
-        Must be smaller of equal to `num_bins`
+        Cannot exceed num_bins.
 
         """
         return self._num_ceps
@@ -59,7 +59,7 @@ class MfccProcessor(MelFeaturesProcessor):
 
     @property
     def use_energy(self):
-        """Use energy (instead of C0) in MFCC computation"""
+        """Replace C0 with the frame log-energy"""
         return self._use_energy
 
     @use_energy.setter
@@ -68,7 +68,7 @@ class MfccProcessor(MelFeaturesProcessor):
 
     @property
     def energy_floor(self):
-        """Floor on energy (absolute, not relative) in MFCC computation"""
+        """Absolute floor applied to the frame energy"""
         return self._energy_floor
 
     @energy_floor.setter
@@ -77,7 +77,8 @@ class MfccProcessor(MelFeaturesProcessor):
 
     @property
     def raw_energy(self):
-        """If true, compute energy before preemphasis and windowing"""
+        """Measure energy on the raw frame, prior to pre-emphasis
+        and windowing"""
         return self._raw_energy
 
     @raw_energy.setter
@@ -86,7 +87,7 @@ class MfccProcessor(MelFeaturesProcessor):
 
     @property
     def cepstral_lifter(self):
-        """Constant that controls scaling of MFCCs"""
+        """Cepstral liftering constant (0 disables liftering)"""
         return self._cepstral_lifter
 
     @cepstral_lifter.setter
@@ -95,12 +96,10 @@ class MfccProcessor(MelFeaturesProcessor):
 
     @property
     def htk_compat(self):
-        """If True, get closer to HTK MFCC features
+        """HTK-style column layout
 
-        Put energy or C0 last and use a factor of sqrt(2) on C0.
-
-        Warning: Not sufficient to get HTK compatible features (need
-        to change other parameters).
+        Moves the energy/C0 column last and rescales C0 by sqrt(2).
+        Note this alone does not make the output HTK-identical.
 
         """
         return self._htk_compat

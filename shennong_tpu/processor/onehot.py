@@ -71,14 +71,11 @@ class _OneHotBase(FeaturesProcessor):
 
 
 class OneHotProcessor(_OneHotBase):
-    """One-hot encoding preserving the alignment timestamps.
+    """Direct one-hot encoding: one row per aligned token.
 
-    Parameters
-    ----------
-    tokens : sequence, optional
-        The token inventory; inferred from the processed alignment
-        when not given (specify it to get consistent vectors across
-        alignments).
+    ``tokens`` optionally fixes the inventory (so different alignments
+    share a consistent column order); otherwise it is read off each
+    processed alignment.
     """
 
     def __init__(self, tokens=None):
@@ -99,10 +96,11 @@ class OneHotProcessor(_OneHotBase):
 
 
 class FramedOneHotProcessor(_OneHotBase):
-    """One-hot encoding on framed signals.
+    """One-hot encoding on overlapping frames.
 
-    The alignment is sampled at ``sample_rate``, split into frames and
-    each frame is assigned the token with the biggest window weight.
+    The alignment expands to one token per sample at ``sample_rate``;
+    frames then elect the token holding the largest share of the
+    window's weight mass.
     """
 
     def __init__(self, tokens=None, sample_rate=16000,
@@ -118,12 +116,7 @@ class FramedOneHotProcessor(_OneHotBase):
 
     @property
     def sample_rate(self):
-        """The processor operation sample rate
-
-        Must match the sample rate of the signal specified in
-        `process`
-
-        """
+        """Sampling rate (Hz) at which the alignment is expanded"""
         return self.frame.sample_rate
 
     @sample_rate.setter
@@ -132,7 +125,7 @@ class FramedOneHotProcessor(_OneHotBase):
 
     @property
     def frame_shift(self):
-        """Frame shift in seconds"""
+        """Time step between two consecutive frames, in seconds"""
         return self.frame.frame_shift
 
     @frame_shift.setter
@@ -141,7 +134,7 @@ class FramedOneHotProcessor(_OneHotBase):
 
     @property
     def frame_length(self):
-        """Frame length in seconds"""
+        """Duration of the analysis window, in seconds"""
         return self.frame.frame_length
 
     @frame_length.setter

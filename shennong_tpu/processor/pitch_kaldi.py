@@ -21,12 +21,11 @@ from shennong_tpu.postprocessor.base import FeaturesPostProcessor
 
 
 class KaldiPitchProcessor(FeaturesProcessor):
-    """Extracts the (NCCF, pitch) per frame from a speech signal
+    """NCCF-based pitch tracker (Ghahremani & Povey 2014).
 
-    The output will have as many rows as there are frames, and two columns
-    corresponding to (NCCF, pitch). NCCF is the Normalized Cross Correlation
-    Function.
-
+    Produces one row per frame with two columns: the Normalized Cross
+    Correlation Function value at the selected lag and the pitch
+    estimate in Hz.
     """
 
     def __init__(self, sample_rate=16000, frame_shift=0.01,
@@ -56,9 +55,9 @@ class KaldiPitchProcessor(FeaturesProcessor):
 
     @property
     def sample_rate(self):
-        """Waveform sample frequency in Hertz
+        """Expected sampling rate of the input waveform (Hz).
 
-        Must match the sample rate of the signal specified in `process`
+        Signals handed to process must be sampled at this rate.
 
         """
         return self._sample_rate
@@ -69,7 +68,7 @@ class KaldiPitchProcessor(FeaturesProcessor):
 
     @property
     def frame_shift(self):
-        """Frame shift in seconds"""
+        """Time step between two consecutive frames, in seconds"""
         return self._frame_shift
 
     @frame_shift.setter
@@ -78,7 +77,7 @@ class KaldiPitchProcessor(FeaturesProcessor):
 
     @property
     def frame_length(self):
-        """Frame length in seconds"""
+        """Duration of the analysis window, in seconds"""
         return self._frame_length
 
     @frame_length.setter
@@ -87,7 +86,7 @@ class KaldiPitchProcessor(FeaturesProcessor):
 
     @property
     def min_f0(self):
-        """Minimum F0 to search for in Hertz"""
+        """Lower bound of the F0 search range (Hz)"""
         return self._min_f0
 
     @min_f0.setter
@@ -96,7 +95,7 @@ class KaldiPitchProcessor(FeaturesProcessor):
 
     @property
     def max_f0(self):
-        """Maximum F0 to search for in Hertz"""
+        """Upper bound of the F0 search range (Hz)"""
         return self._max_f0
 
     @max_f0.setter
@@ -105,9 +104,10 @@ class KaldiPitchProcessor(FeaturesProcessor):
 
     @property
     def soft_min_f0(self):
-        """Minimum F0 to search, applied in soft way, in Hertz
+        """Soft lower F0 bound (Hz), penalizing rather than
+        excluding low candidates
 
-        Must not exceed `min_f0`
+        Keep it below min_f0.
 
         """
         return self._soft_min_f0
@@ -118,7 +118,7 @@ class KaldiPitchProcessor(FeaturesProcessor):
 
     @property
     def penalty_factor(self):
-        """Cost factor for F0 change"""
+        """Weight of the inter-frame pitch-change penalty"""
         return np.float32(self._penalty_factor)
 
     @penalty_factor.setter
@@ -127,7 +127,7 @@ class KaldiPitchProcessor(FeaturesProcessor):
 
     @property
     def lowpass_cutoff(self):
-        """Cutoff frequency for low-pass filter, in Hertz"""
+        """Low-pass filter cutoff applied before analysis (Hz)"""
         return self._lowpass_cutoff
 
     @lowpass_cutoff.setter
@@ -136,9 +136,9 @@ class KaldiPitchProcessor(FeaturesProcessor):
 
     @property
     def resample_freq(self):
-        """Frequency that we down-sample the signal to, in Hertz
+        """Internal analysis sampling rate (Hz)
 
-        Must be more than twice `lowpass_cutoff`
+        Needs to exceed twice the lowpass_cutoff.
 
         """
         return self._resample_freq
@@ -149,7 +149,7 @@ class KaldiPitchProcessor(FeaturesProcessor):
 
     @property
     def delta_pitch(self):
-        """Smallest relative change in pitch that the algorithm measures"""
+        """Resolution of the geometric lag grid (relative pitch step)"""
         return np.float32(self._delta_pitch)
 
     @delta_pitch.setter
@@ -158,9 +158,10 @@ class KaldiPitchProcessor(FeaturesProcessor):
 
     @property
     def nccf_ballast(self):
-        """Increasing this factor reduces NCCF for quiet frames
+        """Ballast term damping the NCCF on low-energy frames
 
-        This helps ensuring pitch continuity in unvoiced regions
+        Larger values promote smooth pitch tracks through unvoiced
+        stretches.
 
         """
         return self._nccf_ballast
@@ -171,9 +172,9 @@ class KaldiPitchProcessor(FeaturesProcessor):
 
     @property
     def lowpass_filter_width(self):
-        """Integer that determines filter width of lowpass filter
+        """Number of zero crossings in the low-pass filter kernel
 
-        More gives sharper filter
+        Higher values sharpen the transition band.
 
         """
         return self._lowpass_filter_width
@@ -184,7 +185,8 @@ class KaldiPitchProcessor(FeaturesProcessor):
 
     @property
     def upsample_filter_width(self):
-        """Integer that determines filter width when upsampling NCCF"""
+        """Kernel width used when interpolating the NCCF onto the
+        lag grid"""
         return self._upsample_filter_width
 
     @upsample_filter_width.setter
@@ -262,20 +264,13 @@ class KaldiPitchProcessor(FeaturesProcessor):
 
 
 class KaldiPitchPostProcessor(FeaturesPostProcessor):
-    """Processes the raw (NCCF, pitch) computed by the PitchProcessor
+    """Turns raw (NCCF, pitch) pairs into trainable pitch features.
 
-    Turns the raw pitch quantites into usable features. By default it will
-    output three-dimensional features, (POV-feature, mean-subtracted-log-pitch,
-    delta-of-raw-pitch), but this is configurable in the options. The number of
-    rows of "output" will be the number of frames (rows) in "input", i.e. the
-    number of frames. The number of columns will be the number of different
-    types of features requested (by default, 3; 4 is the max). The four
-    parameters `add_pov_feature`, `add_normalized_log_pitch`,
-    `add_delta_pitch`, `add_raw_log_pitch` determine which features we create;
-    by default we create the first three.
-
-    POV stands for Probability of Voicing.
-
+    Up to four columns can be produced, selected by the ``add_*``
+    flags: a warped-NCCF probability-of-voicing (POV) feature, a
+    POV-weighted mean-subtracted log-pitch, a noised log-pitch delta
+    and the raw log-pitch. The default emits the first three. Row
+    count always matches the input.
     """
 
     def __init__(self, pitch_scale=2.0, pov_scale=2.0, pov_offset=0.0,
@@ -306,7 +301,7 @@ class KaldiPitchPostProcessor(FeaturesPostProcessor):
 
     @property
     def pitch_scale(self):
-        """Scaling factor for the final normalized log-pitch value"""
+        """Multiplier applied to the normalized log-pitch column"""
         return self._pitch_scale
 
     @pitch_scale.setter
@@ -315,7 +310,7 @@ class KaldiPitchPostProcessor(FeaturesPostProcessor):
 
     @property
     def pov_scale(self):
-        """Scaling factor for final probability of voicing feature"""
+        """Multiplier applied to the POV feature column"""
         return self._pov_scale
 
     @pov_scale.setter
@@ -324,10 +319,10 @@ class KaldiPitchPostProcessor(FeaturesPostProcessor):
 
     @property
     def pov_offset(self):
-        """This can be used to add an offset to the POV feature
+        """Constant added to the POV feature
 
-        Intended for use in Kaldi's online decoding as a substitute
-        for CMV (cepstral mean normalization)
+        Useful in online decoding setups that cannot apply cepstral
+        mean normalization.
 
         """
         return self._pov_offset
@@ -338,7 +333,7 @@ class KaldiPitchPostProcessor(FeaturesPostProcessor):
 
     @property
     def delta_pitch_scale(self):
-        """Term to scale the final delta log-pitch feature"""
+        """Multiplier applied to the delta log-pitch column"""
         return self._delta_pitch_scale
 
     @delta_pitch_scale.setter
@@ -347,12 +342,10 @@ class KaldiPitchPostProcessor(FeaturesPostProcessor):
 
     @property
     def delta_pitch_noise_stddev(self):
-        """Standard deviation for noise we add to the delta log-pitch
+        """Stddev of the gaussian noise mixed into the delta log-pitch
 
-        The stddev is added before scaling. Should be about the same
-        as delta-pitch option to pitch creation. The purpose is to get
-        rid of peaks in the delta-pitch caused by discretization of
-        pitch values.
+        Applied before scaling; pick a value close to the tracker's
+        delta_pitch so lag-grid discretization spikes wash out.
 
         """
         return np.float32(self._delta_pitch_noise_stddev)
@@ -363,7 +356,8 @@ class KaldiPitchPostProcessor(FeaturesPostProcessor):
 
     @property
     def normalization_left_context(self):
-        """Left-context (in frames) for moving window normalization"""
+        """Frames of left context in the moving-average
+        normalization window"""
         return self._normalization_left_context
 
     @normalization_left_context.setter
@@ -372,7 +366,8 @@ class KaldiPitchPostProcessor(FeaturesPostProcessor):
 
     @property
     def normalization_right_context(self):
-        """Right-context (in frames) for moving window normalization"""
+        """Frames of right context in the moving-average
+        normalization window"""
         return self._normalization_right_context
 
     @normalization_right_context.setter
@@ -381,7 +376,7 @@ class KaldiPitchPostProcessor(FeaturesPostProcessor):
 
     @property
     def delta_window(self):
-        """Number of frames on each side of central frame"""
+        """Half-width (frames) of the delta computation window"""
         return self._delta_window
 
     @delta_window.setter
@@ -390,7 +385,7 @@ class KaldiPitchPostProcessor(FeaturesPostProcessor):
 
     @property
     def delay(self):
-        """Number of frames by which the pitch information is delayed"""
+        """Frame delay applied to the pitch stream before output"""
         return self._delay
 
     @delay.setter
@@ -399,7 +394,7 @@ class KaldiPitchPostProcessor(FeaturesPostProcessor):
 
     @property
     def add_pov_feature(self):
-        """If true, the warped NCCF is added to output features"""
+        """Emit the warped-NCCF (POV feature) column"""
         return self._add_pov_feature
 
     @add_pov_feature.setter
@@ -408,10 +403,10 @@ class KaldiPitchPostProcessor(FeaturesPostProcessor):
 
     @property
     def add_normalized_log_pitch(self):
-        """If true, the normalized log-pitch is added to output features
+        """Emit the mean-subtracted log-pitch column
 
-         Normalization is done with POV-weighted mean subtraction over
-         1.5 second window.
+        The subtracted mean is POV-weighted over the normalization
+        window (1.5 s by default).
 
         """
         return self._add_normalized_log_pitch
@@ -422,7 +417,7 @@ class KaldiPitchPostProcessor(FeaturesPostProcessor):
 
     @property
     def add_delta_pitch(self):
-        """If true, time derivative of log-pitch is added to output features"""
+        """Emit the log-pitch time-derivative column"""
         return self._add_delta_pitch
 
     @add_delta_pitch.setter
@@ -431,7 +426,7 @@ class KaldiPitchPostProcessor(FeaturesPostProcessor):
 
     @property
     def add_raw_log_pitch(self):
-        """If true, the log of the raw pitch is added to output features"""
+        """Emit the unnormalized log-pitch column"""
         return self._add_raw_log_pitch
 
     @add_raw_log_pitch.setter

@@ -53,7 +53,7 @@ class PlpProcessor(MelFeaturesProcessor):
 
     @property
     def rasta(self):
-        """Whether to do RASTA filtering"""
+        """Enable RASTA bandpass filtering of the mel trajectories"""
         return self._rasta
 
     @rasta.setter
@@ -62,7 +62,7 @@ class PlpProcessor(MelFeaturesProcessor):
 
     @property
     def lpc_order(self):
-        """Order of LPC analysis in PLP computation"""
+        """Linear-prediction model order"""
         return self._lpc_order
 
     @lpc_order.setter
@@ -71,9 +71,9 @@ class PlpProcessor(MelFeaturesProcessor):
 
     @property
     def num_ceps(self):
-        """Number of cepstra in PLP computation (including C0)
+        """How many cepstral coefficients to keep (C0 included)
 
-        Must be positive and  smaller or equal to `lpc_order` + 1.
+        Must be positive and at most lpc_order + 1.
 
         """
         return self._num_ceps
@@ -91,7 +91,7 @@ class PlpProcessor(MelFeaturesProcessor):
 
     @property
     def use_energy(self):
-        """Use energy (instead of C0) for zeroth PLP feature"""
+        """Replace C0 with the frame log-energy"""
         return self._use_energy
 
     @use_energy.setter
@@ -100,7 +100,7 @@ class PlpProcessor(MelFeaturesProcessor):
 
     @property
     def energy_floor(self):
-        """Floor on energy (absolute, not relative) in PLP computation"""
+        """Absolute floor applied to the frame energy"""
         return self._energy_floor
 
     @energy_floor.setter
@@ -109,7 +109,8 @@ class PlpProcessor(MelFeaturesProcessor):
 
     @property
     def raw_energy(self):
-        """If true, compute energy before preemphasis and windowing"""
+        """Measure energy on the raw frame, prior to pre-emphasis
+        and windowing"""
         return self._raw_energy
 
     @raw_energy.setter
@@ -118,7 +119,7 @@ class PlpProcessor(MelFeaturesProcessor):
 
     @property
     def compress_factor(self):
-        """Compression factor in PLP computation"""
+        """Exponent of the intensity-to-loudness power law"""
         return np.float32(self._compress_factor)
 
     @compress_factor.setter
@@ -127,7 +128,7 @@ class PlpProcessor(MelFeaturesProcessor):
 
     @property
     def cepstral_lifter(self):
-        """Constant that controls scaling of PLPs"""
+        """Cepstral liftering constant (0 disables liftering)"""
         return self._cepstral_lifter
 
     @cepstral_lifter.setter
@@ -136,7 +137,7 @@ class PlpProcessor(MelFeaturesProcessor):
 
     @property
     def cepstral_scale(self):
-        """Scaling constant in PLP computation"""
+        """Global multiplier on the cepstral outputs"""
         return self._cepstral_scale
 
     @cepstral_scale.setter
@@ -145,12 +146,9 @@ class PlpProcessor(MelFeaturesProcessor):
 
     @property
     def htk_compat(self):
-        """If True, get closer to HTK PLP features
+        """HTK-style column layout (energy/C0 column last)
 
-        Put energy or C0 last.
-
-        Warning: Not sufficient to get HTK compatible features (need
-        to change other parameters)
+        Note this alone does not make the output HTK-identical.
 
         """
         return self._htk_compat

@@ -61,14 +61,15 @@ class Utterance:
                 f'(tstart, tstop)=({self._tstart}, {self._tstop})')
 
         # scanning raises if the audio file is missing or unreadable
-        self._duration = Audio.scan(self._audio).duration
+        file_duration = Audio.scan(self._audio).duration
+        self._duration = file_duration
         if self._tstart is not None:
-            if self._tstop > self._duration:
+            if self._tstop > file_duration:
                 warnings.warn(
-                    f'{self._audio}: file duration is {self._duration} but '
-                    f'asking interval ({self._tstart}, {self._tstop}), '
-                    f'will be truncated')
-                self._tstop = self._duration
+                    f'{self._audio}: requested segment ({self._tstart}, '
+                    f'{self._tstop}) exceeds the file duration '
+                    f'{file_duration}, it will be truncated')
+                self._tstop = file_duration
             self._duration = self._tstop - self._tstart
 
     def __eq__(self, other):
@@ -84,37 +85,39 @@ class Utterance:
 
     @property
     def format(self):
-        """The utterance format code (1 to 4)"""
+        """Numeric code (1-4) of the fields this utterance carries"""
         return self._format
 
     @property
     def name(self):
-        """The <utterance-id>"""
+        """The unique <utterance-id> string"""
         return self._name
 
     @property
     def audio_file(self):
-        """The audio file the utterance points to"""
+        """Path of the audio file holding this utterance"""
         return self._audio
 
     @property
     def speaker(self):
-        """The <speaker-id>, or None"""
+        """The <speaker-id> when present, else None"""
         return self._speaker
 
     @property
     def tstart(self):
-        """Onset time in the audio file (seconds), or None"""
+        """Segment onset within the file (seconds), None for whole
+        files"""
         return self._tstart
 
     @property
     def tstop(self):
-        """Offset time in the audio file (seconds), or None"""
+        """Segment offset within the file (seconds), None for whole
+        files"""
         return self._tstop
 
     @property
     def duration(self):
-        """Utterance duration in seconds"""
+        """Length of the utterance's audio, in seconds"""
         return self._duration
 
     def load_audio(self):
@@ -226,33 +229,33 @@ class Utterances:
             raise ValueError(
                 f'duration must be a positive number, it is {duration}')
 
+        def speaker_segments(speaker, utterances):
+            budget = duration
+            for utt in utterances:
+                onset = utt.tstart or 0
+                offset = (
+                    utt.tstop if utt.tstop is not None
+                    else utt.duration - onset)
+                if utt.duration >= budget:
+                    yield Utterance(
+                        utt.name, utt.audio_file, utt.speaker,
+                        onset, onset + budget)
+                    return
+                yield Utterance(
+                    utt.name, utt.audio_file, utt.speaker, onset, offset)
+                budget -= utt.duration
+
+            message = (
+                f'speaker {speaker}: only {duration - budget}s'
+                f' of audio available but {duration}s requested')
+            if truncate:
+                warnings.warn(message)
+            else:
+                raise ValueError(message)
+
         segments = []
         for speaker, utterances in self.by_speaker().items():
             if shuffle:
                 random.shuffle(utterances)
-
-            remaining = duration
-            for utt in utterances:
-                tstart = 0 if utt.tstart is None else utt.tstart
-                tstop = (
-                    utt.duration - tstart if utt.tstop is None else utt.tstop)
-                if utt.duration >= remaining:
-                    segments.append(Utterance(
-                        utt.name, utt.audio_file, utt.speaker,
-                        tstart, tstart + remaining))
-                    remaining = 0
-                    break
-                segments.append(Utterance(
-                    utt.name, utt.audio_file, utt.speaker, tstart, tstop))
-                remaining -= utt.duration
-
-            if remaining > 0:
-                message = (
-                    f'speaker {speaker}: only {duration - remaining}s'
-                    f' of audio available but {duration}s requested')
-                if truncate:
-                    warnings.warn(message)
-                else:
-                    raise ValueError(message)
-
+            segments.extend(speaker_segments(speaker, utterances))
         return Utterances(segments)
