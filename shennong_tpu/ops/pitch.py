@@ -311,7 +311,13 @@ def compute_pitch(signals, nsamples, opts, nframes_max):
     inter_frame_factor = (
         opts.penalty_factor * math.log(1.0 + opts.delta_pitch) ** 2)
     nframes = pitch_num_frames_device(num_rs, opts)
-    best = _viterbi_lags(local_cost, inter_frame_factor, nframes)
+    if jax.default_backend() == 'tpu':
+        # single-kernel forward recursion with the state in VMEM
+        from shennong_tpu.ops.pallas_viterbi import viterbi_lags_pallas
+        best = viterbi_lags_pallas(
+            local_cost, inter_frame_factor, nframes)
+    else:
+        best = _viterbi_lags(local_cost, inter_frame_factor, nframes)
 
     # 6. assemble (NCCF, pitch) output
     pitch = 1.0 / jnp.take(lags_f32, best)
