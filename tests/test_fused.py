@@ -1,0 +1,59 @@
+"""The fused serving pipeline must agree with the composable
+processors it shortcuts."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from shennong_tpu.ops import mel as melmod
+from shennong_tpu.ops.framing import num_frames
+from shennong_tpu.ops.pitch import (
+    PitchOpts, ProcessPitchOpts, num_pitch_frames)
+from shennong_tpu.ops.spectral import MfccOpts
+from shennong_tpu.parallel.fused import mfcc_pitch_pipeline
+
+
+def test_fused_matches_processors(audio):
+    """Fused MFCC+CMVN+delta+pitch equals the step-by-step path."""
+    from shennong_tpu.processor import MfccProcessor, KaldiPitchProcessor
+    from shennong_tpu.postprocessor import DeltaPostProcessor
+    from shennong_tpu.processor.pitch_kaldi import KaldiPitchPostProcessor
+
+    data = audio.data.astype(np.float32)
+    nsamples = data.shape[0]
+    signals = data[None, :]
+    lengths = np.array([nsamples], dtype=np.int32)
+
+    mfcc_opts = MfccOpts(frame=MfccOpts().frame.__class__(dither=0.0))
+    pitch_opts = PitchOpts()
+    post_opts = ProcessPitchOpts(delta_pitch_noise_stddev=0.0)
+    mel_weights = melmod.mel_banks(
+        23, 512, 16000.0, 20.0, 0.0, 100.0, -500.0, 1.0)[0]
+    nframes_max = num_frames(nsamples, mfcc_opts.frame)
+    pitch_frames_max = num_pitch_frames(nsamples, pitch_opts)
+
+    fused, out_frames = mfcc_pitch_pipeline(
+        jnp.asarray(signals), jnp.asarray(lengths),
+        jnp.asarray(mel_weights), mfcc_opts, pitch_opts, post_opts,
+        nframes_max, pitch_frames_max)
+    fused = np.asarray(fused[0, :int(out_frames[0])])
+
+    # reference path: processors chained on host
+    mfcc = MfccProcessor(dither=0).process(audio)
+    normalized = (mfcc.data - mfcc.data.mean(axis=0)) / np.sqrt(
+        np.maximum(mfcc.data.var(axis=0), 1e-20))
+    from shennong_tpu import Features
+    delta = DeltaPostProcessor().process(
+        Features(normalized, mfcc.times))
+
+    pitch = KaldiPitchProcessor().process(audio)
+    pitch_post = KaldiPitchPostProcessor(
+        delta_pitch_noise_stddev=0).process(pitch)
+
+    common = min(delta.nframes, pitch_post.nframes, fused.shape[0])
+    expected = np.hstack(
+        [delta.data[:common], pitch_post.data[:common]])
+
+    assert fused.shape[1] == expected.shape[1] == 42
+    assert np.max(np.abs(fused[:common] - expected)) < 2e-3

@@ -94,3 +94,19 @@ def test_ark_index_and_read(tmpdir):
     python_read = dict(read_ark(path))
     for key in mats:
         assert np.array_equal(python_read[key], mats[key])
+
+
+def test_shard_utterances(wav_file):
+    """Host-level utterance sharding covers the collection exactly."""
+    from shennong_tpu.parallel.distributed import shard_utterances
+    utterances = Utterances([
+        (f'u{i}', wav_file, 0.0, 0.5) for i in range(7)])
+
+    shards = [
+        shard_utterances(utterances, process_index=p, process_count=3)
+        for p in range(3)]
+    names = sorted(
+        utt.name for shard in shards if shard for utt in shard)
+    assert names == sorted(u.name for u in utterances)
+    sizes = [len(s) for s in shards if s]
+    assert max(sizes) - min(sizes) <= 1
