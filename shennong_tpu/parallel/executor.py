@@ -68,6 +68,10 @@ class BatchExecutor:
         proc = self.processor
         name = proc.name
 
+        if vtln_warp is not None and not hasattr(proc, 'mel_weights'):
+            raise ValueError(
+                f'processor {name} does not accept VTLN warps')
+
         # the whole batch shares the processor's sample rate
         from shennong_tpu.audio import Audio
         for utt in utterances:

@@ -160,11 +160,28 @@ def extract_features_warp(configuration, utterances, warp, log, njobs=1):
     """Extract features with a single global VTLN warp.
 
     Used internally by VTLN training to build the per-warp feature
-    sets.
+    sets; the whole collection runs as batched device programs.
     """
+    from shennong_tpu.parallel.executor import BatchExecutor
+
     njobs = get_njobs(njobs, log=log)
     config = init_config(configuration, log=log)
     manager = PipelineManager(config, utterances, log=log)
+
+    utterances = list(utterances)
+    rates = set(
+        meta.sample_rate for meta in manager.audio_metadata.values())
+    if manager.features != 'bottleneck' and len(rates) == 1:
+        proc = manager.get_features_processor(utterances[0])
+        warps = {utt.name: float(warp) for utt in utterances}
+        features = BatchExecutor(proc).process_all(
+            utterances, vtln_warp=warps, njobs=njobs)
+        if 'delta' in config:
+            delta = manager.get_delta_processor(None)
+            features = FeaturesCollection({
+                name: delta.process(feats)
+                for name, feats in features.items()})
+        return features
 
     features = FeaturesCollection()
     for utterance in utterances:
