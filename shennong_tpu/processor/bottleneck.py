@@ -193,9 +193,14 @@ class BottleneckProcessor(FeaturesProcessor):
             high_freq=3800.0)
         frames = bn.frame_signal(
             dithered.astype(np.float32), frame_length, frame_shift)
+        from shennong_tpu.ops.framing import bucket_size
+        nrows = frames.shape[0]
+        row_bucket = bucket_size(nrows, minimum=128)
+        if row_bucket > nrows:
+            frames = np.pad(frames, ((0, row_bucket - nrows), (0, 0)))
         fea = np.asarray(bn.fbank_htk(
             jnp.asarray(frames), jnp.asarray(window_vec),
-            jnp.asarray(bank), 256))
+            jnp.asarray(bank), 256))[:nrows]
 
         # mean normalization over voiced frames
         fea = fea - fea[vad].mean(axis=0)
@@ -211,8 +216,18 @@ class BottleneckProcessor(FeaturesProcessor):
         params = {
             k: jnp.asarray(v) for k, v in weights.items()
             if k != 'context'}
-        output = np.asarray(
-            bn.stacked_bn_forward(params, jnp.asarray(nn_input)))
+
+        # pad the frame count to a bucket (single compile per bucket);
+        # the stagger stacking is causal-bounded so rows beyond the
+        # true count never contaminate the sliced output
+        from shennong_tpu.ops.framing import bucket_size
+        true_rows = nn_input.shape[0]
+        bucket = bucket_size(true_rows, minimum=128)
+        if bucket > true_rows:
+            nn_input = np.pad(
+                nn_input, ((0, bucket - true_rows), (0, 0)))
+        output = np.asarray(bn.stacked_bn_forward(
+            params, jnp.asarray(nn_input)))[:true_rows - 20]
 
         times = (1.0 / 8000) * np.vstack((
             np.arange(output.shape[0]) * frame_shift,

@@ -209,7 +209,16 @@ class CrepePitchProcessor(FeaturesProcessor):
         frames -= frames.mean(axis=1, keepdims=True)
         frames /= np.maximum(frames.std(axis=1, keepdims=True), 1e-8)
 
-        return np.asarray(crepe.forward(params, jnp.asarray(frames)))
+        # pad the frame count to a bucket so the CNN compiles once per
+        # bucket instead of once per utterance length
+        from shennong_tpu.ops.framing import bucket_size
+        bucket = bucket_size(n_frames, minimum=128)
+        if bucket > n_frames:
+            frames = np.pad(frames, ((0, bucket - n_frames), (0, 0)))
+
+        activation = np.asarray(
+            crepe.forward(params, jnp.asarray(frames)))
+        return activation[:n_frames]
 
     def process(self, audio):
         """Extract (confidence, pitch) using CREPE.
