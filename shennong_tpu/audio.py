@@ -289,8 +289,10 @@ class Audio:
             raise ValueError(f'unsupported audio data type: {dtype}')
 
         if self.dtype is np.dtype(np.int16):
+            # widen before scaling: numpy 2 would otherwise wrap the
+            # int16 multiplication
             data = (
-                self.data * 2**15 if dtype is np.int32
+                self.data.astype(np.int64) * 2**15 if dtype is np.int32
                 else self.data / 2**15)
         elif self.dtype is np.dtype(np.int32):
             data = (

@@ -9,4 +9,5 @@ TPU chips; global statistics such as CMVN reduce with psum).
 """
 
 from shennong_tpu.parallel.executor import BatchExecutor
-from shennong_tpu.parallel.mesh import data_mesh
+from shennong_tpu.parallel.mesh import (
+    data_mesh, get_default_mesh, set_default_mesh)

@@ -40,7 +40,8 @@ class BatchExecutor:
     def __init__(self, processor, batch_size=16, mesh=None):
         self.processor = processor
         self.batch_size = int(batch_size)
-        self.mesh = mesh
+        self.mesh = mesh if mesh is not None else \
+            meshing.get_default_mesh()
 
     def _sharding(self):
         if self.mesh is None:

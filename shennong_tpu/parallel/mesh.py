@@ -29,3 +29,22 @@ def batch_sharding(mesh):
 def replicated(mesh):
     """Fully replicated sharding on the mesh"""
     return NamedSharding(mesh, PartitionSpec())
+
+
+_DEFAULT_MESH = None
+
+
+def set_default_mesh(mesh):
+    """Install a process-wide default mesh.
+
+    Executors created without an explicit mesh (including everything
+    inside :func:`shennong_tpu.pipeline.extract_features`) shard their
+    batches over it. Pass None to restore single-device execution.
+    """
+    global _DEFAULT_MESH
+    _DEFAULT_MESH = mesh
+
+
+def get_default_mesh():
+    """The process-wide default mesh, or None"""
+    return _DEFAULT_MESH

@@ -89,3 +89,21 @@ def test_sample_rate_checked(utterances):
     proc = MfccProcessor(sample_rate=8000, dither=0)
     with pytest.raises(ValueError, match='mismatch in sample rates'):
         proc.process_all(utterances)
+
+
+def test_default_mesh_pipeline(utterances):
+    """extract_features shards over an installed default mesh."""
+    import jax
+    from shennong_tpu.parallel import set_default_mesh
+    from shennong_tpu.pipeline import extract_features, get_default_config
+
+    config = get_default_config('mfcc')
+    config['mfcc']['dither'] = 0
+
+    plain = extract_features(config, utterances)
+    set_default_mesh(data_mesh(jax.devices()))
+    try:
+        sharded = extract_features(config, utterances)
+    finally:
+        set_default_mesh(None)
+    assert sharded.is_close(plain, atol=2e-4)

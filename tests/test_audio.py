@@ -109,3 +109,16 @@ def test_segment(audio):
         audio.segment([(1.0, 0.5)])
     with pytest.raises(ValueError, match='pairs'):
         audio.segment([(0.0, 0.5, 1.0)])
+
+
+def test_astype_int32_roundtrip():
+    """int16 <-> int32 conversions must widen before scaling."""
+    source = Audio(np.array([100, -200, 32767], dtype=np.int16), 16000)
+    as32 = source.astype(np.int32)
+    assert as32.dtype == np.int32
+    assert as32.data.tolist() == [
+        100 * 2 ** 15, -200 * 2 ** 15, 32767 * 2 ** 15]
+    back = as32.astype(np.int16)
+    assert back.data.tolist() == [100, -200, 32767]
+    floats = as32.astype(np.float64)
+    assert np.max(np.abs(floats.data)) <= 1.0
