@@ -213,9 +213,12 @@ def energy_batch(signals, nsamples, opts, nframes_max,
     frames = framing.extract_frames(
         signals, nsamples, opts.frame, nframes_max)
     processed, _ = framing.process_frames(frames, opts.frame, key=key)
+    # floor with the smallest *float32* normal (the reference floors
+    # with the float64 tiny, which underflows to zero in f32 and would
+    # send log() to -inf on digitally silent frames)
     energy = jnp.maximum(
         jnp.sum(processed * processed, axis=-1),
-        np.finfo(np.float64).tiny)
+        np.finfo(np.float32).tiny)
     if compression == 'log':
         return jnp.log(energy)
     if compression == 'sqrt':

@@ -120,3 +120,13 @@ def test_energy_custom_framing(audio):
         dither=0, frame_shift=0.02, frame_length=0.05,
         window_type='hanning')
     assert proc.process(audio).shape == (69, 1)
+
+
+def test_energy_silent_signal():
+    """Digital silence must yield finite (floored) energies."""
+    from shennong_tpu.audio import Audio
+    silent = Audio(np.zeros(16000, dtype=np.int16), 16000)
+    feats = EnergyProcessor(dither=0).process(silent)
+    assert np.all(np.isfinite(feats.data))
+    feats = EnergyProcessor(dither=0, compression='off').process(silent)
+    assert np.all(feats.data >= 0)
