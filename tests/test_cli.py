@@ -68,3 +68,17 @@ def test_version(monkeypatch, capsys):
     with pytest.raises(SystemExit):
         run_cli(monkeypatch, '--version')
     assert 'shennong-tpu' in capsys.readouterr().out
+
+
+def test_cli_subprocess(tmpdir, wav_file):
+    """The CLI also works as a subprocess (python -m)."""
+    import subprocess
+    import sys
+
+    config = str(tmpdir.join('config.yaml'))
+    result = subprocess.run(
+        [sys.executable, '-m', 'shennong_tpu.cli', 'config', 'mfcc',
+         '-o', config],
+        capture_output=True, text=True, timeout=300)
+    assert result.returncode == 0, result.stderr
+    assert 'mfcc:' in open(config).read()
