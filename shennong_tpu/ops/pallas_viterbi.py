@@ -145,9 +145,13 @@ def viterbi_lags_pallas(local_cost, inter_frame_factor, nframes,
 
     last_best = jnp.argmin(final_fwd, axis=1).astype(jnp.int32)
 
+    lag_ids = jnp.arange(nlags, dtype=jnp.float32)
+
     def backward_step(best_next, inputs):
         fwd_t, valid_next = inputs
-        scores = fwd_t + jnp.take(penalty, best_next, axis=0)
+        # quadratic penalty evaluated directly (no gather)
+        diff = best_next.astype(jnp.float32)[:, None] - lag_ids[None, :]
+        scores = fwd_t + diff * diff * inter_frame_factor
         best_here = jnp.argmin(scores, axis=1).astype(jnp.int32)
         best_here = jnp.where(valid_next, best_here, best_next)
         return best_here, best_here

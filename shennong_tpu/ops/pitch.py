@@ -186,11 +186,15 @@ def _viterbi_lags(local_cost, inter_frame_factor, nframes):
     # start the backtrace at the last *valid* frame of each utterance
     last_best = jnp.argmin(final_fwd, axis=1).astype(jnp.int32)  # [B]
 
+    lag_ids = jnp.arange(nlags, dtype=jnp.float32)
+
     def backward_step(carry, inputs):
         best_next = carry  # [B]
         fwd_t, valid_next = inputs  # [B, L], [B]
-        # argmin_i fwd_t[i] + penalty[i, best_next] (penalty symmetric)
-        scores = fwd_t + jnp.take(penalty, best_next, axis=0)
+        # argmin_i fwd_t[i] + penalty(i, best_next); the quadratic
+        # penalty evaluates directly, no gather
+        diff = best_next.astype(jnp.float32)[:, None] - lag_ids[None, :]
+        scores = fwd_t + diff * diff * inter_frame_factor
         best_here = jnp.argmin(scores, axis=1).astype(jnp.int32)
         # if frame t+1 is padding, the state passes through unchanged
         best_here = jnp.where(valid_next, best_here, best_next)
