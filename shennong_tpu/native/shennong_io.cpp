@@ -19,6 +19,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <cmath>
 #include <string>
 #include <thread>
 #include <vector>
@@ -106,14 +107,16 @@ int64_t load_wav_segment(const char* path, int64_t start_sample,
   } else if (info.format == 1 && info.bits == 32) {
     const int32_t* samples =
         reinterpret_cast<const int32_t*>(raw.data());
-    // int32 -> int16 range (the Kaldi-compatible convention)
+    // int32 -> int16 range, truncated toward zero exactly like the
+    // Python path's astype(int16)
     for (int64_t i = 0; i < count; ++i)
-      out[i] = static_cast<float>(samples[i]) / 32768.0f;
+      out[i] = std::trunc(static_cast<float>(
+          static_cast<double>(samples[i]) / 32768.0));
   } else if (info.format == 3 && info.bits == 32) {
     const float* samples = reinterpret_cast<const float*>(raw.data());
-    // float [-1, 1] -> int16 range
+    // float [-1, 1] -> int16 range, truncated like astype(int16)
     for (int64_t i = 0; i < count; ++i)
-      out[i] = samples[i] * 32768.0f;
+      out[i] = std::trunc(samples[i] * 32768.0f);
   } else {
     return -1;
   }
