@@ -203,3 +203,18 @@ def test_save_load_lvtln(tmpdir):
     loaded = VtlnProcessor.load(path)
     assert loaded.lvtln.dim == 5
     assert loaded.lvtln.num_classes == 3
+
+
+def test_process_full_warp_grid(utterances):
+    """The default 41-class warp grid end to end (tiny UBM)."""
+    vtln = VtlnProcessor(
+        num_iters=1, subsample=5,
+        ubm={'num_gauss': 4, 'num_iters': 1, 'num_iters_init': 2,
+             'num_frames': 1000})
+    assert int(1.5 + (vtln.max_warp - vtln.min_warp)
+               / vtln.warp_step) == 41
+    warps = vtln.process(utterances)
+    assert sorted(warps.keys()) == ['u1', 'u2']
+    for warp in warps.values():
+        assert 0.85 <= warp <= 1.25
+    assert vtln.lvtln.num_classes == 41
