@@ -369,19 +369,26 @@ class DiagUbmProcessor(BaseProcessor):
                 self.num_gselect, self.gmm.num_gauss())
             self.num_gselect = self.gmm.num_gauss()
 
+        from shennong_tpu.ops.framing import bucket_size
+
         weights, means, inv_vars = self.gmm.as_jax()
         tot_like, tot_frames = 0.0, 0
         for utt in feats_collection.keys():
-            feats = jnp.asarray(
-                feats_collection[utt].data, dtype=jnp.float32)
+            data = feats_collection[utt].data
             if already and utt not in self.selection:
                 raise ValueError(
                     f'No gselect information for utterance {utt}')
+            # pad the frame axis to a bucket: one compile per bucket
+            nrows = data.shape[0]
+            bucket = bucket_size(nrows, minimum=128)
+            feats = np.zeros((bucket, data.shape[1]), dtype=np.float32)
+            feats[:nrows] = data
             like, indices = gmm_ops.gaussian_selection(
-                feats, weights, means, inv_vars, self.num_gselect)
-            self.selection[utt] = np.asarray(indices)
+                jnp.asarray(feats), weights, means, inv_vars,
+                self.num_gselect)
+            self.selection[utt] = np.asarray(indices[:nrows])
             tot_like += float(like)
-            tot_frames += feats.shape[0]
+            tot_frames += nrows
 
         self.log.debug(
             'Done %s utterances, mean UBM log-likelihood is %s over %s '
@@ -413,10 +420,20 @@ class DiagUbmProcessor(BaseProcessor):
                     f'Input gselect utterance {utt} has wrong size '
                     f'{indices.shape[0]} vs {feats.shape[0]}')
 
+            from shennong_tpu.ops.framing import bucket_size
+            nrows = feats.shape[0]
+            bucket = bucket_size(nrows, minimum=128)
+            feats_pad = np.zeros(
+                (bucket, feats.shape[1]), dtype=np.float32)
+            feats_pad[:nrows] = feats
+            idx_pad = np.zeros(
+                (bucket, indices.shape[1]), dtype=np.int32)
+            idx_pad[:nrows] = indices
             norm, post = gmm_ops.posteriors_preselect(
-                jnp.asarray(feats, dtype=jnp.float32),
-                jnp.asarray(indices), weights, means, inv_vars)
-            post = np.asarray(post, dtype=np.float64)
+                jnp.asarray(feats_pad), jnp.asarray(idx_pad),
+                weights, means, inv_vars)
+            norm = norm[:nrows]
+            post = np.asarray(post[:nrows], dtype=np.float64)
 
             if min_post is not None:
                 pruned = np.where(post < min_post, 0.0, post)
@@ -471,6 +488,7 @@ class DiagUbmProcessor(BaseProcessor):
         var_acc = np.zeros((self.gmm.num_gauss(), dim))
         tot_like, tot_weight = 0.0, 0.0
 
+        from shennong_tpu.ops.framing import bucket_size
         for utt in feats_collection.keys():
             feats = feats_collection[utt].data
             if weights_collection is None:
@@ -478,9 +496,18 @@ class DiagUbmProcessor(BaseProcessor):
             else:
                 frame_weights = np.asarray(
                     weights_collection[utt], dtype=np.float32)
+            # zero-weight padding rows keep the statistics exact while
+            # bounding the number of compiled shapes
+            nrows = feats.shape[0]
+            bucket = bucket_size(nrows, minimum=128)
+            feats_pad = np.zeros(
+                (bucket, feats.shape[1]), dtype=np.float32)
+            feats_pad[:nrows] = feats
+            weights_pad = np.zeros(bucket, dtype=np.float32)
+            weights_pad[:nrows] = frame_weights
             like, o, m, v = gmm_ops.accumulate_stats(
-                jnp.asarray(feats, dtype=jnp.float32),
-                jnp.asarray(frame_weights), jweights, jmeans, jinv)
+                jnp.asarray(feats_pad), jnp.asarray(weights_pad),
+                jweights, jmeans, jinv)
             occ += np.asarray(o, dtype=np.float64)
             mean_acc += np.asarray(m, dtype=np.float64)
             var_acc += np.asarray(v, dtype=np.float64)
