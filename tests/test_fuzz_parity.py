@@ -1,0 +1,94 @@
+"""Randomized option fuzzing against the Kaldi oracles.
+
+Each case draws a random (but valid) option combination and a fresh
+random signal, then checks the JAX computers against the literal
+per-frame oracles. Complements the curated option sweeps with
+coverage of interactions.
+"""
+
+import numpy as np
+import pytest
+
+from shennong_tpu.audio import Audio
+from shennong_tpu.processor import MfccProcessor, PlpProcessor
+
+from tests import kaldi_oracle
+
+
+def _random_signal(rng, nsamples=6000, rate=16000):
+    t = np.arange(nsamples) / rate
+    f0 = rng.uniform(80, 250)
+    sig = sum(
+        rng.uniform(0.1, 1.0) * np.sin(2 * np.pi * f0 * (k + 1) * t)
+        for k in range(4))
+    sig += rng.randn(nsamples) * 0.05
+    sig = sig / np.abs(sig).max() * rng.uniform(0.2, 0.9)
+    return (sig * 2 ** 15 * 0.9).astype(np.int16)
+
+
+@pytest.mark.parametrize('seed', range(8))
+def test_mfcc_fuzz(seed):
+    rng = np.random.RandomState(seed)
+    audio = Audio(_random_signal(rng), 16000)
+
+    kwargs = dict(
+        dither=0,
+        frame_shift=float(rng.choice([0.008, 0.01, 0.015])),
+        frame_length=float(rng.choice([0.02, 0.025, 0.032])),
+        preemph_coeff=float(rng.choice([0.0, 0.9, 0.97])),
+        remove_dc_offset=bool(rng.randint(2)),
+        window_type=str(rng.choice(
+            ['povey', 'hamming', 'hanning', 'blackman'])),
+        snip_edges=bool(rng.randint(2)),
+        num_bins=int(rng.choice([15, 23, 30])),
+        low_freq=float(rng.choice([20, 60, 120])),
+        high_freq=float(rng.choice([0, -200, 7000])),
+        num_ceps=int(rng.choice([10, 13])),
+        use_energy=bool(rng.randint(2)),
+        raw_energy=bool(rng.randint(2)),
+        cepstral_lifter=float(rng.choice([0.0, 22.0])),
+        htk_compat=bool(rng.randint(2)))
+
+    ours = MfccProcessor(**kwargs).process(audio).data
+    ref = kaldi_oracle.mfcc(
+        audio.data.astype(np.float64),
+        shift_s=kwargs['frame_shift'], length_s=kwargs['frame_length'],
+        preemph=kwargs['preemph_coeff'],
+        remove_dc=kwargs['remove_dc_offset'],
+        window_type=kwargs['window_type'],
+        snip_edges=kwargs['snip_edges'], num_bins=kwargs['num_bins'],
+        low=kwargs['low_freq'], high=kwargs['high_freq'],
+        num_ceps=kwargs['num_ceps'], use_energy=kwargs['use_energy'],
+        raw_energy=kwargs['raw_energy'],
+        cepstral_lifter=kwargs['cepstral_lifter'],
+        htk_compat=kwargs['htk_compat'])
+    assert ours.shape == ref.shape, kwargs
+    assert np.max(np.abs(ours - ref)) < 2e-3, kwargs
+
+
+@pytest.mark.parametrize('seed', range(4))
+def test_plp_fuzz(seed):
+    rng = np.random.RandomState(100 + seed)
+    audio = Audio(_random_signal(rng), 16000)
+
+    kwargs = dict(
+        dither=0,
+        rasta=bool(rng.randint(2)),
+        num_bins=int(rng.choice([17, 23])),
+        lpc_order=int(rng.choice([10, 12])),
+        use_energy=bool(rng.randint(2)),
+        compress_factor=float(rng.choice([1 / 3, 0.25])),
+        cepstral_lifter=float(rng.choice([0.0, 22.0])))
+    kwargs['num_ceps'] = int(
+        rng.randint(5, kwargs['lpc_order'] + 2))
+
+    ours = PlpProcessor(**kwargs).process(audio).data
+    ref = kaldi_oracle.plp(
+        audio.data.astype(np.float64),
+        rasta=kwargs['rasta'], num_bins=kwargs['num_bins'],
+        lpc_order=kwargs['lpc_order'], num_ceps=kwargs['num_ceps'],
+        use_energy=kwargs['use_energy'],
+        compress=kwargs['compress_factor'],
+        cepstral_lifter=kwargs['cepstral_lifter'])
+    assert ours.shape == ref.shape, kwargs
+    assert np.max(np.abs(ours - ref)) < 2e-3, kwargs
