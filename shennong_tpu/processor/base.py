@@ -10,12 +10,14 @@ collections.
 """
 
 import abc
+import copy
 
 import numpy as np
 
 import jax
 
 from shennong_tpu import Features, FeaturesCollection
+from shennong_tpu.audio import Audio
 from shennong_tpu.base import BaseProcessor
 from shennong_tpu.ops.framing import (
     FrameOptions, WINDOW_TYPES, bucket_size, num_frames)
@@ -98,6 +100,10 @@ class FeaturesProcessor(BaseProcessor, metaclass=abc.ABCMeta):
 
 class FramesProcessor(FeaturesProcessor, metaclass=abc.ABCMeta):
     """Base class for frame-based processors (Kaldi framing options)."""
+
+    # frame count above which :func:`process` transparently switches
+    # to chunked extraction; None disables the automatic routing
+    AUTO_CHUNK_FRAMES = 60000
 
     def __init__(self, sample_rate=16000, frame_shift=0.01,
                  frame_length=0.025, dither=1.0, preemph_coeff=0.97,
@@ -254,6 +260,94 @@ class FramesProcessor(FeaturesProcessor, metaclass=abc.ABCMeta):
                 utterances, vtln_warp=kwargs.get('vtln_warp'),
                 njobs=njobs)
         return super().process_all(utterances, njobs=njobs, **kwargs)
+
+    def process_chunked(self, signal, chunk_frames=20000,
+                        halo_frames=256, **kwargs):
+        """Extract features from a long signal in frame-aligned chunks.
+
+        Bounds device memory for hour-scale utterances: the signal is
+        split into pieces of ``chunk_frames`` frames, each processed
+        through the regular jitted path, and the outputs concatenated.
+        All chunks share one compiled program (identical shapes except
+        the last, which lands in a length bucket).
+
+        Frame-local computers (spectrogram, filterbank, MFCC, energy,
+        plain PLP) produce bit-identical output to :func:`process`
+        when ``dither`` is 0. Two documented deviations: dithering
+        noise uses independent draws per chunk, and RASTA-PLP (the one
+        stateful computer) re-enters each chunk through a left halo of
+        ``halo_frames`` dropped frames — the RASTA IIR pole (0.94)
+        decays the halo boundary error below 1e-6 within 256 frames.
+
+        Frame placement matches Kaldi for both ``snip_edges`` settings
+        (reference shennong/frames.py:213-233 mirrors edges; here the
+        signal is symmetric-padded once on the host so every chunk is
+        a plain strided slice).
+        """
+        if int(chunk_frames) < 1:
+            raise ValueError(
+                f'chunk_frames must be >= 1, it is {chunk_frames}')
+        if int(halo_frames) < 0:
+            raise ValueError(
+                f'halo_frames must be >= 0, it is {halo_frames}')
+
+        self._check_signal(signal)
+        opts = self.frame_options()
+        total = num_frames(signal.nsamples, opts)
+        if total <= chunk_frames:
+            # run the regular path with automatic routing disabled,
+            # so a small AUTO_CHUNK_FRAMES cannot re-enter here
+            direct = copy.copy(self)
+            direct.AUTO_CHUNK_FRAMES = None
+            return direct.process(signal, **kwargs)
+
+        data = signal.astype(np.int16).data
+        shift, length = opts.window_shift, opts.window_size
+        if opts.snip_edges:
+            padded, offset = data, 0
+        else:
+            # one symmetric reflection (-1 -> 0, n -> n-1, ...) covers
+            # the half-window overhang of the edge frames
+            padded = np.pad(data, length, mode='symmetric')
+            offset = length + shift // 2 - length // 2
+
+        worker = copy.copy(self)
+        worker.snip_edges = True
+        worker.AUTO_CHUNK_FRAMES = None
+        halo = int(halo_frames) if getattr(self, 'rasta', False) else 0
+
+        pieces = []
+        start = 0
+        while start < total:
+            stop = min(start + chunk_frames, total)
+            head = max(start - halo, 0)
+            lo = offset + head * shift
+            hi = offset + (stop - 1) * shift + length
+            piece = worker.process(
+                Audio(padded[lo:hi], signal.sample_rate,
+                      validate=False),
+                **kwargs).data
+            pieces.append(piece[start - head:])
+            start = stop
+
+        props_kwargs = dict(kwargs)
+        if isinstance(self, MelFeaturesProcessor):
+            props_kwargs.setdefault('vtln_warp', 1.0)
+        return Features(
+            np.concatenate(pieces, axis=0), self.times(total),
+            properties=self.get_properties(**props_kwargs))
+
+    def _maybe_chunk(self, signal, **kwargs):
+        """Route very long signals to chunked extraction.
+
+        Returns the chunked Features, or None when the signal is short
+        enough for the regular single-program path.
+        """
+        limit = self.AUTO_CHUNK_FRAMES
+        if limit and num_frames(
+                signal.nsamples, self.frame_options()) > limit:
+            return self.process_chunked(signal, **kwargs)
+        return None
 
     def times(self, nframes):
         """(tstart, tstop) label for each output frame"""
@@ -422,6 +516,9 @@ class MelFeaturesProcessor(FramesProcessor, metaclass=abc.ABCMeta):
         features : Features, shape = [nframes, ndims]
         """
         self._check_signal(signal)
+        chunked = self._maybe_chunk(signal, vtln_warp=vtln_warp)
+        if chunked is not None:
+            return chunked
         data = self._compute(signal, vtln_warp)
         return Features(
             data, self.times(data.shape[0]),

@@ -87,6 +87,9 @@ class EnergyProcessor(FramesProcessor):
         parameters, we bake it into the static options).
         """
         self._check_signal(signal)
+        chunked = self._maybe_chunk(signal)
+        if chunked is not None:
+            return chunked
 
         frame = self.frame_options()
         if self.raw_energy:

@@ -73,6 +73,9 @@ class SpectrogramProcessor(FramesProcessor):
         reference).
         """
         self._check_signal(signal)
+        chunked = self._maybe_chunk(signal)
+        if chunked is not None:
+            return chunked
         opts = self.options()
         signals, nsamples, nframes, nframes_max, key = (
             self._signal_batch(signal))

@@ -1,0 +1,74 @@
+"""Chunked (halo) extraction for long utterances"""
+
+import numpy as np
+import pytest
+
+from shennong_tpu import Audio
+from shennong_tpu.processor import (
+    EnergyProcessor, FilterbankProcessor, MfccProcessor, PlpProcessor,
+    SpectrogramProcessor)
+
+from tests.conftest import make_speech_like_signal
+
+
+@pytest.fixture(scope='module')
+def long_audio():
+    # ~4.2 s: long enough for several chunks at chunk_frames=100
+    return Audio(make_speech_like_signal(67000, 16000), 16000)
+
+
+@pytest.mark.parametrize('snip', [True, False])
+@pytest.mark.parametrize('factory', [
+    lambda s: MfccProcessor(dither=0, snip_edges=s),
+    lambda s: SpectrogramProcessor(dither=0, snip_edges=s),
+    lambda s: FilterbankProcessor(dither=0, snip_edges=s),
+    lambda s: EnergyProcessor(dither=0, snip_edges=s),
+    lambda s: PlpProcessor(dither=0, snip_edges=s)])
+def test_chunked_matches_whole(long_audio, factory, snip):
+    proc = factory(snip)
+    whole = proc.process(long_audio)
+    chunked = proc.process_chunked(long_audio, chunk_frames=100)
+    assert chunked.shape == whole.shape
+    assert np.allclose(chunked.data, whole.data, atol=1e-4), \
+        np.abs(chunked.data - whole.data).max()
+    assert np.array_equal(chunked.times, whole.times)
+    assert chunked.properties == whole.properties
+
+
+def test_chunked_rasta_halo(long_audio):
+    proc = PlpProcessor(dither=0, rasta=True)
+    whole = proc.process(long_audio)
+    chunked = proc.process_chunked(long_audio, chunk_frames=100)
+    assert chunked.shape == whole.shape
+    # the IIR halo makes chunk boundaries converge, not exact
+    assert np.abs(chunked.data - whole.data).max() < 1e-3
+
+
+def test_chunked_vtln_warp(long_audio):
+    proc = MfccProcessor(dither=0)
+    whole = proc.process(long_audio, vtln_warp=1.1)
+    chunked = proc.process_chunked(
+        long_audio, chunk_frames=100, vtln_warp=1.1)
+    assert np.allclose(chunked.data, whole.data, atol=1e-4)
+    assert chunked.properties == whole.properties
+
+
+def test_auto_routing(long_audio, monkeypatch):
+    """process() transparently chunks past AUTO_CHUNK_FRAMES."""
+    proc = MfccProcessor(dither=0)
+    whole = proc.process(long_audio)
+
+    monkeypatch.setattr(MfccProcessor, 'AUTO_CHUNK_FRAMES', 200)
+    routed = proc.process(long_audio)
+    assert np.allclose(routed.data, whole.data, atol=1e-4)
+
+    monkeypatch.setattr(MfccProcessor, 'AUTO_CHUNK_FRAMES', None)
+    assert np.allclose(
+        proc.process(long_audio).data, whole.data, atol=0)
+
+
+def test_short_signal_passthrough(audio):
+    """Signals under one chunk go through the regular path."""
+    proc = MfccProcessor(dither=0)
+    out = proc.process_chunked(audio, chunk_frames=10 ** 6)
+    assert np.array_equal(out.data, proc.process(audio).data)
