@@ -66,25 +66,46 @@ def main():
     lengths = jax.device_put(lengths)
     mel_weights = jax.device_put(mel_weights)
 
-    def dispatch():
+    import jax.numpy as jnp
+
+    # jitted so each perturbation is one async device program (eager
+    # ops synchronize with remote transports per call)
+    perturb = jax.jit(lambda s, eps: s + eps)
+
+    def dispatch(step):
+        # perturb the input per iteration: executions of bit-identical
+        # programs on identical buffers may be deduplicated by remote
+        # device transports, which would fake the throughput
         out, nframes = mfcc_pitch_pipeline(
-            signals, lengths, mel_weights, mfcc_opts, pitch_opts,
-            post_opts, nframes_max, pitch_frames_max)
+            perturb(signals, jnp.float32(step * 1e-4)), lengths,
+            mel_weights, mfcc_opts, pitch_opts, post_opts,
+            nframes_max, pitch_frames_max)
         return out
 
-    # compile + warmup
-    out = dispatch()
-    out.block_until_ready()
+    def sync(outputs):
+        # a host fetch of a value depending on every output is the
+        # only sync primitive that provably waits on remote devices
+        # (block_until_ready can return early through relays)
+        import jax.numpy as jnp
+        probe = jnp.stack([out[0, 0, 0] for out in outputs]).sum()
+        return np.asarray(probe)
+
+    # compile + warmup, including the perturbation and probe programs
+    # (their one-time compiles must not land in the timed region — the
+    # probe warmup must stack the same output count as the timed run)
+    iterations = 10
+    out = dispatch(0)
     assert np.all(np.isfinite(np.asarray(out[:, :10]))), 'non-finite output'
+    sync([dispatch(1 + i) for i in range(iterations)])
 
     # sustained throughput: dispatch several batches back to back and
     # synchronize once (the serving steady state; a single sync would
     # otherwise be dominated by host-device latency, not compute)
-    iterations = 10
     start = time.perf_counter()
-    outputs = [dispatch() for _ in range(iterations)]
-    outputs[-1].block_until_ready()
+    outputs = [dispatch(11 + i) for i in range(iterations)]
+    probe = sync(outputs)
     elapsed = time.perf_counter() - start
+    assert np.isfinite(probe), 'non-finite output'
 
     audio_seconds = batch * duration * iterations
     xrt = audio_seconds / elapsed
