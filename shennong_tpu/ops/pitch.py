@@ -112,15 +112,65 @@ def num_pitch_frames(nsamples, opts):
     return (num_rs - length) // shift + 1
 
 
+@functools.lru_cache(maxsize=None)
+def _nccf_dft_bases(width, window_size, first_lag, last_lag):
+    """Constant matrices turning the NCCF cross-correlation into
+    three small matmuls (forward DFT of the full and truncated
+    windows, and an inverse DFT evaluated only at the needed lags)."""
+    fft_size = 1 << (width - 1).bit_length()
+    nbins = fft_size // 2 + 1
+    k = np.arange(nbins)
+
+    def fwd(n):
+        ang = 2.0 * np.pi * np.outer(np.arange(n), k) / fft_size
+        return (np.cos(ang).astype(np.float32),
+                (-np.sin(ang)).astype(np.float32))
+
+    cos_w, sin_w = fwd(width)
+    cos_1, sin_1 = fwd(window_size)
+
+    # real inverse DFT at the lag rows only; DC and Nyquist bins enter
+    # once, every other bin twice (conjugate symmetry)
+    lag_idx = np.arange(first_lag, last_lag + 1)
+    weight = np.full(nbins, 2.0 / fft_size)
+    weight[0] = 1.0 / fft_size
+    if fft_size % 2 == 0:
+        weight[-1] = 1.0 / fft_size
+    ang = 2.0 * np.pi * np.outer(k, lag_idx) / fft_size
+    inv_cos = (np.cos(ang) * weight[:, None]).astype(np.float32)
+    inv_sin = (-np.sin(ang) * weight[:, None]).astype(np.float32)
+    return cos_w, sin_w, cos_1, sin_1, inv_cos, inv_sin
+
+
+def _nccf_inner_matmul(windows, window_size, first_lag, last_lag):
+    """Correlation inner products as MXU matmuls (TPU path)."""
+    mats = _nccf_dft_bases(
+        windows.shape[-1], window_size, first_lag, last_lag)
+    cos_w, sin_w, cos_1, sin_1, inv_cos, inv_sin = (
+        jnp.asarray(m) for m in mats)
+    hi = jax.lax.Precision.HIGHEST
+
+    def mm(mat_a, mat_b):
+        return jnp.einsum(
+            '...w,wk->...k', mat_a, mat_b, precision=hi,
+            preferred_element_type=jnp.float32)
+
+    w1 = windows[..., :window_size]
+    w_re, w_im = mm(windows, cos_w), mm(windows, sin_w)
+    u_re, u_im = mm(w1, cos_1), mm(w1, sin_1)
+    # spec_w * conj(spec_w1), then the inverse transform at the lags
+    prod_re = w_re * u_re + w_im * u_im
+    prod_im = w_im * u_re - w_re * u_im
+    return mm(prod_re, inv_cos) + mm(prod_im, inv_sin)
+
+
 def _nccf_correlations(windows, window_size, first_lag, last_lag):
-    """inner products and energies for the NCCF, via FFT correlation.
+    """inner products and energies for the NCCF.
 
     ``windows`` is [B, F, W] (W = window_size + last_lag) with the
     mean of the first ``window_size`` samples already removed.
     Returns (inner [B, F, nlags], e1 [B, F], e2 [B, F, nlags]).
     """
-    nlags = last_lag + 1 - first_lag
-
     # sliding energies from prefix sums
     sq = windows * windows
     csum = jnp.cumsum(sq, axis=-1)
@@ -131,14 +181,20 @@ def _nccf_correlations(windows, window_size, first_lag, last_lag):
     e2 = (jnp.take(csum, lag_idx + window_size, axis=-1)
           - jnp.take(csum, lag_idx, axis=-1))
 
-    # cross-correlation: inner[lag] = sum_i w1[i] * w[i + lag]
-    fft_size = 1 << (windows.shape[-1] - 1).bit_length()
-    w1 = jnp.where(
-        jnp.arange(windows.shape[-1]) < window_size, windows, 0.0)
-    spec_w = jnp.fft.rfft(windows, n=fft_size, axis=-1)
-    spec_w1 = jnp.fft.rfft(w1, n=fft_size, axis=-1)
-    corr = jnp.fft.irfft(spec_w * jnp.conj(spec_w1), n=fft_size, axis=-1)
-    inner = jnp.take(corr, lag_idx, axis=-1)
+    # cross-correlation: inner[lag] = sum_i w1[i] * w[i + lag]; on TPU
+    # the three DFTs run as matmuls on the MXU, elsewhere as FFTs
+    if jax.default_backend() == 'tpu':
+        inner = _nccf_inner_matmul(
+            windows, window_size, first_lag, last_lag)
+    else:
+        fft_size = 1 << (windows.shape[-1] - 1).bit_length()
+        w1 = jnp.where(
+            jnp.arange(windows.shape[-1]) < window_size, windows, 0.0)
+        spec_w = jnp.fft.rfft(windows, n=fft_size, axis=-1)
+        spec_w1 = jnp.fft.rfft(w1, n=fft_size, axis=-1)
+        corr = jnp.fft.irfft(
+            spec_w * jnp.conj(spec_w1), n=fft_size, axis=-1)
+        inner = jnp.take(corr, lag_idx, axis=-1)
 
     return inner, e1, e2
 

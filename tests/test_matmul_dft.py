@@ -1,0 +1,52 @@
+"""The MXU matmul-DFT paths match the FFT paths.
+
+These TPU-only fast paths (selected by backend at trace time) are
+checked on CPU by calling the matmul implementations directly.
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from shennong_tpu.ops.pitch import (
+    PitchOpts, _nccf_correlations, _nccf_inner_matmul)
+from shennong_tpu.ops.spectral import power_spectrum, power_spectrum_matmul
+
+
+def test_power_spectrum_matmul_matches_fft():
+    rng = np.random.RandomState(0)
+    for width, padded in [(400, 512), (512, 512), (200, 256), (7, 8)]:
+        frames = jnp.asarray(rng.randn(3, 5, width).astype(np.float32))
+        via_fft = np.asarray(power_spectrum(frames, padded))
+        via_mm = np.asarray(power_spectrum_matmul(frames, padded))
+        assert via_mm.shape == via_fft.shape == (3, 5, padded // 2 + 1)
+        scale = max(via_fft.max(), 1.0)
+        assert np.abs(via_mm - via_fft).max() / scale < 1e-5, (width, padded)
+
+
+def test_nccf_inner_matmul_matches_fft():
+    rng = np.random.RandomState(1)
+    opts = PitchOpts()
+    window_size = opts.window_size_samples
+    first_lag, last_lag = opts.first_lag, opts.last_lag
+    width = window_size + last_lag
+    windows = jnp.asarray(rng.randn(4, 9, width).astype(np.float32))
+
+    inner_fft, e1, e2 = _nccf_correlations(
+        windows, window_size, first_lag, last_lag)
+    inner_mm = _nccf_inner_matmul(
+        windows, window_size, first_lag, last_lag)
+
+    assert inner_mm.shape == inner_fft.shape
+    scale = float(np.abs(np.asarray(inner_fft)).max())
+    assert np.abs(np.asarray(inner_mm - inner_fft)).max() / scale < 1e-5
+
+    # direct O(n^2) reference for a few entries
+    w = np.asarray(windows, dtype=np.float64)
+    for (b, f, k) in [(0, 0, 0), (2, 5, 30), (3, 8, last_lag - first_lag)]:
+        lag = first_lag + k
+        ref = np.dot(w[b, f, :window_size], w[b, f, lag:lag + window_size])
+        assert np.asarray(inner_mm)[b, f, k] == np.float32(
+            np.asarray(inner_mm)[b, f, k])
+        assert abs(np.asarray(inner_mm)[b, f, k] - ref) / max(
+            abs(ref), 1.0) < 1e-4
