@@ -320,14 +320,12 @@ def _batched_pass_one(manager, utterances, log, njobs):
     Returns the same (utterance, features, pitch) triplets as the
     sequential :func:`_extract_pass_one`, or None when the
     configuration requires the per-utterance path (bottleneck
-    features, crepe pitch, heterogeneous sample rates).
+    features, heterogeneous sample rates).
     """
     from shennong_tpu.parallel.executor import BatchExecutor
 
     config = manager.config
     if manager.features == 'bottleneck':
-        return None
-    if 'pitch' in config and config['pitch']['processor'] != 'kaldi':
         return None
     rates = set(
         meta.sample_rate for meta in manager.audio_metadata.values())
@@ -357,8 +355,12 @@ def _batched_pass_one(manager, utterances, log, njobs):
 
     if 'pitch' in config:
         log.debug('batched pitch extraction')
-        pitch_raw = BatchExecutor(
-            manager.get_pitch_processor(first)).process_all(
+        pitch_proc = manager.get_pitch_processor(first)
+        if config['pitch']['processor'] == 'crepe':
+            # crepe batches internally (one CNN pass over the corpus)
+            pitch_raw = pitch_proc.process_all(utterances, njobs=njobs)
+        else:
+            pitch_raw = BatchExecutor(pitch_proc).process_all(
                 utterances, njobs=njobs)
         pitch_post = manager.get_pitch_post_processor(first)
         pitches = {

@@ -191,16 +191,16 @@ class CrepePitchProcessor(FeaturesProcessor):
             np.arange(nframes) * self.frame_shift,
             np.arange(nframes) * self.frame_shift + self.frame_length)).T
 
-    def _get_activation(self, audio):
-        """The CNN activation matrix [nframes, 360]."""
-        params = crepe.load_params(self.model_capacity)
+    def _model_frames(self, audio):
+        """Normalized 1024-sample model input frames of one signal."""
         audio = audio.astype(np.float32)
-
         if self.center:
             audio = np.pad(audio, 512, mode='constant')
 
         hop = int(16000 * self.frame_shift)
-        n_frames = 1 + int((len(audio) - 1024) / hop)
+        n_frames = max(0, 1 + int((len(audio) - 1024) / hop))
+        if n_frames == 0:
+            return np.zeros((0, 1024), dtype=np.float32)
         frames = np.lib.stride_tricks.as_strided(
             audio, shape=(n_frames, 1024),
             strides=(hop * audio.itemsize, audio.itemsize)).copy()
@@ -208,17 +208,71 @@ class CrepePitchProcessor(FeaturesProcessor):
         # per-frame normalization, as expected by the model
         frames -= frames.mean(axis=1, keepdims=True)
         frames /= np.maximum(frames.std(axis=1, keepdims=True), 1e-8)
+        return frames
 
-        # pad the frame count to a bucket so the CNN compiles once per
-        # bucket instead of once per utterance length
+    def _forward(self, frames):
+        """CNN forward over [n, 1024] frames, padded to a bucket so
+        the network compiles once per bucket, not once per count."""
         from shennong_tpu.ops.framing import bucket_size
+        params = crepe.load_params(self.model_capacity)
+        n_frames = frames.shape[0]
         bucket = bucket_size(n_frames, minimum=128)
         if bucket > n_frames:
             frames = np.pad(frames, ((0, bucket - n_frames), (0, 0)))
-
         activation = np.asarray(
             crepe.forward(params, jnp.asarray(frames)))
         return activation[:n_frames]
+
+    def _get_activation(self, audio):
+        """The CNN activation matrix [nframes, 360]."""
+        return self._forward(self._model_frames(audio))
+
+    def _check_audio(self, audio):
+        """Mono check + transparent resampling to the model rate."""
+        if audio.nchannels != 1:
+            raise ValueError(
+                f'audio must have one channel but has {audio.nchannels}')
+        if audio.sample_rate != self.sample_rate:
+            self.log.debug('resampling audio to 16 kHz')
+            audio = audio.resample(self.sample_rate)
+        return audio
+
+    def process_all(self, utterances, njobs=None, **kwargs):
+        """Batched extraction: the CNN runs over the frames of many
+        utterances at once (device batches bounded at 8192 frames),
+        instead of one forward per utterance. The per-utterance decode
+        (Viterbi, grid resampling) stays on the host.
+        """
+        if kwargs:
+            return super().process_all(utterances, njobs=njobs, **kwargs)
+
+        audios = {
+            utt.name: self._check_audio(utt.load_audio())
+            for utt in utterances}
+        frames = {
+            name: self._model_frames(audio.data)
+            for name, audio in audios.items()}
+
+        # one flat frame axis over all utterances, forwarded in chunks
+        names = list(frames)
+        counts = np.array([frames[n].shape[0] for n in names])
+        flat = np.concatenate([frames[n] for n in names])
+        if flat.shape[0]:
+            chunks = [
+                self._forward(flat[lo:lo + 8192])
+                for lo in range(0, flat.shape[0], 8192)]
+            activations = np.split(
+                np.concatenate(chunks), np.cumsum(counts)[:-1])
+        else:  # every utterance shorter than one model window
+            activations = [
+                np.zeros((0, 360), np.float32) for _ in names]
+
+        from shennong_tpu import FeaturesCollection
+        collection = FeaturesCollection()
+        for name, activation in zip(names, activations):
+            collection[name] = self._decode(
+                activation, audios[name].shape[0])
+        return collection
 
     def process(self, audio):
         """Extract (confidence, pitch) using CREPE.
@@ -226,15 +280,21 @@ class CrepePitchProcessor(FeaturesProcessor):
         The audio is transparently resampled to 16 kHz; the CNN output
         grid is resampled onto the processor's frame grid.
         """
-        if audio.nchannels != 1:
-            raise ValueError(
-                f'audio must have one channel but has {audio.nchannels}')
-
-        if audio.sample_rate != self.sample_rate:
-            self.log.debug('resampling audio to 16 kHz')
-            audio = audio.resample(self.sample_rate)
-
+        audio = self._check_audio(audio)
         activation = self._get_activation(audio.data)
+        return self._decode(activation, audio.shape[0])
+
+    def _decode(self, activation, nsamples):
+        """Decode one utterance's activations into (POV, pitch)."""
+        hop = np.round(self.sample_rate * self.frame_shift).astype(int)
+        out_frames = 1 + int(
+            (nsamples - self.frame_length * self.sample_rate) / hop)
+        if activation.shape[0] == 0 or out_frames <= 0:
+            # audio shorter than one model window or one output frame
+            return Features(
+                np.zeros((0, 2)), self.times(0),
+                properties=self.get_properties())
+
         confidence = activation.max(axis=1)
 
         if self.viterbi:
@@ -247,14 +307,10 @@ class CrepePitchProcessor(FeaturesProcessor):
         frequency[np.isnan(frequency)] = 0
 
         # resample onto the target frame grid
-        hop = np.round(self.sample_rate * self.frame_shift).astype(int)
-        nframes = 1 + int(
-            (audio.shape[0] - self.frame_length * self.sample_rate)
-            / hop)
         with warnings.catch_warnings():
             warnings.simplefilter('ignore')
             data = scipy.signal.resample(
-                np.array([confidence, frequency]).T, nframes)
+                np.array([confidence, frequency]).T, out_frames)
 
         # clamp the interpolated confidences into [0, 1]
         data[data[:, 0] < 1e-2, 0] = 0

@@ -113,3 +113,21 @@ def test_post_all_unvoiced(crepe_pitch):
         properties=crepe_pitch.properties)
     with pytest.raises(ValueError, match='No voiced frames'):
         CrepePitchPostProcessor().process(silent)
+
+
+def test_process_all_batched(wav_file):
+    """Batched process_all (one CNN pass over all utterances) matches
+    per-utterance process()."""
+    from shennong_tpu import Utterances
+    utterances = Utterances([
+        ('u1', wav_file, 0.0, 0.7), ('u2', wav_file, 0.5, 1.4),
+        ('u3', wav_file, 0.0, 1.4)])
+    proc = CrepePitchProcessor(model_capacity='tiny')
+    batched = proc.process_all(utterances)
+    assert sorted(batched.keys()) == ['u1', 'u2', 'u3']
+    for utt in utterances:
+        single = proc.process(utt.load_audio())
+        assert batched[utt.name].shape == single.shape
+        assert np.allclose(
+            batched[utt.name].data, single.data, atol=1e-5), utt.name
+        assert np.array_equal(batched[utt.name].times, single.times)
