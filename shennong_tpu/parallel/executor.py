@@ -82,9 +82,33 @@ class BatchExecutor:
                     'processor and signal mismatch in sample rates: '
                     '{} != {}'.format(proc.sample_rate, rate))
 
+        collection = FeaturesCollection()
+
+        # hour-scale utterances would force one giant padded bucket;
+        # route them through chunked single-utterance extraction and
+        # batch only the rest (see FramesProcessor.process_chunked)
+        utterances = list(utterances)
+        limit = getattr(proc, 'AUTO_CHUNK_FRAMES', None)
+        if limit and hasattr(proc, 'process_chunked'):
+            regular = []
+            for utt in utterances:
+                frames = num_frames(
+                    int(utt.duration * float(proc.sample_rate)),
+                    proc.frame_options())
+                if frames > limit:
+                    kwargs = (
+                        {'vtln_warp': vtln_warp[utt.name]}
+                        if vtln_warp is not None else {})
+                    collection[utt.name] = proc.process_chunked(
+                        utt.load_audio(), **kwargs)
+                else:
+                    regular.append(utt)
+            utterances = regular
+        if not utterances:
+            return collection
+
         items = batching.load_signals(utterances, njobs=njobs)
 
-        collection = FeaturesCollection()
         for names, signals, nsamples, nvalid in batching.make_batches(
                 items, self.batch_size, self._pad_multiple()):
             feats = self._run_batch(

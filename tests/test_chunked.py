@@ -72,3 +72,39 @@ def test_short_signal_passthrough(audio):
     proc = MfccProcessor(dither=0)
     out = proc.process_chunked(audio, chunk_frames=10 ** 6)
     assert np.array_equal(out.data, proc.process(audio).data)
+
+
+def test_executor_routes_oversize(long_audio, tmpdir, monkeypatch):
+    """BatchExecutor sends oversize utterances through chunked
+    extraction and batches the rest; outputs match process()."""
+    import scipy.io.wavfile
+    from shennong_tpu import Utterances
+    from shennong_tpu.parallel.executor import BatchExecutor
+
+    path = str(tmpdir.join('long.wav'))
+    scipy.io.wavfile.write(path, 16000, long_audio.data)
+
+    utterances = Utterances([
+        ('big', path, 0.0, 4.1),
+        ('small1', path, 0.0, 0.9),
+        ('small2', path, 1.0, 2.2)])
+
+    proc = MfccProcessor(dither=0)
+    monkeypatch.setattr(MfccProcessor, 'AUTO_CHUNK_FRAMES', 200)
+    batched = BatchExecutor(proc).process_all(utterances)
+    assert sorted(batched.keys()) == ['big', 'small1', 'small2']
+    for utt in utterances:
+        single = proc.process_chunked(utt.load_audio(), chunk_frames=10**9)
+        assert batched[utt.name].shape == single.shape, utt.name
+        assert np.allclose(
+            batched[utt.name].data, single.data, atol=2e-4), utt.name
+
+    # with per-utterance VTLN warps
+    warps = {'big': 1.1, 'small1': 0.9, 'small2': 1.0}
+    warped = BatchExecutor(proc).process_all(utterances, vtln_warp=warps)
+    for utt in utterances:
+        single = proc.process_chunked(
+            utt.load_audio(), chunk_frames=10**9,
+            vtln_warp=warps[utt.name])
+        assert np.allclose(
+            warped[utt.name].data, single.data, atol=2e-4), utt.name
