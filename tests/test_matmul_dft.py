@@ -50,3 +50,20 @@ def test_nccf_inner_matmul_matches_fft():
             np.asarray(inner_mm)[b, f, k])
         assert abs(np.asarray(inner_mm)[b, f, k] - ref) / max(
             abs(ref), 1.0) < 1e-4
+
+
+def test_resample_conv_path_matches_slices(monkeypatch):
+    """The TPU conv fast path of the resampler matches the
+    strided-slice path (checked on CPU by forcing the branch)."""
+    import shennong_tpu.ops.resample as R
+
+    rng = np.random.RandomState(2)
+    signals = jnp.asarray(rng.randn(3, 8000).astype(np.float32))
+    by_slices = np.asarray(
+        R.linear_resample(signals, 8000, 16000.0, 4000.0, 1000.0, 1))
+    monkeypatch.setattr(R.jax, 'default_backend', lambda: 'tpu')
+    by_conv = np.asarray(
+        R.linear_resample(signals, 8000, 16000.0, 4000.0, 1000.0, 1))
+    assert by_conv.shape == by_slices.shape
+    scale = np.abs(by_slices).max()
+    assert np.abs(by_conv - by_slices).max() / scale < 1e-6
