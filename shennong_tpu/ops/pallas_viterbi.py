@@ -71,9 +71,10 @@ def _make_viterbi_kernel(batch_tile):
     return _viterbi_kernel
 
 
-@functools.partial(jax.jit, static_argnames=('interpret',))
+@functools.partial(
+    jax.jit, static_argnames=('interpret', 'keep_padding'))
 def viterbi_forward_pallas(local_cost, penalty, nframes,
-                           interpret=False):
+                           interpret=False, keep_padding=False):
     """Run the forward recursion, returning every forward state.
 
     Parameters
@@ -83,6 +84,9 @@ def viterbi_forward_pallas(local_cost, penalty, nframes,
     nframes : [B] int32 valid frame counts
     interpret : bool, static
         Run in the Pallas interpreter (for CPU testing).
+    keep_padding : bool, static
+        Return the padded [F, bp, lp] history (for the backtrace
+        kernel) instead of slicing back to [F, B, L].
 
     Returns
     -------
@@ -135,14 +139,86 @@ def viterbi_forward_pallas(local_cost, penalty, nframes,
         interpret=interpret,
     )(local_cost, bounds, penalty)
 
+    if keep_padding:
+        return hist
     return hist[:, :bsz, :nlags]
+
+
+def _make_backtrace_kernel(maxframes, nlags, factor):
+    def _backtrace_kernel(hist_ref, bounds_ref, best_ref, state):
+        """Grid step f emits the best lag of frame t = F-1-f (the
+        BlockSpec index maps stream the history in reverse)."""
+        f = pl.program_id(0)
+        fwd_t = hist_ref[0]  # [bp, lp]
+        bp, lp = fwd_t.shape
+
+        # padded lanes hold ~1e30 forward costs and never win argmin
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (bp, lp), 1).astype(jnp.float32)
+
+        @pl.when(f == 0)
+        def _last_frame():
+            best = jnp.argmin(fwd_t, axis=1)[:, None]
+            state[...] = best.astype(jnp.float32)
+
+        @pl.when(f > 0)
+        def _step():
+            best_next = state[...]  # [bp, 1] float32
+            diff = best_next - lane
+            scores = fwd_t + diff * diff * factor
+            best = jnp.argmin(scores, axis=1)[:, None].astype(
+                jnp.float32)
+            # frame t+1 = F-f is padding when F-f >= nframes: the
+            # backtrace state passes through unchanged
+            t_next = jnp.float32(maxframes) - f.astype(jnp.float32)
+            best = jnp.where(t_next < bounds_ref[...], best, best_next)
+            state[...] = best
+
+        best_ref[0, :, :] = jnp.broadcast_to(state[...], (bp, _LANE))
+
+    return _backtrace_kernel
+
+
+def viterbi_backtrace_pallas(hist, nframes, inter_frame_factor,
+                             interpret=False):
+    """The O(L)-per-frame backtrace as one reverse-streamed kernel.
+
+    ``hist`` is the padded [F, bp, lp] forward history; returns the
+    best lag per frame [F, bp] int32 (padded rows hold garbage).
+    """
+    maxframes, bp, lp = hist.shape
+    bounds = nframes.astype(jnp.float32)[:, None]
+
+    best = pl.pallas_call(
+        _make_backtrace_kernel(
+            maxframes, lp, float(inter_frame_factor)),
+        grid=(maxframes,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, bp, lp),
+                lambda f: (maxframes - 1 - f, 0, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bp, 1), lambda f: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bp, _LANE),
+            lambda f: (maxframes - 1 - f, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (maxframes, bp, _LANE), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bp, 1), jnp.float32)],
+        interpret=interpret,
+    )(hist, bounds)
+    return best[:, :, 0].astype(jnp.int32)
 
 
 def viterbi_lags_pallas(local_cost, inter_frame_factor, nframes,
                         interpret=False):
-    """Drop-in replacement for ops.pitch._viterbi_lags backed by the
-    Pallas forward kernel (backward backtrace stays in XLA, it is
-    O(L) per frame)."""
+    """Drop-in replacement for ops.pitch._viterbi_lags: Pallas
+    forward min-plus kernel + Pallas reverse backtrace kernel (the
+    backpointers are re-solved in O(L) per frame from the stored
+    forward states, halving the forward work)."""
     bsz, maxframes, nlags = local_cost.shape
     idx = jnp.arange(nlags)
     penalty = (
@@ -150,28 +226,9 @@ def viterbi_lags_pallas(local_cost, inter_frame_factor, nframes,
         * inter_frame_factor)
 
     hist = viterbi_forward_pallas(
-        local_cost, penalty, nframes, interpret=interpret)
-    final_fwd = hist[maxframes - 1]
-    fwd_hist = hist[:maxframes - 1]  # state after frames 0 .. F-2
-
-    frame_ids = jnp.arange(maxframes)
-    valid = (frame_ids[None, :] < nframes[:, None])
-
-    last_best = jnp.argmin(final_fwd, axis=1).astype(jnp.int32)
-
-    lag_ids = jnp.arange(nlags, dtype=jnp.float32)
-
-    def backward_step(best_next, inputs):
-        fwd_t, valid_next = inputs
-        # quadratic penalty evaluated directly (no gather)
-        diff = best_next.astype(jnp.float32)[:, None] - lag_ids[None, :]
-        scores = fwd_t + diff * diff * inter_frame_factor
-        best_here = jnp.argmin(scores, axis=1).astype(jnp.int32)
-        best_here = jnp.where(valid_next, best_here, best_next)
-        return best_here, best_here
-
-    _, best_rev = jax.lax.scan(
-        backward_step, last_best,
-        (fwd_hist[::-1], valid[:, 1:].T[::-1]), unroll=4)
-    return jnp.concatenate(
-        [best_rev[::-1].T, last_best[:, None]], axis=1)
+        local_cost, penalty, nframes, interpret=interpret,
+        keep_padding=True)
+    best = viterbi_backtrace_pallas(
+        hist, jnp.pad(nframes, (0, hist.shape[1] - bsz)),
+        inter_frame_factor, interpret=interpret)
+    return best.T[:bsz]
