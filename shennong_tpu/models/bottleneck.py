@@ -11,7 +11,6 @@ and filterbank run as jitted matmuls; the tiny VAD EM stays in numpy.
 """
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ import jax.numpy as jnp
 
 from shennong_tpu.ops import pitch as pitch_ops
 from shennong_tpu.ops import postops, spectral
-from shennong_tpu.ops.framing import num_frames
 
 
 @functools.partial(

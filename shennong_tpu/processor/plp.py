@@ -7,7 +7,6 @@ the fused batched computer :func:`shennong_tpu.ops.plp.plp_batch`.
 
 import numpy as np
 
-from shennong_tpu import Features
 from shennong_tpu.ops import mel as melmod
 from shennong_tpu.ops.plp import PlpOpts, plp_batch
 from shennong_tpu.processor.base import MelFeaturesProcessor

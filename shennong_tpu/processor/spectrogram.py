@@ -8,7 +8,6 @@ Replaces ``kaldi.feat.spectrogram.Spectrogram`` (reference call site
 import numpy as np
 
 from shennong_tpu import Features
-from shennong_tpu.ops.framing import next_power_of_two
 from shennong_tpu.ops.spectral import SpectrogramOpts, spectrogram_batch
 from shennong_tpu.processor.base import FramesProcessor
 
