@@ -14,6 +14,12 @@ The utterances file uses the standard index format, e.g.:
     utt1 /data/speech/utt1.wav speaker1
 """
 
+import os
+import sys
+
+# allow running from a source checkout without installation
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
 import argparse
 import time
 

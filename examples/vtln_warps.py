@@ -12,6 +12,12 @@ The utterances file must carry speaker information, e.g.:
     utt1 /data/speech/utt1.wav speaker1
 """
 
+import os
+import sys
+
+# allow running from a source checkout without installation
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
 import argparse
 
 from shennong_tpu import Utterances
