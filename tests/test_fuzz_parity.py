@@ -92,3 +92,44 @@ def test_plp_fuzz(seed):
         cepstral_lifter=kwargs['cepstral_lifter'])
     assert ours.shape == ref.shape, kwargs
     assert np.max(np.abs(ours - ref)) < 2e-3, kwargs
+
+
+@pytest.mark.parametrize('seed', range(4))
+def test_pitch_fuzz(seed):
+    """Random pitch option combinations against the literal oracle:
+    >=95% identical lag decisions, the rest within one geometric lag
+    step (float32 cost ties)."""
+    import jax.numpy as jnp
+    from shennong_tpu.ops.pitch import (
+        PitchOpts, compute_pitch, num_pitch_frames)
+
+    from tests import pitch_oracle
+
+    rng = np.random.RandomState(200 + seed)
+    sig = _random_signal(rng, nsamples=9600).astype(np.float64)
+
+    kwargs = dict(
+        min_f0=float(rng.choice([50.0, 80.0])),
+        max_f0=float(rng.choice([300.0, 400.0])),
+        soft_min_f0=float(rng.choice([5.0, 10.0])),
+        penalty_factor=float(rng.choice([0.05, 0.1, 0.2])),
+        delta_pitch=float(rng.choice([0.005, 0.01])),
+        nccf_ballast=float(rng.choice([1000.0, 7000.0])))
+
+    opts = PitchOpts(**kwargs)
+    fmax = num_pitch_frames(9600, opts)
+    ours = np.asarray(compute_pitch(
+        jnp.asarray(sig[None].astype(np.float32)),
+        jnp.asarray([9600], np.int32), opts, fmax))[0]
+    ref = pitch_oracle.compute_pitch(sig, **kwargs)
+    assert ours.shape == ref.shape, kwargs
+
+    same = np.isclose(ours[:, 1], ref[:, 1], rtol=1e-4)
+    assert same.mean() >= 0.95, (kwargs, same.mean())
+    # disagreements stay within one geometric lag step
+    ratio = np.maximum(ours[~same, 1], 1e-6) / np.maximum(
+        ref[~same, 1], 1e-6)
+    step = 1 + kwargs['delta_pitch']
+    assert np.all((ratio < step * 1.001) & (ratio > 1 / (step * 1.001))), kwargs
+    # NCCF column agrees on matching frames
+    assert np.abs(ours[same, 0] - ref[same, 0]).max() < 1e-3, kwargs
