@@ -14,6 +14,7 @@ import os
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from shennong_tpu import Features
@@ -154,13 +155,10 @@ class BottleneckProcessor(FeaturesProcessor):
                     k: v for k, v in data.items()}
         return self._loaded_weights[self.weights]
 
-    def process(self, signal):
-        """Compute bottleneck features on an audio ``signal``.
-
-        The signal is resampled to 8 kHz int16; output frames have a
-        10 ms shift, 25 ms length and 80 dimensions. Raises
-        RuntimeError when the VAD finds no speech.
-        """
+    def _prepare(self, signal):
+        """Host-side front end: resample, VAD, HTK fbank, voiced mean
+        normalization, context DCT compression. Returns the network
+        input matrix [rows, D] (float32)."""
         # resample to 8 kHz / 16 bit
         if (signal.sample_rate != 8000
                 or signal.dtype is not np.dtype(np.int16)):
@@ -211,11 +209,31 @@ class BottleneckProcessor(FeaturesProcessor):
             np.repeat(fea[-1:], 15, axis=0)], axis=0)
 
         weights = self._get_weights()
-        context = int(weights['context'])
-        nn_input = bn.preprocess_nn_input(fea, context)
-        params = {
-            k: jnp.asarray(v) for k, v in weights.items()
+        return bn.preprocess_nn_input(fea, int(weights['context']))
+
+    def _params(self):
+        return {
+            k: jnp.asarray(v) for k, v in self._get_weights().items()
             if k != 'context'}
+
+    def _emit(self, output):
+        """Wrap one utterance's network output as Features."""
+        frame_length, frame_shift = 200, 80
+        times = (1.0 / 8000) * np.vstack((
+            np.arange(output.shape[0]) * frame_shift,
+            np.arange(output.shape[0]) * frame_shift
+            + frame_length)).T
+        return Features(
+            output.astype(np.float64), times, self.get_properties())
+
+    def process(self, signal):
+        """Compute bottleneck features on an audio ``signal``.
+
+        The signal is resampled to 8 kHz int16; output frames have a
+        10 ms shift, 25 ms length and 80 dimensions. Raises
+        RuntimeError when the VAD finds no speech.
+        """
+        nn_input = self._prepare(signal)
 
         # pad the frame count to a bucket (single compile per bucket);
         # the stagger stacking is causal-bounded so rows beyond the
@@ -227,12 +245,45 @@ class BottleneckProcessor(FeaturesProcessor):
             nn_input = np.pad(
                 nn_input, ((0, bucket - true_rows), (0, 0)))
         output = np.asarray(bn.stacked_bn_forward(
-            params, jnp.asarray(nn_input)))[:true_rows - 20]
+            self._params(), jnp.asarray(nn_input)))[:true_rows - 20]
+        return self._emit(output)
 
-        times = (1.0 / 8000) * np.vstack((
-            np.arange(output.shape[0]) * frame_shift,
-            np.arange(output.shape[0]) * frame_shift
-            + frame_length)).T
+    def process_all(self, utterances, njobs=None, **kwargs):
+        """Batched extraction: utterances sharing a row bucket run the
+        stacked network as one vmapped forward (the stagger stacking
+        mixes rows within an utterance, so batching uses a batch axis,
+        never concatenation)."""
+        if kwargs:
+            return super().process_all(utterances, njobs=njobs, **kwargs)
 
-        return Features(
-            output.astype(np.float64), times, self.get_properties())
+        from shennong_tpu import FeaturesCollection
+        from shennong_tpu.ops.framing import bucket_size
+
+        prepared = {
+            utt.name: self._prepare(utt.load_audio())
+            for utt in utterances}
+
+        groups = {}
+        for name, nn_input in prepared.items():
+            groups.setdefault(
+                bucket_size(nn_input.shape[0], minimum=128),
+                []).append(name)
+
+        params = self._params()
+        forward = jax.jit(jax.vmap(
+            bn.stacked_bn_forward, in_axes=(None, 0)))
+
+        collection = FeaturesCollection()
+        for bucket, names in groups.items():
+            stacked = np.zeros(
+                (len(names), bucket, prepared[names[0]].shape[1]),
+                dtype=np.float32)
+            for row, name in enumerate(names):
+                inp = prepared[name]
+                stacked[row, :inp.shape[0]] = inp
+            outputs = np.asarray(forward(params, jnp.asarray(stacked)))
+            for row, name in enumerate(names):
+                true_rows = prepared[name].shape[0]
+                collection[name] = self._emit(
+                    outputs[row, :true_rows - 20])
+        return collection

@@ -111,3 +111,20 @@ def test_vad_detects_speech_pattern():
     nsil = (8000 - 200) // 80 + 1
     assert vad[:nsil - 2].mean() < 0.1
     assert vad[nsil + 2:].mean() > 0.9
+
+
+def test_process_all_batched(wav_file, synthetic_weights):
+    """Batched process_all (vmapped network over bucket groups)
+    matches per-utterance process()."""
+    from shennong_tpu import Utterances
+    utterances = Utterances([
+        ('u1', wav_file, 0.0, 0.8), ('u2', wav_file, 0.3, 1.4),
+        ('u3', wav_file, 0.0, 1.4)])
+    proc = BottleneckProcessor(weights='FisherMono', dither=0)
+    batched = proc.process_all(utterances)
+    assert sorted(batched.keys()) == ['u1', 'u2', 'u3']
+    for utt in utterances:
+        single = proc.process(utt.load_audio())
+        assert batched[utt.name].shape == single.shape
+        assert np.allclose(
+            batched[utt.name].data, single.data, atol=1e-5), utt.name
