@@ -236,6 +236,56 @@ def mfcc_batch(signals, nsamples, mel_weights, opts, nframes_max,
 
 
 @functools.partial(
+    jax.jit, static_argnames=('opts', 'nframes_max'))
+def mfcc_multi_warp_batch(signals, nsamples, mel_weights, opts,
+                          nframes_max, key=None):
+    """MFCC for every VTLN warp class in one program.
+
+    ``mel_weights`` is a [C, M, P] stack of warped mel banks; the
+    framing and the DFT run once and only the mel application fans
+    out over classes. Output [C, B, nframes_max, num_ceps]. This is
+    the kernel behind LVTLN base-transform training (41 warp classes
+    over the same signals, reference shennong/processor/vtln.py:
+    259-381).
+    """
+    from shennong_tpu.ops import mel as melmod
+
+    processed, log_energy = _frames_and_energy(
+        signals, nsamples, opts, nframes_max, key)
+    power = power_spectrum(processed, opts.frame.padded_window_size)
+
+    mel_energies = jnp.einsum(
+        'bfp,cmp->cbfm', power, mel_weights,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    log_mel = jnp.log(jnp.maximum(mel_energies, FLT_EPSILON))
+
+    dct = jnp.asarray(
+        melmod.dct_matrix(opts.num_ceps, opts.mel.num_bins))
+    feats = jnp.einsum(
+        'cbfm,km->cbfk', log_mel, dct,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+    if opts.cepstral_lifter != 0.0:
+        feats = feats * jnp.asarray(
+            melmod.lifter_coeffs(opts.cepstral_lifter, opts.num_ceps))
+
+    if opts.use_energy:
+        log_energy = _floor_energy(log_energy, opts.energy_floor)
+        feats = feats.at[..., 0].set(
+            jnp.broadcast_to(log_energy, feats.shape[:-1]))
+
+    if opts.htk_compat:
+        first = feats[..., :1]
+        if not opts.use_energy:
+            first = first * _SQRT2
+        feats = jnp.concatenate([feats[..., 1:], first], axis=-1)
+
+    return feats
+
+
+@functools.partial(
     jax.jit, static_argnames=('opts', 'nframes_max', 'compression'))
 def energy_batch(signals, nsamples, opts, nframes_max,
                  compression='log', key=None):

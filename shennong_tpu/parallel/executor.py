@@ -134,6 +134,48 @@ class BatchExecutor:
                     properties=properties)
         return collection
 
+    def process_all_classes(self, utterances, class_warps, njobs=4):
+        """Extract MFCCs for every VTLN warp class in one pass.
+
+        The framing and the DFT run once per batch; only the mel bank
+        fans out over the ``class_warps`` list (LVTLN base-transform
+        training). Returns one FeaturesCollection per class.
+        """
+        proc = self.processor
+        if proc.name != 'mfcc':
+            raise ValueError(
+                'multi-class warping requires an MFCC processor, '
+                f'got {proc.name}')
+
+        items = batching.load_signals(utterances, njobs=njobs)
+        mel_weights = np.stack(
+            [proc.mel_weights(w) for w in class_warps])
+
+        collections = [
+            FeaturesCollection() for _ in class_warps]
+        for names, signals, nsamples, nvalid in batching.make_batches(
+                items, self.batch_size, self._pad_multiple()):
+            signals, nsamples_dev = self._device_put(signals, nsamples)
+            frame_opts = proc.frame_options()
+            nframes_max = num_frames(signals.shape[1], frame_opts)
+            key = None
+            if frame_opts.dither != 0:
+                from shennong_tpu.processor.base import _fresh_key
+                key = _fresh_key()
+            feats = spectral.mfcc_multi_warp_batch(
+                signals, nsamples_dev, mel_weights, proc.options(),
+                nframes_max, key=key)
+            feats = np.asarray(feats)
+            for row, utt_name in enumerate(names):
+                nframes = num_frames(
+                    int(nsamples[row]), frame_opts)
+                for c, warp in enumerate(class_warps):
+                    collections[c][utt_name] = Features(
+                        feats[c, row, :nframes],
+                        proc.times(nframes),
+                        properties=proc.get_properties(vtln_warp=warp))
+        return collections
+
     def _run_batch(self, names, signals, nsamples, vtln_warp):
         proc = self.processor
         name = proc.name

@@ -191,6 +191,46 @@ def extract_features_warp(configuration, utterances, warp, log, njobs=1):
     return features
 
 
+def extract_features_warp_classes(
+        configuration, utterances, class_warps, log, njobs=1):
+    """Extract MFCC features for a whole list of VTLN warp classes.
+
+    The LVTLN base-transform training needs the same utterances
+    warped at every class (41 by default); this runs the framing and
+    the DFT once and fans only the mel bank out over classes
+    (:func:`shennong_tpu.ops.spectral.mfcc_multi_warp_batch`).
+    Returns one FeaturesCollection per warp. Falls back to per-class
+    :func:`extract_features_warp` when the configuration is not a
+    plain single-rate MFCC setup.
+    """
+    from shennong_tpu.parallel.executor import BatchExecutor
+
+    njobs = get_njobs(njobs, log=log)
+    config = init_config(configuration, log=log)
+    manager = PipelineManager(config, utterances, log=log)
+
+    utterances = list(utterances)
+    rates = set(
+        meta.sample_rate for meta in manager.audio_metadata.values())
+    if manager.features == 'mfcc' and len(rates) == 1:
+        proc = manager.get_features_processor(utterances[0])
+        collections = BatchExecutor(proc).process_all_classes(
+            utterances, [float(w) for w in class_warps], njobs=njobs)
+        if 'delta' in config:
+            delta = manager.get_delta_processor(None)
+            collections = [
+                FeaturesCollection({
+                    name: delta.process(feats)
+                    for name, feats in collection.items()})
+                for collection in collections]
+        return collections
+
+    return [
+        extract_features_warp(
+            configuration, utterances, warp, log, njobs=njobs)
+        for warp in class_warps]
+
+
 def init_config(config, log=get_logger('pipeline', 'warning')):
     """Validate and normalize a pipeline configuration.
 

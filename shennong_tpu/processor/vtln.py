@@ -377,14 +377,19 @@ class VtlnProcessor(BaseProcessor):
             utt: feats.copy(subsample=self.subsample)
             for utt, feats in featsub_unwarped.items()})
 
-        for c in range(num_classes):
-            this_warp = self.min_warp + c * self.warp_step
+        # all 41 classes share the framing and the DFT: one batched
+        # device pass, only the mel bank differs per class
+        class_warps = [
+            self.min_warp + c * self.warp_step
+            for c in range(num_classes)]
+        warped_collections = pipeline.extract_features_warp_classes(
+            self.features, utterances, class_warps,
+            null_logger(), njobs=njobs)
+        for c, this_warp in enumerate(class_warps):
             self.log.info(
                 'Computing base transform (warp=%s) %s/%s',
                 this_warp, c + 1, num_classes)
-            featsub_warped = pipeline.extract_features_warp(
-                self.features, utterances, this_warp,
-                null_logger(), njobs=njobs).trim(vad)
+            featsub_warped = warped_collections[c].trim(vad)
             featsub_warped = FeaturesCollection({
                 utt: feats.copy(subsample=self.subsample)
                 for utt, feats in featsub_warped.items()})

@@ -108,3 +108,29 @@ def test_executor_routes_oversize(long_audio, tmpdir, monkeypatch):
             vtln_warp=warps[utt.name])
         assert np.allclose(
             warped[utt.name].data, single.data, atol=2e-4), utt.name
+
+
+def test_multi_warp_classes_match_per_warp(wav_file):
+    """extract_features_warp_classes equals per-class
+    extract_features_warp (one DFT pass vs 41)."""
+    from shennong_tpu import Utterances
+    from shennong_tpu.logger import null_logger
+    from shennong_tpu.pipeline import (
+        extract_features_warp, extract_features_warp_classes)
+
+    utterances = Utterances([
+        ('u1', wav_file, 0.0, 0.8), ('u2', wav_file, 0.5, 1.4)])
+    config = {'mfcc': {'dither': 0}}
+    warps = [0.9, 1.0, 1.15]
+    stacked = extract_features_warp_classes(
+        config, utterances, warps, null_logger())
+    assert len(stacked) == 3
+    for collection, warp in zip(stacked, warps):
+        single = extract_features_warp(
+            config, utterances, warp, null_logger())
+        for name in ('u1', 'u2'):
+            assert np.allclose(
+                collection[name].data, single[name].data,
+                atol=1e-4), (warp, name)
+            assert collection[name].properties[
+                'mfcc']['vtln_warp'] == warp
