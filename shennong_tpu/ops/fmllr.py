@@ -73,8 +73,9 @@ def apply_transform_to_stats(matrix, stats):
     out = FmllrStats(dim)
     out.beta = stats.beta
     out.K = stats.K @ aplus.T
-    out.G = np.einsum(
-        'ef,dfg,hg->deh', aplus, stats.G, aplus)
+    # batched A+ G_d A+^T (a 3-operand einsum here would contract the
+    # naive 5-index loop and dominate the whole VTLN training)
+    out.G = aplus @ stats.G @ aplus.T
     return out
 
 
