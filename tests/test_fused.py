@@ -57,3 +57,44 @@ def test_fused_matches_processors(audio):
 
     assert fused.shape[1] == expected.shape[1] == 42
     assert np.max(np.abs(fused[:common] - expected)) < 2e-3
+
+
+def test_fused_sharded_over_mesh():
+    """The fused pipeline runs data-parallel over the 8-device mesh
+    and matches the single-device result."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from shennong_tpu.parallel import data_mesh
+    from tests.conftest import make_speech_like_signal
+
+    mesh = data_mesh(jax.devices())
+    assert mesh.devices.size == 8
+
+    batch, nsamples, rate = 8, 16000, 16000
+    signals = np.stack([
+        make_speech_like_signal(nsamples, rate).astype(np.float32)
+        + i for i in range(batch)])
+    lengths = np.full(batch, nsamples, dtype=np.int32)
+
+    mfcc_opts, pitch_opts, post_opts = (
+        MfccOpts(), PitchOpts(), ProcessPitchOpts())
+    mel_weights = melmod.mel_banks(
+        23, mfcc_opts.frame.padded_window_size, float(rate),
+        20.0, 0.0, 100.0, -500.0, 1.0)[0]
+    fmax = num_frames(nsamples, mfcc_opts.frame)
+    pmax = num_pitch_frames(nsamples, pitch_opts)
+
+    def run(signals_dev, lengths_dev):
+        return mfcc_pitch_pipeline(
+            signals_dev, lengths_dev, jnp.asarray(mel_weights),
+            mfcc_opts, pitch_opts, post_opts, fmax, pmax)[0]
+
+    plain = np.asarray(run(jnp.asarray(signals), jnp.asarray(lengths)))
+
+    sharding = NamedSharding(mesh, PartitionSpec('data'))
+    sharded_out = run(
+        jax.device_put(signals, sharding),
+        jax.device_put(lengths, sharding))
+    assert len(sharded_out.sharding.device_set) == 8
+    assert np.allclose(np.asarray(sharded_out), plain, atol=1e-5)
