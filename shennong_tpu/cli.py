@@ -26,6 +26,12 @@ import argparse
 import os
 import sys
 
+if __package__ in (None, ''):
+    # executed as a plain script from a source checkout: the package
+    # root is the parent of this file's directory
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), os.pardir))
+
 import shennong_tpu.logger as logger
 import shennong_tpu.pipeline as pipeline
 import shennong_tpu.utils as utils
