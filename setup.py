@@ -18,6 +18,7 @@ setup(
         'jax', 'numpy', 'scipy', 'pyyaml', 'h5py'],
     entry_points={'console_scripts': [
         'speech-features = shennong_tpu.cli:main']},
-    package_data={'shennong_tpu': ['share/crepe/*.npz']},
+    package_data={'shennong_tpu': [
+        'share/crepe/*.npz', 'native/*.cpp']},
     zip_safe=True,
 )
