@@ -19,9 +19,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from shennong_tpu.ops import framing, mel as melmod
+from shennong_tpu.ops import mel as melmod
 from shennong_tpu.ops.framing import FrameOptions
-from shennong_tpu.ops.spectral import MelOpts, power_spectrum
+from shennong_tpu.ops.spectral import MelOpts
 
 DBL_EPSILON = float(np.finfo(np.float64).eps)
 
@@ -140,18 +140,9 @@ def lpc_to_cepstrum(lpc, order):
 def plp_batch(signals, nsamples, mel_weights, equal_loudness, opts,
               nframes_max, key=None):
     """PLP features [B, nframes_max, num_ceps]."""
-    frames = framing.extract_frames(
-        signals, nsamples, opts.frame, nframes_max)
-    processed, raw_log_energy = framing.process_frames(
-        frames, opts.frame, key=key)
-    if opts.use_energy:
-        if opts.raw_energy:
-            log_energy = raw_log_energy
-        else:
-            log_energy = framing.windowed_log_energy(processed)
-
-    power = power_spectrum(processed, opts.frame.padded_window_size)
-    from shennong_tpu.ops.spectral import _mel_apply
+    from shennong_tpu.ops.spectral import _mel_apply, _power_and_energy
+    power, log_energy = _power_and_energy(
+        signals, nsamples, opts, nframes_max, key)
     mel_energies = _mel_apply(power, mel_weights)
 
     if opts.rasta:

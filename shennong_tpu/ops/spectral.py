@@ -122,6 +122,77 @@ def _frames_and_energy(signals, nsamples, opts, nframes_max, key):
     return processed, log_energy
 
 
+@functools.lru_cache(maxsize=None)
+def _folded_dft_bases(window_type, blackman_coeff, window_size,
+                      padded_size, preemph_coeff, remove_dc):
+    """DFT bases with the linear per-frame processing folded in.
+
+    DC-offset removal, pre-emphasis and the analysis window are all
+    linear per-frame operators, so (in row-vector convention) the
+    chain collapses into the DFT matrices:
+        x_processed @ C  ==  x_raw @ (Mdc Mpre diag(win) C)
+    Built in float64 on the host; one matmul then replaces four
+    elementwise passes over the [B, F, W] frame tensor.
+    """
+    win = framing.window_function(
+        window_type, window_size, blackman_coeff).astype(np.float64)
+    combined = np.diag(win)
+    if preemph_coeff != 0.0:
+        pre = np.eye(window_size)
+        idx = np.arange(1, window_size)
+        pre[idx - 1, idx] -= preemph_coeff
+        pre[0, 0] *= (1.0 - preemph_coeff)
+        combined = pre @ combined
+    if remove_dc:
+        combined = combined - (
+            combined.sum(axis=0, keepdims=True) / window_size)
+    cos_m, sin_m = _dft_bases(window_size, padded_size)
+    return ((combined @ cos_m).astype(np.float32),
+            (combined @ sin_m).astype(np.float32))
+
+
+def _power_and_energy(signals, nsamples, opts, nframes_max, key):
+    """Power spectrum + frame log energy, the fastest way available.
+
+    On TPU with ``raw_energy`` (the default) the per-frame processing
+    chain folds into the DFT matmul (see :func:`_folded_dft_bases`)
+    and the raw energy comes from the frame sum / sum-of-squares
+    (energy after DC removal = ssq - s^2 / N), so the raw frames are
+    read exactly once. Other configurations use the sequential chain.
+    """
+    frame = opts.frame
+    if jax.default_backend() == 'tpu' and opts.raw_energy:
+        raw = framing.extract_frames(
+            signals, nsamples, frame, nframes_max)
+        if frame.dither != 0.0 and key is not None:
+            raw = raw + frame.dither * jax.random.normal(
+                key, raw.shape, dtype=raw.dtype)
+        ssq = jnp.sum(raw * raw, axis=-1)
+        if frame.remove_dc_offset:
+            total = jnp.sum(raw, axis=-1)
+            ssq = ssq - total * total / frame.window_size
+        log_energy = jnp.log(jnp.maximum(ssq, FLT_EPSILON))
+
+        cos_m, sin_m = _folded_dft_bases(
+            frame.window_type, frame.blackman_coeff,
+            frame.window_size, frame.padded_window_size,
+            frame.preemph_coeff, frame.remove_dc_offset)
+        real = jnp.einsum(
+            '...w,wk->...k', raw, jnp.asarray(cos_m),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        imag = jnp.einsum(
+            '...w,wk->...k', raw, jnp.asarray(sin_m),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        return real * real + imag * imag, log_energy
+
+    processed, log_energy = _frames_and_energy(
+        signals, nsamples, opts, nframes_max, key)
+    return (power_spectrum(processed, frame.padded_window_size),
+            log_energy)
+
+
 def _floor_energy(log_energy, energy_floor):
     if energy_floor > 0.0:
         return jnp.maximum(log_energy, math.log(energy_floor))
@@ -146,9 +217,8 @@ def spectrogram_batch(signals, nsamples, opts, nframes_max, key=None):
 
     Output shape [B, nframes_max, padded_window_size // 2 + 1].
     """
-    processed, log_energy = _frames_and_energy(
+    power, log_energy = _power_and_energy(
         signals, nsamples, opts, nframes_max, key)
-    power = power_spectrum(processed, opts.frame.padded_window_size)
     feats = jnp.log(jnp.maximum(power, FLT_EPSILON))
     log_energy = _floor_energy(log_energy, opts.energy_floor)
     return feats.at[..., 0].set(log_energy)
@@ -173,9 +243,8 @@ def fbank_batch(signals, nsamples, mel_weights, opts, nframes_max,
     Output dim is num_bins (+1 with energy); the energy column sits
     first, or last in HTK-compatible mode.
     """
-    processed, log_energy = _frames_and_energy(
+    power, log_energy = _power_and_energy(
         signals, nsamples, opts, nframes_max, key)
-    power = power_spectrum(processed, opts.frame.padded_window_size)
     if not opts.use_power:
         power = jnp.sqrt(power)
 
@@ -204,9 +273,8 @@ def mfcc_batch(signals, nsamples, mel_weights, opts, nframes_max,
     """
     from shennong_tpu.ops import mel as melmod
 
-    processed, log_energy = _frames_and_energy(
+    power, log_energy = _power_and_energy(
         signals, nsamples, opts, nframes_max, key)
-    power = power_spectrum(processed, opts.frame.padded_window_size)
 
     mel_energies = _mel_apply(power, mel_weights)
     log_mel = jnp.log(jnp.maximum(mel_energies, FLT_EPSILON))
@@ -250,9 +318,8 @@ def mfcc_multi_warp_batch(signals, nsamples, mel_weights, opts,
     """
     from shennong_tpu.ops import mel as melmod
 
-    processed, log_energy = _frames_and_energy(
+    power, log_energy = _power_and_energy(
         signals, nsamples, opts, nframes_max, key)
-    power = power_spectrum(processed, opts.frame.padded_window_size)
 
     mel_energies = jnp.einsum(
         'bfp,cmp->cbfm', power, mel_weights,

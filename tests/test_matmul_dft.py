@@ -67,3 +67,40 @@ def test_resample_conv_path_matches_slices(monkeypatch):
     assert by_conv.shape == by_slices.shape
     scale = np.abs(by_slices).max()
     assert np.abs(by_conv - by_slices).max() / scale < 1e-6
+
+
+def test_folded_front_end_matches_sequential(monkeypatch):
+    """The folded (one-matmul) TPU front end equals the sequential
+    dither->DC->preemph->window->DFT chain, forced on CPU, for
+    every option combination it covers."""
+    import itertools
+
+    import shennong_tpu.ops.spectral as SP
+    from shennong_tpu.ops.framing import FrameOptions, num_frames
+
+    rng = np.random.RandomState(3)
+    signals = jnp.asarray(rng.randn(3, 4000).astype(np.float32) * 5000)
+    nsamples = jnp.asarray([4000, 3500, 2111], dtype=np.int32)
+
+    for preemph, dc, wtype in itertools.product(
+            (0.97, 0.0), (True, False), ('povey', 'rectangular')):
+        frame = FrameOptions(
+            dither=0.0, preemph_coeff=preemph, remove_dc_offset=dc,
+            window_type=wtype)
+        opts = SP.SpectrogramOpts(frame=frame, raw_energy=True)
+        fmax = num_frames(4000, frame)
+
+        seq_power, seq_energy = SP._power_and_energy(
+            signals, nsamples, opts, fmax, None)
+        monkeypatch.setattr(SP.jax, 'default_backend', lambda: 'tpu')
+        fold_power, fold_energy = SP._power_and_energy(
+            signals, nsamples, opts, fmax, None)
+        monkeypatch.undo()
+
+        scale = float(np.asarray(seq_power).max())
+        assert np.abs(
+            np.asarray(fold_power - seq_power)).max() / scale < 1e-5, (
+                preemph, dc, wtype)
+        assert np.abs(
+            np.asarray(fold_energy - seq_energy)).max() < 1e-3, (
+                preemph, dc, wtype)
