@@ -302,6 +302,13 @@ def write_ark_matrix(fp, key, matrix):
     <int32 cols> <row-major data>``. Returns the byte offset of the
     binary marker (for scp files).
     """
+    if not key or any(c.isspace() for c in key):
+        # ark keys are space-delimited: a key with whitespace would
+        # silently corrupt the archive
+        raise ValueError(
+            f'invalid ark key "{key}": keys must be non-empty and '
+            'contain no whitespace')
+
     matrix = np.ascontiguousarray(matrix)
     if matrix.dtype not in _KALDI_TOKENS:
         matrix = matrix.astype(np.float64)
@@ -397,6 +404,14 @@ class KaldiSerializer(FeaturesSerializer):
         self._fileroot = root
 
     def _save_one_ark(self, path, items, scp):
+        items = list(items)
+        for key, _ in items:
+            if not key or any(c.isspace() for c in key):
+                # checked before the file opens, so an invalid name
+                # cannot leave a partial archive on disk
+                raise ValueError(
+                    f'invalid ark key "{key}": keys must be non-empty '
+                    'and contain no whitespace')
         offsets = {}
         with open(path, 'wb') as fp:
             for key, matrix in items:

@@ -122,3 +122,22 @@ def test_ark_codec_dtypes(tmpdir):
     assert np.array_equal(loaded['a'], mat32)
     assert loaded['b'].dtype == np.float64
     assert np.array_equal(loaded['b'], mat64)
+
+
+def test_ark_rejects_whitespace_keys(tmpdir, mfcc):
+    """Ark keys are space-delimited: names with whitespace must be
+    rejected instead of corrupting the archive."""
+    from shennong_tpu import FeaturesCollection
+    collection = FeaturesCollection({'utt 1': mfcc})
+    with pytest.raises(ValueError, match='no whitespace'):
+        collection.save(str(tmpdir.join('bad.ark')))
+
+
+def test_ark_unicode_keys(tmpdir, mfcc):
+    """Non-ASCII (whitespace-free) utterance names round-trip."""
+    from shennong_tpu import FeaturesCollection
+    collection = FeaturesCollection({'utté_1': mfcc})
+    path = str(tmpdir.join('uni.ark'))
+    collection.save(path)
+    back = FeaturesCollection.load(path)
+    assert np.allclose(back['utté_1'].data, mfcc.data)
