@@ -133,3 +133,28 @@ def test_pitch_fuzz(seed):
     assert np.all((ratio < step * 1.001) & (ratio > 1 / (step * 1.001))), kwargs
     # NCCF column agrees on matching frames
     assert np.abs(ours[same, 0] - ref[same, 0]).max() < 1e-3, kwargs
+
+
+@pytest.mark.parametrize('seed', range(6))
+def test_sliding_cmvn_fuzz(seed):
+    """Random sliding-CMVN window geometries against the oracle."""
+    from shennong_tpu.features import Features
+    from shennong_tpu.postprocessor import SlidingWindowCmvnPostProcessor
+
+    rng = np.random.RandomState(300 + seed)
+    nframes = int(rng.randint(5, 400))
+    data = rng.randn(nframes, int(rng.randint(2, 20))) * 10
+    feats = Features(
+        data, np.arange(nframes, dtype=float)[:, None] * [1, 1] * 0.01)
+
+    kwargs = dict(
+        center=bool(rng.randint(2)),
+        cmn_window=int(rng.randint(3, 700)),
+        normalize_variance=bool(rng.randint(2)))
+    kwargs['min_window'] = int(rng.randint(1, kwargs['cmn_window'] + 1))
+
+    ours = SlidingWindowCmvnPostProcessor(**kwargs).process(feats)
+    ref = kaldi_oracle.sliding_window_cmn(
+        data.astype(np.float64), **kwargs)
+    assert ours.shape == ref.shape, kwargs
+    assert np.max(np.abs(ours.data - ref)) < 1e-3, kwargs
