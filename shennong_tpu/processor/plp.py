@@ -8,8 +8,78 @@ the fused batched computer :func:`shennong_tpu.ops.plp.plp_batch`.
 import numpy as np
 
 from shennong_tpu.ops import mel as melmod
-from shennong_tpu.ops.plp import PlpOpts, plp_batch
+from shennong_tpu.ops.plp import (
+    _RASTA_DEN1, _RASTA_NUM, PlpOpts, _lfilter_zi_fir, plp_batch)
 from shennong_tpu.processor.base import MelFeaturesProcessor
+
+
+class RastaFilter:
+    """Streaming RASTA bandpass filter over mel frames.
+
+    Host-side per-frame twin of the batched scan in
+    :func:`shennong_tpu.ops.plp.rasta_filter` (reference
+    ``shennong/processor/plp.py:64-146``): the first four frames are
+    buffered (zeros are emitted) while the FIR warm-up seeds the
+    direct-form-II-transposed state, then the filter switches to its
+    IIR denominator. Useful for online processing; the batch computer
+    does not use it.
+
+    Parameters
+    ----------
+    size : int
+        Frame dimension (mel band count).
+    """
+
+    def __init__(self, size):
+        self.size = int(size)
+        self.reset()
+
+    def reset(self):
+        """Initializes the filter state"""
+        self._nframes = 0
+        self._state = None
+
+    def filter(self, frame, do_log=True):
+        """RASTA-filter one frame.
+
+        With ``do_log`` the filter runs in the log domain (log on the
+        way in, exp on the way out), as the PLP recipe requires.
+        Returns zeros for the first four (warm-up) frames.
+        """
+        frame = np.asarray(frame, dtype=np.float64)
+        if frame.shape != (self.size,):
+            raise ValueError(
+                f'frame must have shape ({self.size},), '
+                f'it is {frame.shape}')
+        if do_log:
+            frame = np.log(frame + np.finfo(np.float32).eps)
+
+        num = _RASTA_NUM.astype(np.float64)
+        if self._state is None:
+            self._state = (
+                _lfilter_zi_fir(num)[:, None].astype(np.float64)
+                * frame[None, :])
+
+        state = self._state
+        if self._nframes < 4:  # FIR warm-up, output discarded
+            out = np.zeros(self.size)
+            self._state = np.stack([
+                num[1] * frame + state[1],
+                num[2] * frame + state[2],
+                num[3] * frame + state[3],
+                num[4] * frame])
+        else:
+            out = num[0] * frame + state[0]
+            self._state = np.stack([
+                num[1] * frame + state[1] - _RASTA_DEN1 * out,
+                num[2] * frame + state[2],
+                num[3] * frame + state[3],
+                num[4] * frame])
+        self._nframes += 1
+
+        # with do_log the warm-up zeros pass through the exp, giving
+        # ones, exactly like the reference filter
+        return np.exp(out) if do_log else out
 
 
 class PlpProcessor(MelFeaturesProcessor):

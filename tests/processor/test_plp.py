@@ -80,3 +80,39 @@ def test_vtln(audio):
     assert not np.allclose(plain, warped)
     ref = kaldi_oracle.plp(audio.data.astype(np.float64), vtln=1.1)
     assert np.max(np.abs(warped - ref)) < 1e-3
+
+
+def test_rasta_filter_streaming_matches_scan():
+    """The streaming RastaFilter equals the batched lax.scan filter
+    frame by frame."""
+    import jax.numpy as jnp
+
+    from shennong_tpu.ops.plp import rasta_filter
+    from shennong_tpu.processor.plp import RastaFilter
+
+    rng = np.random.RandomState(0)
+    mel = np.abs(rng.randn(30, 23)) + 0.1
+
+    log_mel = np.log(mel + np.finfo(np.float32).eps)
+    batched = np.asarray(rasta_filter(
+        jnp.asarray(log_mel[None].astype(np.float32))))[0]
+
+    filt = RastaFilter(23)
+    streamed = np.stack([
+        filt.filter(frame, do_log=True) for frame in mel])
+    # batched output is log-domain; warm-up frames are zeros -> ones
+    assert np.allclose(streamed, np.exp(batched), atol=1e-4)
+
+    # reset gives the same sequence again
+    filt.reset()
+    again = np.stack([filt.filter(frame) for frame in mel])
+    assert np.array_equal(streamed, again)
+
+    # do_log=False path operates on already-log frames
+    filt.reset()
+    raw = np.stack([
+        filt.filter(frame, do_log=False) for frame in log_mel])
+    assert np.allclose(raw, batched, atol=1e-4)
+
+    with pytest.raises(ValueError, match='shape'):
+        RastaFilter(23).filter(np.zeros(7))
