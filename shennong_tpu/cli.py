@@ -1,5 +1,8 @@
 """The ``speech-features`` command line interface.
 
+Same commands and arguments as the reference CLI
+(``bin/speech_features.py:127-281`` in bootphon/shennong).
+
 API-compatible with the reference ``bin/speech_features.py``: a
 ``config`` subcommand generating commented YAML pipeline
 configurations and an ``extract`` subcommand running a pipeline over

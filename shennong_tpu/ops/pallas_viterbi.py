@@ -1,5 +1,7 @@
 """Pallas TPU kernel for the pitch Viterbi forward recursion.
 
+Implements the frame-recursive lag selection of Kaldi pitch
+(reference call site ``shennong/processor/pitch_kaldi.py:298``).
 The forward min-plus pass dominates the pitch tracker: F sequential
 steps of ``new[b, j] = cost[b, j] + min_i(fwd[b, i] + penalty[j, i])``
 over L ~ 417 lag states. As a ``lax.scan`` each step pays kernel

@@ -4,8 +4,9 @@ One :class:`BatchExecutor` drives a frame-based processor (MFCC,
 filterbank, spectrogram, PLP, energy, Kaldi pitch) over a whole
 utterance collection: signals are loaded host-side, sorted into padded
 length buckets, and each bucket runs as one jitted XLA program — on a
-multi-device mesh, sharded over the utterance axis. This is the
-TPU-native replacement of the reference's joblib pools.
+multi-device mesh, sharded over the utterance axis. This replaces the
+reference's joblib thread pools (``shennong/processor/base.py:104``,
+``shennong/pipeline.py:545-565``).
 """
 
 import numpy as np
