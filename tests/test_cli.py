@@ -82,3 +82,22 @@ def test_cli_subprocess(tmpdir, wav_file):
         capture_output=True, text=True, timeout=300)
     assert result.returncode == 0, result.stderr
     assert 'mfcc:' in open(config).read()
+
+
+@pytest.mark.parametrize('ext', ['.pkl', '.h5f', '.ark', '.mat'])
+def test_extract_output_formats(monkeypatch, tmpdir, wav_file, ext):
+    """Every serializer works through the CLI end to end."""
+    config = str(tmpdir.join('config.yaml'))
+    run_cli(monkeypatch, 'config', 'spectrogram', '-o', config)
+
+    utts = str(tmpdir.join('utterances.txt'))
+    with open(utts, 'wt') as fp:
+        fp.write(f'utt1 {wav_file} spk1 0 0.6\n')
+
+    output = str(tmpdir.join('features' + ext))
+    run_cli(monkeypatch, 'extract', '-q', config, utts, output)
+
+    features = FeaturesCollection.load(output)
+    assert list(features.keys()) == ['utt1']
+    assert features['utt1'].nframes > 0
+    assert np.all(np.isfinite(features['utt1'].data))
