@@ -8,6 +8,9 @@ test:
 bench:
 	python bench.py
 
+lint:
+	python -m py_compile $$(git ls-files '*.py')
+
 clean:
 	find . -name '__pycache__' -type d -exec rm -rf {} +
 	rm -f shennong_tpu/native/libshennong_io.so
