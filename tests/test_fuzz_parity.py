@@ -158,3 +158,50 @@ def test_sliding_cmvn_fuzz(seed):
         data.astype(np.float64), **kwargs)
     assert ours.shape == ref.shape, kwargs
     assert np.max(np.abs(ours.data - ref)) < 1e-3, kwargs
+
+
+@pytest.mark.parametrize('seed', range(4))
+def test_process_pitch_fuzz(seed):
+    """Random pitch post-processing options against the oracle."""
+    import jax.numpy as jnp
+    from shennong_tpu.ops.pitch import ProcessPitchOpts, process_pitch
+
+    from tests import pitch_oracle
+
+    rng = np.random.RandomState(400 + seed)
+    nframes = int(rng.randint(20, 300))
+    raw = np.stack([
+        rng.uniform(-1, 1, nframes),           # NCCF
+        rng.uniform(60, 350, nframes)], axis=1)  # pitch Hz
+
+    kwargs = dict(
+        pitch_scale=float(rng.choice([1.0, 2.0])),
+        pov_scale=float(rng.choice([1.0, 2.0])),
+        pov_offset=float(rng.choice([0.0, -0.5])),
+        delta_pitch_scale=float(rng.choice([5.0, 10.0])),
+        normalization_left_context=int(rng.randint(10, 100)),
+        normalization_right_context=int(rng.randint(10, 100)),
+        delta_window=int(rng.randint(1, 5)),
+        delay=int(rng.randint(0, 4)),
+        add_pov_feature=True, add_normalized_log_pitch=True,
+        add_delta_pitch=True, add_raw_log_pitch=bool(rng.randint(2)))
+
+    opts = ProcessPitchOpts(delta_pitch_noise_stddev=0.0, **kwargs)
+    ours = np.asarray(process_pitch(
+        jnp.asarray(raw[None].astype(np.float32)),
+        jnp.asarray([nframes], np.int32), opts))[0]
+    ref = pitch_oracle.process_pitch(
+        raw,
+        pitch_scale=kwargs['pitch_scale'],
+        pov_scale=kwargs['pov_scale'],
+        pov_offset=kwargs['pov_offset'],
+        delta_pitch_scale=kwargs['delta_pitch_scale'],
+        left=kwargs['normalization_left_context'],
+        right=kwargs['normalization_right_context'],
+        delta_window=kwargs['delta_window'],
+        delay=kwargs['delay'],
+        add_pov=True, add_norm=True, add_delta=True,
+        add_raw=kwargs['add_raw_log_pitch'])
+    assert ours.shape == ref.shape, kwargs
+    assert np.abs(ours - ref).max() < 1e-3, (
+        kwargs, np.abs(ours - ref).max())
