@@ -68,7 +68,7 @@ class VtlnProcessor(BaseProcessor):
 
     @property
     def num_iters(self):
-        """Number of iterations of training"""
+        """How many LVTLN estimation rounds to run"""
         return self._num_iters
 
     @num_iters.setter
@@ -77,7 +77,7 @@ class VtlnProcessor(BaseProcessor):
 
     @property
     def min_warp(self):
-        """Minimum warp considered"""
+        """Lower bound of the warp grid"""
         return self._min_warp
 
     @min_warp.setter
@@ -86,7 +86,7 @@ class VtlnProcessor(BaseProcessor):
 
     @property
     def max_warp(self):
-        """Maximum warp considered"""
+        """Upper bound of the warp grid"""
         return self._max_warp
 
     @max_warp.setter
@@ -95,7 +95,7 @@ class VtlnProcessor(BaseProcessor):
 
     @property
     def warp_step(self):
-        """Warp step"""
+        """Spacing between consecutive warp classes"""
         return self._warp_step
 
     @warp_step.setter
@@ -104,7 +104,7 @@ class VtlnProcessor(BaseProcessor):
 
     @property
     def logdet_scale(self):
-        """Scale on log-determinant term in auxiliary function"""
+        """Weight of the log-determinant in the fMLLR objective"""
         return self._logdet_scale
 
     @logdet_scale.setter
@@ -113,7 +113,7 @@ class VtlnProcessor(BaseProcessor):
 
     @property
     def norm_type(self):
-        """Type of fMLLR applied (``offset``, ``none`` or ``diag``)"""
+        """Secondary fMLLR flavor: ``offset``, ``none`` or ``diag``"""
         return self._norm_type
 
     @norm_type.setter
@@ -124,8 +124,7 @@ class VtlnProcessor(BaseProcessor):
 
     @property
     def subsample(self):
-        """When computing base LVTLN transforms, use every n frames
-         (a speedup)"""
+        """Frame subsampling factor while fitting the base transforms"""
         return self._subsample
 
     @subsample.setter
@@ -134,7 +133,7 @@ class VtlnProcessor(BaseProcessor):
 
     @property
     def by_speaker(self):
-        """Compute the warps for each speaker, or each utterance"""
+        """Whether warps are shared per speaker or kept per utterance"""
         return self._by_speaker
 
     @by_speaker.setter
@@ -143,7 +142,7 @@ class VtlnProcessor(BaseProcessor):
 
     @property
     def features(self):
-        """Features extraction configuration"""
+        """Configuration dict of the MFCC features used internally"""
         return self._features
 
     @features.setter
