@@ -86,3 +86,37 @@ def test_odd_frame_geometry(audio):
         dither=0, frame_shift=0.05, frame_length=0.02)
     out = gappy.process(audio)
     assert out.nframes == 1 + (22713 - 320) // 800
+
+
+def test_bucket_policy_bounds_compiles(tmpdir):
+    """Processing many distinct utterance lengths must reuse a small
+    set of compiled programs (geometric length buckets)."""
+    import scipy.io.wavfile
+
+    from shennong_tpu import Utterances
+    from shennong_tpu.ops.framing import bucket_size
+    from shennong_tpu.ops.spectral import mfcc_batch
+    from shennong_tpu.processor import MfccProcessor
+
+    rng = np.random.RandomState(0)
+    path = str(tmpdir.join('long.wav'))
+    scipy.io.wavfile.write(
+        path, 16000, (rng.randn(16000 * 30) * 5000).astype(np.int16))
+
+    # 20 random lengths between 0.5 and 25 s
+    durations = rng.uniform(0.5, 25.0, 20)
+    utterances = Utterances([
+        (f'u{i}', path, 0.0, float(round(d, 3)))
+        for i, d in enumerate(durations)])
+
+    before = mfcc_batch._cache_size()
+    proc = MfccProcessor(dither=0)
+    for utt in utterances:
+        proc.process(utt.load_audio())
+    compiles = mfcc_batch._cache_size() - before
+
+    buckets = {
+        bucket_size(int(16000 * round(d, 3))) for d in durations}
+    assert compiles <= len(buckets)
+    # geometric buckets: far fewer programs than utterances
+    assert compiles <= 12, compiles
