@@ -205,3 +205,55 @@ def test_process_pitch_fuzz(seed):
     assert ours.shape == ref.shape, kwargs
     assert np.abs(ours - ref).max() < 1e-3, (
         kwargs, np.abs(ours - ref).max())
+
+
+@pytest.mark.parametrize('seed', range(8))
+def test_framing_fuzz(seed):
+    """Random frame geometries: device framing equals a literal
+    numpy reimplementation of Kaldi NumFrames/first_sample."""
+    import jax.numpy as jnp
+
+    from shennong_tpu.ops.framing import (
+        FrameOptions, extract_frames, num_frames)
+
+    rng = np.random.RandomState(500 + seed)
+    rate = 16000.0
+    shift_ms = float(rng.choice([5.0, 7.0, 10.0, 25.0, 50.0]))
+    length_ms = float(rng.choice([10.0, 20.0, 25.0, 31.0, 40.0]))
+    snip = bool(rng.randint(2))
+    nsamples = int(rng.randint(50, 9000))
+
+    opts = FrameOptions(
+        sample_rate=rate, frame_shift_ms=shift_ms,
+        frame_length_ms=length_ms, dither=0.0, snip_edges=snip)
+    shift, length = opts.window_shift, opts.window_size
+
+    # literal frame count
+    if snip:
+        expected = 0 if nsamples < length else 1 + (
+            nsamples - length) // shift
+    else:
+        expected = (nsamples + shift // 2) // shift
+    nf = num_frames(nsamples, opts)
+    assert nf == expected, (shift_ms, length_ms, snip, nsamples)
+    if nf == 0:
+        return
+
+    signal = rng.randn(nsamples).astype(np.float32) * 100
+    padded = np.zeros(max(nsamples, (nf - 1) * shift + length),
+                      dtype=np.float32)
+    padded[:nsamples] = signal
+    frames = np.asarray(extract_frames(
+        jnp.asarray(padded[None]),
+        jnp.asarray([nsamples], np.int32), opts, nf))[0]
+
+    # literal per-frame extraction with Kaldi edge reflection
+    for t in rng.choice(nf, size=min(nf, 5), replace=False):
+        first = (t * shift if snip
+                 else t * shift + shift // 2 - length // 2)
+        idx = first + np.arange(length)
+        idx = np.where(idx < 0, -idx - 1, idx)
+        idx = np.where(idx >= nsamples, 2 * nsamples - 1 - idx, idx)
+        ref = signal[np.clip(idx, 0, nsamples - 1)]
+        assert np.array_equal(frames[t], ref), (
+            shift_ms, length_ms, snip, nsamples, t)
