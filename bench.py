@@ -44,7 +44,7 @@ def main():
 
     backend = jax.devices()[0].platform
     sample_rate = 16000
-    batch = 64
+    batch = 128
     duration = 10.0  # seconds per utterance
     nsamples = int(sample_rate * duration)
 
