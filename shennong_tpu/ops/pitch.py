@@ -358,10 +358,6 @@ def compute_pitch(signals, nsamples, opts, nframes_max):
         'bfl,gl->bfg', nccf_pitch, upsample,
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
-    nccf_pov_rs = jnp.einsum(
-        'bfl,gl->bfg', nccf_pov, upsample,
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
 
     # 5. Viterbi lag selection
     lags_f32 = jnp.asarray(lags, dtype=jnp.float32)
@@ -379,10 +375,15 @@ def compute_pitch(signals, nsamples, opts, nframes_max):
     else:
         best = _viterbi_lags(local_cost, inter_frame_factor, nframes)
 
-    # 6. assemble (NCCF, pitch) output
+    # 6. assemble (NCCF, pitch) output; the POV-ballast NCCF is only
+    # needed at the selected lag, so its lag upsampling evaluates the
+    # single chosen matrix row per frame instead of the full grid
     pitch = 1.0 / jnp.take(lags_f32, best)
-    nccf_out = jnp.take_along_axis(
-        nccf_pov_rs, best[..., None], axis=-1)[..., 0]
+    rows = jnp.take(upsample, best, axis=0)  # [B, F, nlags_int]
+    nccf_out = jnp.einsum(
+        'bfl,bfl->bf', nccf_pov, rows,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
     return jnp.stack([nccf_out, pitch], axis=-1)
 
 
