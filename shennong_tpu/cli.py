@@ -163,6 +163,52 @@ def _command_extract(args):
     features.save(output_file)
 
 
+def _parser_convert_crepe(subparsers, epilog):
+    parser = subparsers.add_parser(
+        'convert-crepe',
+        description=(
+            'Convert a published keras CREPE checkpoint (model-tiny.h5 '
+            '... model-full.h5, from github.com/marl/crepe) into the '
+            'npz parameter file the JAX forward pass loads. The '
+            'converted file is written next to the input or into '
+            '--output; install it into shennong_tpu/share/crepe/ to '
+            'make the capacity available to CrepePitchProcessor.'),
+        epilog=epilog,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    parser.add_argument(
+        'checkpoint', help='path to a keras CREPE .h5 checkpoint')
+    parser.add_argument(
+        '-o', '--output', default=None,
+        help='output .npz path (default: alongside the checkpoint, '
+        'or directly into the package share directory with --install)')
+    parser.add_argument(
+        '--install', action='store_true',
+        help='write into shennong_tpu/share/crepe/ so the capacity '
+        'is immediately usable')
+
+
+def _command_convert_crepe(args):
+    import numpy as np
+    from shennong_tpu.models import crepe
+
+    params = crepe.convert_keras_h5(args.checkpoint)
+    capacity = crepe.capacity_of(params)
+
+    if args.output:
+        output = args.output
+    elif args.install:
+        output = os.path.join(
+            os.path.abspath(crepe.SHARE_DIR), f'model-{capacity}.npz')
+    else:
+        output = os.path.join(
+            os.path.dirname(os.path.abspath(args.checkpoint)),
+            f'model-{capacity}.npz')
+
+    np.savez(output, **params)
+    print(f'converted {args.checkpoint} (capacity {capacity}) '
+          f'-> {output}')
+
+
 @utils.CatchExceptions
 def main():
     """Entry point of the ``speech-features`` program"""
@@ -187,12 +233,15 @@ def main():
 
     _parser_config(subparsers, epilog)
     _parser_extract(subparsers, epilog)
+    _parser_convert_crepe(subparsers, epilog)
 
     args = parser.parse_args()
     if args.command == 'config':
         _command_config(args)
     elif args.command == 'extract':
         _command_extract(args)
+    elif args.command == 'convert-crepe':
+        _command_convert_crepe(args)
 
 
 if __name__ == '__main__':

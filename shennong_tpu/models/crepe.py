@@ -61,6 +61,24 @@ def convert_keras_h5(h5_path):
     return params
 
 
+def capacity_of(params):
+    """Infer the capacity name from converted parameters."""
+    cout = params['conv1/kernel'].shape[-1]
+    for name, mult in CAPACITY_MULTIPLIER.items():
+        if cout == 32 * mult:
+            return name
+    raise ValueError(
+        f'cannot infer CREPE capacity from conv1 with {cout} filters')
+
+
+def available_capacities():
+    """Capacity names whose converted weights are installed."""
+    return tuple(
+        name for name in CAPACITY_MULTIPLIER
+        if os.path.isfile(os.path.join(
+            os.path.abspath(SHARE_DIR), f'model-{name}.npz')))
+
+
 @functools.lru_cache(maxsize=None)
 def load_params(model_capacity):
     """Load the converted npz parameters for a model capacity.
@@ -68,7 +86,9 @@ def load_params(model_capacity):
     Looks for ``shennong_tpu/share/crepe/model-<capacity>.npz``.
     Raises RuntimeError when the file is missing (only 'tiny' weights
     ship with the repository; other capacities must be converted from
-    the published CREPE checkpoints with :func:`convert_keras_h5`).
+    the published CREPE checkpoints — the reference itself only ships
+    'tiny' in-package and downloads the rest at install time,
+    ``shennong/share/README.md``).
     """
     if model_capacity not in CAPACITY_MULTIPLIER:
         raise ValueError(
@@ -76,10 +96,14 @@ def load_params(model_capacity):
     path = os.path.join(
         os.path.abspath(SHARE_DIR), f'model-{model_capacity}.npz')
     if not os.path.isfile(path):
+        installed = ', '.join(available_capacities()) or 'none'
         raise RuntimeError(
-            f'CREPE weights file not found: {path} (convert the '
-            f'published keras checkpoint with '
-            f'shennong_tpu.models.crepe.convert_keras_h5)')
+            f"CREPE '{model_capacity}' weights are not installed "
+            f'(found: {installed}). Convert the published keras '
+            f'checkpoint with: speech-features convert-crepe '
+            f'model-{model_capacity}.h5 --install '
+            f'(checkpoints at github.com/marl/crepe), or pass '
+            f'model_capacity=<installed capacity>.')
     with np.load(path) as data:
         return {k: jnp.asarray(v) for k, v in data.items()}
 

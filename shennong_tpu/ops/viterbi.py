@@ -7,6 +7,34 @@ Replaces the hmmlearn dependency of the reference
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def viterbi_host(log_start, log_trans, log_obs):
+    """Float64 host Viterbi, matching hmmlearn's decoder bit-for-bit.
+
+    The CREPE decode paths replace the reference's hmmlearn calls with
+    this routine: tie-breaking on emission-flat plateaus depends on the
+    accumulator precision, so the host decode runs in float64 exactly
+    like hmmlearn does (the jitted :func:`viterbi` below runs in
+    float32 and may drift by one bin on exact ties).
+
+    Same signature/return as :func:`viterbi`, numpy arrays.
+    """
+    log_trans = np.asarray(log_trans, dtype=np.float64)
+    log_obs = np.asarray(log_obs, dtype=np.float64)
+    nframes, nstates = log_obs.shape
+    score = np.asarray(log_start, dtype=np.float64) + log_obs[0]
+    backptr = np.zeros((nframes, nstates), dtype=np.int64)
+    for t in range(1, nframes):
+        total = score[:, None] + log_trans  # [from, to]
+        backptr[t] = np.argmax(total, axis=0)
+        score = total[backptr[t], np.arange(nstates)] + log_obs[t]
+    path = np.zeros(nframes, dtype=np.int64)
+    path[-1] = np.argmax(score)
+    for t in range(nframes - 2, -1, -1):
+        path[t] = backptr[t + 1][path[t + 1]]
+    return path
 
 
 def viterbi(log_start, log_trans, log_obs):

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from shennong_tpu import Features
 from shennong_tpu.models import crepe
-from shennong_tpu.ops.viterbi import viterbi
+from shennong_tpu.ops.viterbi import viterbi_host
 from shennong_tpu.processor.base import FeaturesProcessor
 from shennong_tpu.processor.pitch_kaldi import KaldiPitchPostProcessor
 
@@ -49,12 +49,10 @@ def _to_viterbi_cents(salience):
                 + (1 - self_emission) / nstates)
 
     observations = np.argmax(salience, axis=1)
-    log_obs = np.log(emission[:, observations].T + 1e-30)
-
-    path = np.asarray(viterbi(
-        jnp.asarray(np.log(start)),
-        jnp.asarray(np.log(transition + 1e-30)),
-        jnp.asarray(log_obs)))
+    with np.errstate(divide='ignore'):
+        log_obs = np.log(emission[:, observations].T)
+        path = viterbi_host(
+            np.log(start), np.log(transition), log_obs)
     return _to_local_average_cents(salience, path)
 
 
@@ -90,9 +88,7 @@ def predict_voicing(confidence):
                 + np.log(2 * np.pi * variance)))
     log_start = np.log(np.array([0.5, 0.5]))
     log_trans = np.log(np.array([[0.99, 0.01], [0.01, 0.99]]))
-    return np.asarray(viterbi(
-        jnp.asarray(log_start), jnp.asarray(log_trans),
-        jnp.asarray(log_obs)))
+    return viterbi_host(log_start, log_trans, log_obs)
 
 
 class CrepePitchProcessor(FeaturesProcessor):
@@ -104,7 +100,7 @@ class CrepePitchProcessor(FeaturesProcessor):
 
     """
 
-    def __init__(self, model_capacity='tiny', viterbi=True, center=True,
+    def __init__(self, model_capacity='full', viterbi=True, center=True,
                  frame_shift=0.01, frame_length=0.025):
         super().__init__()
         self.model_capacity = model_capacity
@@ -121,9 +117,13 @@ class CrepePitchProcessor(FeaturesProcessor):
     def model_capacity(self):
         """String specifying the model capacity to use
 
-        Must be 'tiny', 'small', 'medium', 'large' or 'full'. Only the
-        'tiny' weights ship with the package; other capacities require
-        converting the published CREPE checkpoints.
+        Must be 'tiny', 'small', 'medium', 'large' or 'full' (the
+        default, as in the reference,
+        ``shennong/processor/pitch_crepe.py:302``). Only the 'tiny'
+        weights ship with the package; other capacities must be
+        converted once from the published CREPE checkpoints with
+        ``speech-features convert-crepe`` (processing raises a clear
+        RuntimeError when the requested weights are not installed).
 
         """
         return self._model_capacity
@@ -192,7 +192,20 @@ class CrepePitchProcessor(FeaturesProcessor):
             np.arange(nframes) * self.frame_shift + self.frame_length)).T
 
     def _model_frames(self, audio):
-        """Normalized 1024-sample model input frames of one signal."""
+        """Normalized 1024-sample model input frames of one signal.
+
+        The reference normalizes in place *through an overlapping
+        strided view* of the audio buffer
+        (``shennong/processor/pitch_crepe.py:410-421`` drops the
+        ``.copy()`` that upstream crepe has), so each write-back of a
+        normalized frame overwrites the head of every earlier
+        overlapping frame.  Numpy resolves such self-overlapping
+        in-place ufuncs as copy-compute-writeback in C order, i.e.
+        sample ``s`` ends up normalized with the statistics of the
+        *last* frame covering it.  We reproduce that closed form
+        vectorized (frame ``min(n-1, s // hop)`` owns sample ``s``) so
+        outputs match the reference bit-for-bit.
+        """
         audio = audio.astype(np.float32)
         if self.center:
             audio = np.pad(audio, 512, mode='constant')
@@ -201,14 +214,23 @@ class CrepePitchProcessor(FeaturesProcessor):
         n_frames = max(0, 1 + int((len(audio) - 1024) / hop))
         if n_frames == 0:
             return np.zeros((0, 1024), dtype=np.float32)
-        frames = np.lib.stride_tricks.as_strided(
-            audio, shape=(n_frames, 1024),
-            strides=(hop * audio.itemsize, audio.itemsize)).copy()
 
-        # per-frame normalization, as expected by the model
-        frames -= frames.mean(axis=1, keepdims=True)
-        frames /= np.maximum(frames.std(axis=1, keepdims=True), 1e-8)
-        return frames
+        def strided(buf):
+            return np.lib.stride_tricks.as_strided(
+                buf, shape=(n_frames, 1024),
+                strides=(hop * buf.itemsize, buf.itemsize)).copy()
+
+        # frame owning each sample after the C-order write-back
+        covered = (n_frames - 1) * hop + 1024
+        owner = np.minimum(n_frames - 1, np.arange(covered) // hop)
+
+        frames = strided(audio)
+        mean = frames.mean(axis=1)
+        audio[:covered] -= mean[owner]
+        frames = strided(audio)
+        std = frames.std(axis=1)
+        audio[:covered] /= np.maximum(std[owner], 1e-38)
+        return strided(audio)
 
     def _forward(self, frames):
         """CNN forward over [n, 1024] frames, padded to a bucket so

@@ -122,3 +122,58 @@ def alignment_file(data_path):
 def mfcc(audio):
     from shennong_tpu.processor.mfcc import MfccProcessor
     return MfccProcessor(dither=0).process(audio)
+
+
+# --- real recordings vendored from the reference test suite --------------
+#
+# tests/data/ holds the reference's real speech recordings (test.wav &
+# friends, see tests/data/README.md for provenance); the fixtures below
+# expose them alongside the synthetic ones so parity anchors run on
+# genuine speech.
+
+REAL_DATA = os.path.join(os.path.dirname(__file__), 'data')
+
+
+@pytest.fixture(scope='session')
+def real_data_path():
+    return REAL_DATA
+
+
+@pytest.fixture(scope='session')
+def real_wav_file():
+    return os.path.join(REAL_DATA, 'test.wav')
+
+
+@pytest.fixture(scope='session')
+def real_wav_file_8k():
+    return os.path.join(REAL_DATA, 'test.8k.wav')
+
+
+@pytest.fixture(scope='session')
+def real_wav_file_float32():
+    return os.path.join(REAL_DATA, 'test.float32.wav')
+
+
+@pytest.fixture(scope='session')
+def real_audio(real_wav_file):
+    return Audio.load(real_wav_file)
+
+
+@pytest.fixture(scope='session')
+def real_audio_8k(real_wav_file_8k):
+    return Audio.load(real_wav_file_8k)
+
+
+@pytest.fixture(scope='session')
+def real_alignment_file():
+    return os.path.join(REAL_DATA, 'alignment.txt')
+
+
+@pytest.fixture(scope='session')
+def bottleneck_original():
+    """The committed output of the original BUT bottleneck extractor on
+    test.wav (reference golden, see tests/data/README.md)."""
+    from shennong_tpu.serializers import read_htk
+    data, _period = read_htk(
+        os.path.join(REAL_DATA, 'test.bottleneck.fea'))
+    return data

@@ -1,0 +1,113 @@
+"""Weight-conversion proof and cross-framework check for CREPE.
+
+Two independent pieces of evidence that the JAX CREPE is the keras
+CREPE:
+
+1. the shipped ``model-tiny.npz`` is tensor-for-tensor identical to a
+   fresh conversion of the reference keras checkpoint (read directly
+   with h5py);
+2. a from-scratch torch re-implementation of the network (TF-style
+   asymmetric SAME padding, inference batch-norm) produces the same
+   activations as the jitted JAX forward, on random frames and on the
+   real recording.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from shennong_tpu.models import crepe
+
+REFERENCE_H5 = '/root/reference/shennong/share/crepe/model-tiny.h5'
+SHIPPED_NPZ = os.path.join(
+    os.path.abspath(crepe.SHARE_DIR), 'model-tiny.npz')
+
+
+@pytest.mark.skipif(
+    not os.path.isfile(REFERENCE_H5),
+    reason='reference keras checkpoint not available')
+def test_h5_conversion_identity():
+    """The shipped npz equals a fresh conversion of the keras h5."""
+    fresh = crepe.convert_keras_h5(REFERENCE_H5)
+    assert crepe.capacity_of(fresh) == 'tiny'
+    with np.load(SHIPPED_NPZ) as shipped:
+        assert sorted(shipped.files) == sorted(fresh.keys())
+        for key in fresh:
+            assert np.array_equal(shipped[key], fresh[key]), key
+
+
+def _torch_forward(params, frames):
+    """Independent torch re-implementation of the CREPE forward."""
+    import torch
+    import torch.nn.functional as F
+
+    x = torch.from_numpy(frames)[:, None, :]  # [N, C=1, T]
+    for i in range(1, 7):
+        kernel = torch.from_numpy(
+            np.asarray(params[f'conv{i}/kernel']))  # [W, Cin, Cout]
+        weight = kernel.permute(2, 1, 0)  # torch conv1d [Cout, Cin, W]
+        stride = crepe._LAYER_STRIDES[i - 1]
+        ksize = kernel.shape[0]
+
+        # TF-style SAME padding: pad to ceil(T/stride) outputs, extra
+        # sample on the right when the total padding is odd
+        t_in = x.shape[-1]
+        t_out = -(-t_in // stride)
+        total = max((t_out - 1) * stride + ksize - t_in, 0)
+        x = F.pad(x, (total // 2, total - total // 2))
+
+        x = F.conv1d(x, weight, torch.from_numpy(
+            np.asarray(params[f'conv{i}/bias'])), stride=stride)
+        x = F.relu(x)
+
+        mean = torch.from_numpy(np.asarray(params[f'conv{i}/mean']))
+        var = torch.from_numpy(np.asarray(params[f'conv{i}/var']))
+        gamma = torch.from_numpy(np.asarray(params[f'conv{i}/gamma']))
+        beta = torch.from_numpy(np.asarray(params[f'conv{i}/beta']))
+        x = ((x - mean[:, None]) / torch.sqrt(var[:, None] + 1e-3)
+             * gamma[:, None] + beta[:, None])
+
+        x = F.max_pool1d(x, 2)
+
+    # keras flattens [N, T, C]; torch tensor is [N, C, T]
+    x = x.permute(0, 2, 1).reshape(x.shape[0], -1)
+    kernel = torch.from_numpy(np.asarray(params['classifier/kernel']))
+    bias = torch.from_numpy(np.asarray(params['classifier/bias']))
+    return torch.sigmoid(x @ kernel + bias).numpy()
+
+
+def test_torch_cross_forward_random():
+    params = {k: np.asarray(v)
+              for k, v in crepe.load_params('tiny').items()}
+    rng = np.random.RandomState(0)
+    frames = rng.randn(8, 1024).astype(np.float32)
+    frames -= frames.mean(axis=1, keepdims=True)
+    frames /= frames.std(axis=1, keepdims=True)
+
+    import jax.numpy as jnp
+    ours = np.asarray(crepe.forward(
+        crepe.load_params('tiny'), jnp.asarray(frames)))
+    theirs = _torch_forward(params, frames)
+    assert ours.shape == theirs.shape == (8, 360)
+    assert np.max(np.abs(ours - theirs)) < 1e-5
+
+
+def test_torch_cross_forward_real(real_audio):
+    from shennong_tpu.processor.pitch_crepe import CrepePitchProcessor
+
+    proc = CrepePitchProcessor(model_capacity='tiny')
+    frames = proc._model_frames(real_audio.data)
+    assert frames.shape[0] == 142  # centered 1.42 s at 10 ms hop
+
+    import jax.numpy as jnp
+    ours = np.asarray(crepe.forward(
+        crepe.load_params('tiny'), jnp.asarray(frames)))
+    params = {k: np.asarray(v)
+              for k, v in crepe.load_params('tiny').items()}
+    theirs = _torch_forward(params, frames)
+    assert np.max(np.abs(ours - theirs)) < 1e-5
+
+    # and the processor's padded-bucket path returns the same thing
+    via_proc = proc._forward(frames)
+    assert np.max(np.abs(via_proc - ours)) < 1e-6

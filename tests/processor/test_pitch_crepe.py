@@ -17,11 +17,19 @@ def test_params():
     proc = CrepePitchProcessor()
     params = proc.get_params()
     assert len(params) == 5
-    assert params['model_capacity'] == 'tiny'
+    # default is 'full', as in the reference (pitch_crepe.py:302)
+    assert params['model_capacity'] == 'full'
     assert params['viterbi'] is True
     assert proc.sample_rate == 16000
     with pytest.raises(ValueError, match='not recognized'):
         CrepePitchProcessor(model_capacity='huge')
+
+
+def test_missing_weights_error(audio):
+    # only 'tiny' ships in the repo: the reference default capacity
+    # must fail with an actionable message, not silently downgrade
+    with pytest.raises(RuntimeError, match='convert-crepe'):
+        CrepePitchProcessor(model_capacity='full').process(audio)
 
 
 def test_shape_anchor(crepe_pitch):
@@ -61,7 +69,7 @@ def test_stereo_rejected(data_path):
     from shennong_tpu.audio import Audio
     stereo = Audio.load(str(data_path / 'test.stereo.wav'))
     with pytest.raises(ValueError, match='one channel'):
-        CrepePitchProcessor().process(stereo)
+        CrepePitchProcessor(model_capacity='tiny').process(stereo)
 
 
 def test_resamples_8k(audio_8k):

@@ -20,7 +20,10 @@ def test_crepe_pitch_pipeline(utterances):
     config['mfcc']['dither'] = 0
     config['model_capacity'] = None  # not a valid key
     del config['model_capacity']
-    assert config['pitch']['model_capacity'] == 'tiny'
+    # the default config mirrors the reference default ('full'); only
+    # tiny weights ship in-repo, so the test selects them explicitly
+    assert config['pitch']['model_capacity'] == 'full'
+    config['pitch']['model_capacity'] = 'tiny'
     features = extract_features(config, utterances)
     # 13 mfcc + 3 crepe pitch features
     assert features['utt1'].ndims == 16

@@ -1,0 +1,261 @@
+"""Parity anchors on the real reference recordings.
+
+Every numeric anchor in this module is *reference-derived*: output
+shapes hard-coded in the reference's own test suite (all on the same
+``test.wav``), the exact CREPE means the reference asserts
+(``test/processor/test_pitch_crepe.py:46-62``, produced by its
+TF/keras + hmmlearn stack), the pipeline shape/CMVN contracts of
+``test/test_pipeline.py:399-412``, and the HTK golden written by the
+original BUT bottleneck extractor.  On top of those, the independent
+numpy oracles run on the real speech at the <1e-3 BASELINE tolerance,
+and ``golden_real.npz`` locks the outputs against drift.
+"""
+
+import numpy as np
+import pytest
+
+from shennong_tpu import Features
+from shennong_tpu.audio import Audio
+from shennong_tpu.processor import (
+    EnergyProcessor, FilterbankProcessor, KaldiPitchProcessor,
+    MfccProcessor, PlpProcessor, SpectrogramProcessor)
+from shennong_tpu.processor.pitch_kaldi import KaldiPitchPostProcessor
+from shennong_tpu.processor.pitch_crepe import (
+    CrepePitchProcessor, CrepePitchPostProcessor)
+
+from tests import kaldi_oracle
+
+
+def test_audio_facts(real_audio, real_audio_8k):
+    # format facts of the reference recording
+    assert real_audio.sample_rate == 16000
+    assert real_audio.nchannels == 1
+    assert real_audio.nsamples == 22713
+    assert real_audio.dtype == np.int16
+    assert real_audio.duration == pytest.approx(1.4195625)
+    assert real_audio_8k.sample_rate == 8000
+
+
+# --- output shape anchors (reference test suite, all on test.wav) -----
+
+def test_mfcc_shapes(real_audio):
+    # test/processor/test_mfcc.py:66,115-118
+    assert MfccProcessor().process(real_audio).shape == (140, 13)
+    assert MfccProcessor(
+        frame_shift=0.02).process(real_audio).shape == (70, 13)
+    assert MfccProcessor(
+        frame_shift=0.02,
+        frame_length=0.05).process(real_audio).shape == (69, 13)
+
+
+def test_mfcc_htk_compat(real_audio):
+    # test/processor/test_mfcc.py:99-111: htk_compat moves the energy
+    # (or C0) to the last column, scaling C0 by sqrt(2) when raw
+    # energy is not used
+    p1 = MfccProcessor(
+        dither=0, use_energy=True, htk_compat=False).process(real_audio)
+    p2 = MfccProcessor(
+        dither=0, use_energy=True, htk_compat=True).process(real_audio)
+    assert p1.data[:, 0] == pytest.approx(p2.data[:, -1], rel=1e-5)
+
+    p1 = MfccProcessor(
+        dither=0, use_energy=False, htk_compat=False).process(real_audio)
+    p2 = MfccProcessor(
+        dither=0, use_energy=False, htk_compat=True).process(real_audio)
+    assert p1.data[:, 0] * 2 ** 0.5 == pytest.approx(
+        p2.data[:, -1], rel=1e-5)
+
+
+def test_plp_shapes(real_audio):
+    # test/processor/test_plp.py:67-80
+    assert PlpProcessor().process(real_audio).shape == (140, 13)
+    assert PlpProcessor(
+        snip_edges=False).process(real_audio).shape == (142, 13)
+    assert PlpProcessor(
+        snip_edges=False, rasta=True).process(real_audio).shape \
+        == (142, 13)
+
+
+def test_fbank_shapes(real_audio):
+    # test/processor/test_filterbank.py:47,63
+    assert FilterbankProcessor().process(real_audio).shape == (140, 23)
+    assert FilterbankProcessor(
+        use_energy=True).process(real_audio).shape == (140, 24)
+
+
+def test_spectrogram_energy_shapes(real_audio):
+    assert SpectrogramProcessor().process(real_audio).shape == (140, 257)
+    assert EnergyProcessor().process(real_audio).shape == (140, 1)
+
+
+def test_pitch_shapes(real_audio):
+    # test/processor/test_pitch_kaldi.py:43
+    raw = KaldiPitchProcessor(frame_shift=0.01).process(real_audio)
+    assert raw.shape == (140, 2)
+    post = KaldiPitchPostProcessor().process(raw)
+    assert post.shape == (140, 3)
+
+
+# --- CREPE: exact reference golden means ------------------------------
+#
+# The reference hard-codes these means on test.wav for the tiny model
+# (test/processor/test_pitch_crepe.py:46-62).  They were produced by
+# the reference stack (TF/keras CNN + hmmlearn Viterbi + scipy
+# resample); matching them is cross-implementation evidence that the
+# JAX CNN, the converted weights, the float64 Viterbi decode and the
+# frame-grid resampling all agree with the original.
+
+CREPE_REFERENCE_MEANS = {
+    # (viterbi, center): (confidence mean, frequency mean)
+    (True, True): (0.440450713829631, 121.04003190158486),
+    (True, False): (0.4569764207391177, 122.78609105951135),
+    (False, True): (0.440450713829631, 282.34977980138643),
+    (False, False): (0.4569764207391177, 265.5468749764539),
+}
+
+
+@pytest.mark.parametrize(
+    'viterbi, center',
+    [(v, c) for v in (True, False) for c in (True, False)])
+def test_crepe_reference_means(real_audio, viterbi, center):
+    pitch = CrepePitchProcessor(
+        model_capacity='tiny', viterbi=viterbi,
+        center=center).process(real_audio)
+    assert pitch.shape == (140, 2)
+
+    conf_ref, freq_ref = CREPE_REFERENCE_MEANS[(viterbi, center)]
+    assert pitch.data[:, 0].mean() == pytest.approx(conf_ref, rel=1e-5)
+    assert pitch.data[:, 1].mean() == pytest.approx(freq_ref, rel=1e-4)
+
+    # voiced-everywhere only under viterbi smoothing (the Fourier
+    # resampling of the jumpier raw track rings below zero)
+    assert np.all(pitch.data[:, 1] > 0) == viterbi
+
+
+def test_crepe_frames_and_post(real_audio, real_audio_8k):
+    # test/processor/test_pitch_crepe.py:65-81
+    assert CrepePitchProcessor(
+        model_capacity='tiny',
+        frame_shift=0.02).process(real_audio).shape == (70, 2)
+    assert CrepePitchProcessor(
+        model_capacity='tiny', frame_shift=0.02,
+        frame_length=0.05).process(real_audio).shape == (69, 2)
+    assert CrepePitchProcessor(
+        model_capacity='tiny',
+        frame_shift=0.01).process(real_audio_8k).shape == (140, 2)
+
+    raw = CrepePitchProcessor(model_capacity='tiny').process(real_audio)
+    post = CrepePitchPostProcessor().process(raw)
+    assert post.shape == (140, 3)
+    assert post.is_valid()
+
+
+# --- oracle parity on real speech at the BASELINE tolerance -----------
+
+def test_oracle_parity_real(real_audio):
+    signal = real_audio.data.astype(np.float64)
+
+    ours = MfccProcessor(dither=0).process(real_audio).data
+    ref = kaldi_oracle.mfcc(signal)
+    assert np.max(np.abs(ours - ref)) < 1e-3
+
+    ours = FilterbankProcessor(dither=0).process(real_audio).data
+    ref = kaldi_oracle.fbank(signal)
+    assert np.max(np.abs(ours - ref)) < 1e-3
+
+    ours = SpectrogramProcessor(dither=0).process(real_audio).data
+    ref = kaldi_oracle.spectrogram(signal)
+    assert np.max(np.abs(ours - ref)) < 1e-3
+
+    ours = PlpProcessor(dither=0).process(real_audio).data
+    ref = kaldi_oracle.plp(signal)
+    assert np.max(np.abs(ours - ref)) < 1e-3
+
+    ours = PlpProcessor(dither=0, rasta=True).process(real_audio).data
+    ref = kaldi_oracle.plp(signal, rasta=True)
+    assert np.max(np.abs(ours - ref)) < 1e-3
+
+
+def test_oracle_parity_real_8k(real_audio_8k):
+    signal = real_audio_8k.data.astype(np.float64)
+    ours = MfccProcessor(
+        sample_rate=8000, dither=0).process(real_audio_8k).data
+    ref = kaldi_oracle.mfcc(signal, rate=8000)
+    assert np.max(np.abs(ours - ref)) < 1e-3
+
+
+# --- golden regression lock on the real recording ---------------------
+
+def test_golden_real(real_audio, golden_real):
+    cases = {
+        'mfcc': MfccProcessor(dither=0),
+        'fbank': FilterbankProcessor(dither=0),
+        'spectrogram': SpectrogramProcessor(dither=0),
+        'plp': PlpProcessor(dither=0),
+        'rastaplp': PlpProcessor(dither=0, rasta=True),
+        'energy': EnergyProcessor(dither=0),
+    }
+    for name, proc in cases.items():
+        out = proc.process(real_audio).data
+        assert out.shape == golden_real[name].shape, name
+        assert np.max(np.abs(out - golden_real[name])) < 1e-3, name
+
+
+def test_golden_real_pitch(real_audio, golden_real):
+    pitch = KaldiPitchProcessor().process(real_audio)
+    assert pitch.shape == golden_real['pitch'].shape
+    assert np.max(np.abs(pitch.data - golden_real['pitch'])) < 1e-3
+
+    post = KaldiPitchPostProcessor(
+        delta_pitch_noise_stddev=0).process(pitch)
+    assert post.shape == golden_real['pitch_post'].shape
+    assert np.max(np.abs(post.data - golden_real['pitch_post'])) < 1e-3
+
+
+# --- full pipeline contract (reference test_pipeline.py:388-412) ------
+
+def test_pipeline_full_real(
+        real_wav_file, real_wav_file_float32, real_wav_file_8k):
+    import warnings
+    from shennong_tpu import pipeline
+    from shennong_tpu.utterances import Utterances
+
+    # mixed sample rates, speakers and segments; u3 asks for more
+    # audio than the file holds (warns, then clamps)
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        index = Utterances([
+            ('u1', real_wav_file, 's1', 0, 1),
+            ('u2', real_wav_file_float32, 's2', 1, 1.2),
+            ('u3', real_wav_file_8k, 's1', 1, 3)])
+    config = pipeline.get_default_config(
+        'mfcc', with_cmvn=True, with_delta=True, with_pitch='kaldi')
+    config['cmvn']['with_vad'] = False
+
+    feats = pipeline.extract_features(config, index, njobs=2)
+
+    # mfcc*delta + pitch = 13 * 3 + 3 = 42 columns
+    assert feats['u1'].shape == (98, 42)
+    assert feats['u2'].shape == (18, 42)
+    assert feats['u3'].shape == (40, 42)
+    for utt in ('u1', 'u2', 'u3'):
+        assert feats[utt].dtype == np.float32
+
+    # per-speaker CMVN: normalized within each speaker's pooled frames
+    assert feats['u2'].data[:, :13].mean() == pytest.approx(0, abs=1e-5)
+    assert feats['u2'].data[:, :13].std() == pytest.approx(1, abs=1e-5)
+    pooled = np.vstack(
+        (feats['u1'].data[:, :13], feats['u3'].data[:, :13]))
+    assert pooled.mean() == pytest.approx(0, abs=1e-5)
+    assert pooled.std() == pytest.approx(1, abs=1e-5)
+
+    assert feats['u1'].properties.keys() == {
+        'audio', 'mfcc', 'cmvn', 'pitch', 'delta', 'speaker', 'pipeline'}
+
+
+@pytest.fixture(scope='module')
+def golden_real(real_data_path):
+    import os
+    path = os.path.join(real_data_path, 'golden_real.npz')
+    with np.load(path) as data:
+        return {k: data[k] for k in data.files}
