@@ -100,21 +100,26 @@ def _gmm_posteriors_1d(x, weights, means, variances):
 
 
 def compute_vad(signal, log, win_length=200, win_overlap=120,
-                n_realignment=5, threshold=0.3):
+                n_realignment=5, threshold=0.3, bugfix=False):
     """Energy GMM voice activity detection (BUT algorithm).
 
     A 3-component GMM (initial means -1, 0, 1) is EM-fitted on the
     normalized frame energies; frames whose posterior of the
     lowest-energy component falls under ``threshold`` are voiced.
 
-    Note: the reference computes the energies with int16 arithmetic
-    whose squares overflow (``bottleneck.py:404-416``; it ships a
-    ``bugfix`` flag acknowledging this). We default to the fixed
-    float64 path, which is the reference's ``bugfix=True`` behavior.
+    ``bugfix=False`` (the reference default,
+    ``bottleneck.py:403-411``) squares the int16 samples in int16
+    arithmetic, wrapping on overflow — the behavior the published BUT
+    networks and the committed golden output were produced with, kept
+    for replicability. ``bugfix=True`` squares in float64.
     """
-    squared = signal.astype(np.float64) ** 2
+    if bugfix:
+        squared = signal.astype(np.float64) ** 2
+    else:
+        # squaring in the input dtype: int16 samples wrap modulo 2**16
+        squared = signal ** 2
     frames = frame_signal(squared, win_length, win_length - win_overlap)
-    energy = frames.sum(axis=1)
+    energy = frames.sum(axis=1).astype(np.float64)
 
     std = energy.std()
     if std == 0:

@@ -107,10 +107,108 @@ def test_vad_detects_speech_pattern():
     speech = (rng.randn(8000) * 3000).astype(np.int16)
     signal = np.concatenate([silence, speech])
     from shennong_tpu.logger import null_logger
-    vad = bn.compute_vad(signal, null_logger())
+    # the fixed energy path must segment cleanly (amplitude 3000
+    # squares past int16, so only bugfix=True is meaningful here)
+    vad = bn.compute_vad(signal, null_logger(), bugfix=True)
     nsil = (8000 - 200) // 80 + 1
     assert vad[:nsil - 2].mean() < 0.1
     assert vad[nsil + 2:].mean() > 0.9
+
+
+def test_vad_default_wraps_like_reference():
+    """The default VAD reproduces the reference's int16-overflow
+    energies (``bottleneck.py:403-411``, bugfix=False) that the
+    published networks and the BUT golden were produced with."""
+    rng = np.random.RandomState(2)
+    signal = (rng.randn(4000) * 3000).astype(np.int16)
+
+    # independent wrapped-energy computation
+    wrapped = signal.astype(np.int64) ** 2
+    wrapped = ((wrapped + 2 ** 15) % 2 ** 16) - 2 ** 15
+    nframes = (len(signal) - 200) // 80 + 1
+    energies = np.array([
+        wrapped[i * 80:i * 80 + 200].sum() for i in range(nframes)],
+        dtype=np.float64)
+
+    frames = bn.frame_signal(signal ** 2, 200, 80)
+    assert np.array_equal(frames.sum(axis=1).astype(np.float64),
+                          energies)
+
+
+def test_real_audio_shape_and_vad(real_audio_8k):
+    """On the real 8 kHz recording the default (reference-semantics)
+    VAD must find speech and the output must match the golden's row
+    count: 140 fbank frames -> +30 edge pad -> -10 context -> -20
+    stagger -> 140 rows of 80."""
+    from shennong_tpu.logger import null_logger
+    vad = bn.compute_vad(real_audio_8k.data, null_logger())
+    assert len(vad) == 140
+    assert 0 < vad.sum() < 140
+
+    feat = BottleneckProcessor(
+        weights='FisherMono', dither=0).process(real_audio_8k)
+    assert feat.shape == (140, 80)
+    assert np.all(np.isfinite(feat.data))
+
+    # times as in the reference: 80-sample shift, 200-sample frames
+    assert feat.times[0] == pytest.approx([0.0, 0.025])
+    assert feat.times[1] == pytest.approx([0.01, 0.035])
+
+
+def test_context_dct_matches_reference_algorithm():
+    """The context compression matrix equals an independently built
+    hamming-weighted matlab-style DCT (bottleneck.py:455-474)."""
+    import scipy.fftpack
+    for context in (5, 15):
+        window = 2 * context + 1
+        basis = scipy.fftpack.idct(np.eye(6, window), norm='ortho')
+        basis[0] = np.sqrt(2.0 / window)
+        expected = (basis * np.hamming(window)).T
+        ours = bn.context_compression_matrix(context)
+        assert np.max(np.abs(ours - expected)) < 1e-6
+
+        # and the windowed application equals a literal per-frame loop
+        rng = np.random.RandomState(context)
+        fea = rng.randn(50, 3)
+        out = bn.preprocess_nn_input(fea, context)
+        assert out.shape == (50 - 2 * context, 18)
+        for t in range(out.shape[0]):
+            block = fea[t:t + window]  # [win, C]
+            manual = (block.T @ expected).reshape(-1)
+            assert np.allclose(out[t], manual, atol=1e-5)
+
+
+def test_forward_matches_numpy_oracle():
+    """The jitted two-stage MLP equals a literal numpy forward
+    implementing the published BUT recipe (sigmoid hiddens, linear
+    bottlenecks, 5-offset stagger stacking, W4 unused)."""
+    proc = BottleneckProcessor(weights='FisherMono')
+    params = {k: np.asarray(v) for k, v in proc._get_weights().items()
+              if k != 'context'}
+    rng = np.random.RandomState(3)
+    x = rng.randn(64, 144).astype(np.float32)
+
+    def sigmoid(v):
+        return 1.0 / (1.0 + np.exp(-v))
+
+    y = (x + params['input_mean']) * params['input_std']
+    y = sigmoid(y @ params['W1'] + params['b1'])
+    y = sigmoid(y @ params['W2'] + params['b2'])
+    y = y @ params['W3'] + params['b3']
+    stacked = np.hstack(
+        [y[0:-20], y[5:-15], y[10:-10], y[15:-5], y[20:]])
+    z = (stacked + params['bn_mean']) * params['bn_std']
+    z = sigmoid(z @ params['W5'] + params['b5'])
+    z = sigmoid(z @ params['W6'] + params['b6'])
+    z = sigmoid(z @ params['W7'] + params['b7'])
+    z = z @ params['W8'] + params['b8']
+
+    import jax.numpy as jnp
+    ours = np.asarray(bn.stacked_bn_forward(
+        {k: jnp.asarray(v) for k, v in params.items()},
+        jnp.asarray(x)))
+    assert ours.shape == z.shape == (44, 80)
+    assert np.max(np.abs(ours - z)) < 1e-4
 
 
 def test_process_all_batched(wav_file, synthetic_weights):

@@ -212,6 +212,35 @@ def test_golden_real_pitch(real_audio, golden_real):
     assert np.max(np.abs(post.data - golden_real['pitch_post'])) < 1e-3
 
 
+# --- bottleneck vs the committed BUT golden ----------------------------
+
+def test_bottleneck_golden_parses(bottleneck_original):
+    # the golden written by the original BUT extractor on test.8k.wav
+    assert bottleneck_original.shape == (140, 80)
+    assert np.all(np.isfinite(bottleneck_original))
+
+
+def test_bottleneck_golden(real_audio_8k, bottleneck_original):
+    """Bit-level replication of the original BUT extractor, exactly as
+    the reference asserts it (test/processor/test_bottleneck.py:80).
+    Runs when the real FisherMono/BabelMulti npz weights are installed
+    in shennong_tpu/share/bottleneck/ (they cannot be redistributed
+    in-repo); see BottleneckProcessor.available_weights.
+    """
+    from shennong_tpu.processor.bottleneck import BottleneckProcessor
+    try:
+        weights = BottleneckProcessor.available_weights()
+    except RuntimeError:
+        weights = {}
+    if 'FisherMono' not in weights:
+        pytest.skip('real FisherMono BUT weights not installed')
+
+    feat = BottleneckProcessor(weights='FisherMono').process(
+        real_audio_8k)
+    assert feat.shape == bottleneck_original.shape
+    assert bottleneck_original == pytest.approx(feat.data, abs=2e-2)
+
+
 # --- full pipeline contract (reference test_pipeline.py:388-412) ------
 
 def test_pipeline_full_real(
