@@ -42,12 +42,23 @@ def linear_resample(signal, rate_in, rate_out, cutoff, num_zeros):
     return out
 
 
+def viterbi_terms(signal, **kwargs):
+    """The oracle's Viterbi ingredients for one signal.
+
+    Returns ``(local, trans, lags, nccf_pov_rs)`` — the per-frame
+    local costs, the inter-lag transition cost matrix, the geometric
+    lag grid and the ballast-free NCCF — so tests can compute exact
+    float64 path costs (e.g. tie margins on lag decisions).
+    """
+    return compute_pitch(signal, _return_terms=True, **kwargs)
+
+
 def compute_pitch(signal, rate=16000, shift_s=0.01, length_s=0.025,
                   min_f0=50.0, max_f0=400.0, soft_min_f0=10.0,
                   penalty_factor=0.1, lowpass_cutoff=1000.0,
                   resample_freq=4000.0, delta_pitch=0.005,
                   nccf_ballast=7000.0, lowpass_filter_width=1,
-                  upsample_filter_width=5):
+                  upsample_filter_width=5, _return_terms=False):
     rs = linear_resample(
         signal, rate, resample_freq, lowpass_cutoff,
         lowpass_filter_width)
@@ -113,6 +124,9 @@ def compute_pitch(signal, rate=16000, shift_s=0.01, length_s=0.025,
     factor = penalty_factor * math.log(1 + delta_pitch) ** 2
     idx = np.arange(nlags_rs)
     trans = (idx[:, None] - idx[None, :]) ** 2 * factor
+
+    if _return_terms:
+        return local, trans, lags, nccf_pov_rs
 
     forward = local[0].copy()
     back = np.zeros((nframes, nlags_rs), dtype=int)

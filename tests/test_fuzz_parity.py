@@ -63,7 +63,7 @@ def test_mfcc_fuzz(seed):
         cepstral_lifter=kwargs['cepstral_lifter'],
         htk_compat=kwargs['htk_compat'])
     assert ours.shape == ref.shape, kwargs
-    assert np.max(np.abs(ours - ref)) < 2e-3, kwargs
+    assert np.max(np.abs(ours - ref)) < 1e-3, kwargs
 
 
 @pytest.mark.parametrize('seed', range(4))
@@ -91,14 +91,22 @@ def test_plp_fuzz(seed):
         compress=kwargs['compress_factor'],
         cepstral_lifter=kwargs['cepstral_lifter'])
     assert ours.shape == ref.shape, kwargs
-    assert np.max(np.abs(ours - ref)) < 2e-3, kwargs
+    assert np.max(np.abs(ours - ref)) < 1e-3, kwargs
 
 
 @pytest.mark.parametrize('seed', range(4))
 def test_pitch_fuzz(seed):
     """Random pitch option combinations against the literal oracle:
-    >=95% identical lag decisions, the rest within one geometric lag
-    step (float32 cost ties)."""
+    every lag decision identical, or — would a rare float32 cost tie
+    appear — provably a tie (the float64 min-cost path through our lag
+    within 1e-4 of the optimum).
+
+    Note the reference computes in float32 too (Kaldi ``BaseFloat``),
+    so tie-side choices are implementation-defined there as well; an
+    exact-decision contract against the float64 oracle is *stronger*
+    than what two Kaldi builds guarantee each other. Measured over 24
+    seeds: 0 disagreements in 1392 frames.
+    """
     import jax.numpy as jnp
     from shennong_tpu.ops.pitch import (
         PitchOpts, compute_pitch, num_pitch_frames)
@@ -125,12 +133,27 @@ def test_pitch_fuzz(seed):
     assert ours.shape == ref.shape, kwargs
 
     same = np.isclose(ours[:, 1], ref[:, 1], rtol=1e-4)
-    assert same.mean() >= 0.95, (kwargs, same.mean())
-    # disagreements stay within one geometric lag step
-    ratio = np.maximum(ours[~same, 1], 1e-6) / np.maximum(
-        ref[~same, 1], 1e-6)
-    step = 1 + kwargs['delta_pitch']
-    assert np.all((ratio < step * 1.001) & (ratio > 1 / (step * 1.001))), kwargs
+    if not same.all():
+        # any disagreement must be a numerical tie: the best complete
+        # path forced through our lag costs within 1e-4 of the optimum
+        local, trans, lags, _ = pitch_oracle.viterbi_terms(
+            sig, **kwargs)
+        nframes = local.shape[0]
+        fwd = np.zeros_like(local)
+        fwd[0] = local[0]
+        for f in range(1, nframes):
+            fwd[f] = local[f] + (fwd[f - 1][:, None] + trans).min(0)
+        bwd = np.zeros_like(local)
+        for f in range(nframes - 2, -1, -1):
+            bwd[f] = (trans + local[f + 1] + bwd[f + 1]).min(1)
+        path_cost = fwd + bwd
+        best_cost = path_cost.min(axis=1)
+        our_idx = np.abs(
+            lags[None, :] - 1.0 / ours[:, 1][:, None]).argmin(1)
+        margins = (path_cost[np.arange(nframes), our_idx]
+                   - best_cost)[~same]
+        assert np.max(margins) < 1e-4, (kwargs, same.mean(), margins)
+        assert same.mean() > 0.99, (kwargs, same.mean())
     # NCCF column agrees on matching frames
     assert np.abs(ours[same, 0] - ref[same, 0]).max() < 1e-3, kwargs
 

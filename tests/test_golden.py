@@ -39,16 +39,9 @@ def test_spectral_golden(audio, golden):
 def test_pitch_golden(audio, golden):
     pitch = KaldiPitchProcessor().process(audio)
     assert pitch.shape == golden['pitch'].shape
-    # lag decisions are stable up to one geometric step on cost ties
-    rel = np.abs(np.log(pitch.data[:, 1] / golden['pitch'][:, 1]))
-    assert np.max(rel) < np.log(1.005) * 1.5
-    same = np.isclose(pitch.data[:, 1], golden['pitch'][:, 1], rtol=1e-4)
-    assert same.mean() > 0.95
-    assert np.max(np.abs(
-        pitch.data[same, 0] - golden['pitch'][same, 0])) < 1e-3
+    assert np.max(np.abs(pitch.data - golden['pitch'])) < 1e-3
 
     post = KaldiPitchPostProcessor(
         delta_pitch_noise_stddev=0).process(pitch)
     assert post.shape == golden['pitch_post'].shape
-    assert np.max(np.abs(
-        post.data[same] - golden['pitch_post'][same])) < 0.02
+    assert np.max(np.abs(post.data - golden['pitch_post'])) < 1e-3
