@@ -6,10 +6,12 @@ commented YAML string), run it with :func:`extract_features`.
 
 Execution model difference versus the reference: where the reference
 fans per-utterance jobs out to joblib threads (the Kaldi C++ releases
-the GIL), here each utterance runs through jitted batched XLA
-computations on the accelerator; the two CMVN passes of the reference
-become two sequential device phases with the (associative) CMVN
-statistics reduced between them.
+the GIL), here both passes run as whole-collection batched device
+programs — pass 1 extracts features/pitch/VAD in padded length
+buckets, the (associative) CMVN statistics are reduced between the
+passes, and pass 2 applies CMVN as a host affine and the deltas as one
+masked device program per frame bucket (O(buckets) dispatches per
+stage, not O(utterances)).
 """
 
 import os
@@ -18,7 +20,7 @@ import textwrap
 import numpy as np
 import yaml
 
-from shennong_tpu import FeaturesCollection
+from shennong_tpu import Features, FeaturesCollection
 from shennong_tpu.logger import get_logger
 from shennong_tpu.utils import get_njobs
 from shennong_tpu.pipeline_manager import PipelineManager
@@ -348,10 +350,7 @@ def _extract_features(config, utterances, warps, log, njobs=1):
             _extract_pass_one(utterance, manager, log=log)
             for utterance in utterances]
 
-    features = FeaturesCollection(dict(
-        _extract_pass_two(utterance, manager, feats, pitch, log=log)
-        for utterance, feats, pitch in pass_one))
-    return features
+    return _batched_pass_two(manager, pass_one, log)
 
 
 def _batched_pass_one(manager, utterances, log, njobs):
@@ -478,6 +477,83 @@ def _extract_pass_one(utterance, manager, log):
     features.properties['audio']['duration'] = utterance.duration
 
     return utterance, features, pitch
+
+
+def _batched_pass_two(manager, triplets, log, tolerance=2):
+    """Pass 2 over the whole collection: CMVN apply (a host-side
+    affine, no device work), deltas as one device program per frame
+    bucket instead of one per utterance, pitch concatenation host-side.
+
+    Replaces the reference's second joblib pool
+    (``shennong/pipeline.py:552-567``); outputs are identical to the
+    per-utterance :func:`_extract_pass_two`.
+    """
+    config = manager.config
+
+    staged = []
+    for utterance, features, pitch in triplets:
+        if 'cmvn' in config:
+            log.debug('%s: apply cmvn', utterance.name)
+            features = manager.get_cmvn_processor(
+                utterance).process(features)
+        staged.append((utterance, features, pitch))
+
+    if 'delta' in config:
+        log.debug('batched delta over %d utterances', len(staged))
+        delta_proc = manager.get_delta_processor(None)
+        outputs = _batched_deltas(
+            [features.data for _, features, _ in staged], delta_proc)
+        staged = [
+            (utterance,
+             Features(out.astype(features.dtype), features.times,
+                      delta_proc.get_properties(features)),
+             pitch)
+            for (utterance, features, pitch), out in zip(staged, outputs)]
+
+    collection = FeaturesCollection()
+    for utterance, features, pitch in staged:
+        if pitch:
+            log.debug('%s: concatenate pitch', utterance.name)
+            features = features.concatenate(
+                pitch, tolerance=tolerance, log=log)
+        collection[utterance.name] = features
+    return collection
+
+
+def _batched_deltas(arrays, proc, batch_rows=16):
+    """Delta features of many [T_i, D] matrices, O(buckets) device
+    programs: utterances are grouped by (frame bucket, dim), stacked
+    into fixed-width masked batches and run through the batched delta
+    kernel. Returns the per-utterance outputs in order."""
+    import jax.numpy as jnp
+
+    from shennong_tpu.ops import postops
+    from shennong_tpu.ops.framing import bucket_size
+
+    groups = {}
+    for index, data in enumerate(arrays):
+        key = (bucket_size(data.shape[0], minimum=128), data.shape[1])
+        groups.setdefault(key, []).append(index)
+
+    outputs = [None] * len(arrays)
+    for (bucket, dim), indices in sorted(groups.items()):
+        for start in range(0, len(indices), batch_rows):
+            chunk = indices[start:start + batch_rows]
+            # fixed batch width so the jit cache is keyed by O(log T)
+            # shapes; padding rows carry one zero frame and are dropped
+            rows = batch_rows if len(indices) > batch_rows else len(chunk)
+            stacked = np.zeros((rows, bucket, dim), dtype=np.float32)
+            nframes = np.ones(rows, dtype=np.int32)
+            for row, index in enumerate(chunk):
+                data = arrays[index]
+                stacked[row, :data.shape[0]] = data
+                nframes[row] = data.shape[0]
+            out = np.asarray(postops.compute_deltas(
+                jnp.asarray(stacked), jnp.asarray(nframes),
+                order=proc.order, window=proc.window))
+            for row, index in enumerate(chunk):
+                outputs[index] = out[row, :arrays[index].shape[0]]
+    return outputs
 
 
 def _extract_pass_two(utterance, manager, features, pitch, log,

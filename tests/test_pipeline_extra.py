@@ -88,3 +88,61 @@ def test_bottleneck_pipeline(utterances, tmp_path_factory):
     finally:
         bn_module._SHARE_DIR = old
         BottleneckProcessor._loaded_weights.clear()
+
+
+def test_batched_pass_two_matches_sequential(wav_file):
+    """The batched pass 2 (host CMVN affine + one delta program per
+    bucket) produces exactly the per-utterance results, over enough
+    ragged utterances to cross the fixed batch width."""
+    from shennong_tpu import pipeline
+    from shennong_tpu.postprocessor.delta import DeltaPostProcessor
+
+    rng = np.random.RandomState(0)
+    proc = DeltaPostProcessor()
+    arrays = [
+        rng.randn(int(n), 13).astype(np.float32)
+        for n in rng.randint(5, 400, size=40)]
+    batched = pipeline._batched_deltas(arrays, proc)
+    from shennong_tpu import Features
+    for data, out in zip(arrays, batched):
+        single = proc.process(
+            Features(data, np.arange(data.shape[0], dtype=float)))
+        assert out.shape == single.data.shape
+        # XLA fuses differently at different batch shapes: up to one
+        # float32 ulp of drift between B=1 and B=16 programs
+        assert np.allclose(out, single.data, atol=1e-6)
+
+
+def test_pipeline_pass_two_end_to_end(wav_file):
+    """Full pipeline with cmvn+delta+pitch through the batched pass 2
+    equals composing the stages per utterance by hand."""
+    import warnings
+    from shennong_tpu import pipeline
+
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        utts = Utterances([
+            ('u%d' % i, wav_file, 'spk%d' % (i % 2), 0.0, 0.3 + 0.1 * i)
+            for i in range(8)])
+    config = get_default_config(
+        'mfcc', with_cmvn=True, with_delta=True, with_pitch='kaldi')
+    config['mfcc']['dither'] = 0
+    config['cmvn']['with_vad'] = False
+    config['pitch']['postprocessing']['delta_pitch_noise_stddev'] = 0
+
+    feats = extract_features(config, utts)
+
+    # rebuild one utterance by hand from the same pass-1 state
+    manager = pipeline.PipelineManager(
+        pipeline.init_config(config), utts,
+        log=pipeline.get_logger('t', 'warning'))
+    triplets = pipeline._batched_pass_one(
+        manager, utts, pipeline.get_logger('t', 'warning'), 1)
+    by_hand = dict(
+        pipeline._extract_pass_two(
+            utt, manager, f, p, log=pipeline.get_logger('t', 'warning'))
+        for utt, f, p in triplets)
+    for name in feats:
+        assert feats[name].shape == by_hand[name].shape
+        assert np.allclose(
+            feats[name].data, by_hand[name].data, atol=1e-6), name
