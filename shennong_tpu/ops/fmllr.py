@@ -8,7 +8,144 @@ products; the per-class objective evaluation solves the offset-only or
 diagonal fMLLR problems in closed form.
 """
 
+import functools
+
+import jax
+import jax.numpy as jnp
 import numpy as np
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('opts', 'nframes_max', 'delta_order',
+                     'delta_window'))
+def warp_class_mapping_moments(signals, nsamples, nframes, mel_weights,
+                               weights, opts, nframes_max,
+                               delta_order=None, delta_window=None,
+                               key=None):
+    """Weighted first/second moments of every warp class, fused.
+
+    One program computes the warped MFCC(+delta) features of a signal
+    batch for all C classes plus the unwarped reference (framing and
+    DFT shared, ``mel_weights[C]`` must be the unwarped bank), then
+    reduces them against the frame-selection ``weights`` [B, T] (VAD
+    and subsampling mask) — the features themselves never reach the
+    host (the round-1 path fetched [C, B, T, D] feature tensors and
+    re-uploaded them for deltas).
+
+    The second moments are *centered at the batch means* so the
+    float32 accumulation stays well conditioned (raw normal equations
+    lose ~1e-2 of the transform to cancellation);
+    :func:`solve_mapping_from_moments` merges batches exactly in
+    float64.
+
+    Returns (beta, mu_x [D], mu_y [C, D], Cxx [D, D], Cyx [C, D, D]).
+    """
+    from shennong_tpu.ops import postops, spectral
+
+    feats = spectral.mfcc_multi_warp_batch(
+        signals, nsamples, mel_weights, opts, nframes_max, key=key)
+    nclasses1, bsz, maxframes, dim = feats.shape
+
+    if delta_order is not None:
+        flat = feats.reshape(nclasses1 * bsz, maxframes, dim)
+        tiled = jnp.tile(nframes, nclasses1)
+        flat = postops.compute_deltas(
+            flat, tiled, order=delta_order, window=delta_window)
+        feats = flat.reshape(nclasses1, bsz, maxframes, -1)
+
+    x = feats[-1]        # [B, T, D] unwarped
+    y = feats[:-1]       # [C, B, T, D] warped
+
+    kwargs = dict(
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    beta = jnp.sum(weights)
+    mu_x = jnp.einsum('bt,btd->d', weights, x, **kwargs) / beta
+    mu_y = jnp.einsum('bt,cbtd->cd', weights, y, **kwargs) / beta
+
+    xc = x - mu_x
+    yc = y - mu_y[:, None, None, :]
+    wxc = xc * weights[:, :, None]
+    Cxx = jnp.einsum('btd,bte->de', wxc, xc, **kwargs)
+    Cyx = jnp.einsum('cbtd,bte->cde', yc, wxc, **kwargs)
+    return beta, mu_x, mu_y, Cxx, Cyx
+
+
+def solve_mapping_from_moments(moments):
+    """Merge per-batch centered moments and solve every warp class.
+
+    ``moments`` is a list of the tuples returned by
+    :func:`warp_class_mapping_moments` (numpy, any dtype — merged in
+    float64 with the standard parallel-covariance corrections).
+    Returns the [C, D, D] transforms with the same per-dimension
+    variance normalization as :func:`compute_mapping_transform` (the
+    centered reformulation yields the identical least-squares
+    solution).
+    """
+    moments = [
+        tuple(np.asarray(m, dtype=np.float64) for m in batch)
+        for batch in moments]
+    beta = sum(m[0] for m in moments)
+    mu_x = sum(m[0] * m[1] for m in moments) / beta
+    mu_y = sum(m[0] * m[2] for m in moments) / beta
+
+    nclasses, dim = moments[0][2].shape
+    Cxx = np.zeros((dim, dim))
+    Cyx = np.zeros((nclasses, dim, dim))
+    for beta_b, mu_x_b, mu_y_b, Cxx_b, Cyx_b in moments:
+        dx = mu_x_b - mu_x
+        Cxx += Cxx_b + beta_b * np.outer(dx, dx)
+        Cyx += Cyx_b + beta_b * np.einsum(
+            'cd,e->cde', mu_y_b - mu_y, dx)
+
+    Cxx_inv = np.linalg.inv(Cxx)
+    transforms = np.zeros((nclasses, dim, dim))
+    x_var = np.diag(Cxx) / beta
+    for c in range(nclasses):
+        A = Cyx[c] @ Cxx_inv
+        y_var = np.einsum('de,ef,df->d', A, Cxx, A) / beta
+        transforms[c] = A * np.sqrt(x_var / y_var)[:, None]
+    return transforms
+
+
+@functools.partial(jax.jit, static_argnames=('num_groups',))
+def fmllr_stats_groups(feats, post_idx, post_val, groups, means,
+                       inv_vars, num_groups):
+    """fMLLR statistics of many speakers in one device program.
+
+    ``feats`` [N, D] are concatenated frames, ``post_idx``/``post_val``
+    [N, k] the preselected posteriors, ``groups`` [N] the speaker index
+    per frame. The per-frame accumulation loops of Kaldi
+    ``FmllrDiagGmmAccs`` become three einsums with a group one-hot;
+    the [S]-indexed outputs are associative (psum-able across devices).
+
+    Returns (beta [S], K [S, D, D+1], G [S, D, D+1, D+1]). Callers
+    chunk the frame axis (the xplus Gram intermediate is
+    N x (D+1)^2) and sum chunks in float64.
+    """
+    n, dim = feats.shape
+    xplus = jnp.concatenate(
+        [feats, jnp.ones((n, 1), feats.dtype)], axis=1)
+    sel_means = means[post_idx]          # [N, k, D]
+    sel_inv = inv_vars[post_idx]
+    kwargs = dict(
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    weighted_mean = jnp.einsum(
+        'nk,nkd->nd', post_val, sel_means * sel_inv, **kwargs)
+    weighted_inv = jnp.einsum('nk,nkd->nd', post_val, sel_inv, **kwargs)
+
+    onehot = jax.nn.one_hot(groups, num_groups, dtype=feats.dtype)
+    beta = jnp.einsum('ns,nk->s', onehot, post_val, **kwargs)
+    K = jnp.einsum('ns,nd,ne->sde', onehot, weighted_mean, xplus,
+                   **kwargs)
+    xx = jnp.einsum('ne,nf->nef', xplus, xplus).reshape(n, -1)
+    G = jnp.einsum(
+        'nq,ng->qg',
+        (onehot[:, :, None] * weighted_inv[:, None, :]).reshape(n, -1),
+        xx, **kwargs).reshape(num_groups, dim, dim + 1, dim + 1)
+    return beta, K, G
 
 
 class FmllrStats:

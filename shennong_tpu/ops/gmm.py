@@ -105,6 +105,43 @@ def accumulate_stats(feats, frame_weights, weights, means, inv_vars):
     return tot_like, occupancy, mean_acc, var_acc
 
 
+@functools.partial(
+    jax.jit, static_argnames=(
+        'min_gaussian_weight', 'min_gaussian_occupancy', 'min_variance'))
+def em_step(feats, frame_weights, weights, means, inv_vars,
+            min_gaussian_weight=1e-4, min_gaussian_occupancy=10.0,
+            min_variance=0.001):
+    """One full EM iteration on device: accumulate + MLE update.
+
+    The training loops keep the data and the model device-resident and
+    dispatch one program per iteration instead of one accumulation per
+    utterance plus a host-side update (the round-1 UBM trainer's
+    bottleneck was exactly those per-utterance round trips). Floored
+    components keep their previous parameters, like
+    :func:`mle_update` (component removal, which changes shapes, stays
+    host-side on the final iteration).
+
+    Returns (tot_like, new_weights, new_means, new_inv_vars).
+    """
+    tot_like, occupancy, mean_acc, var_acc = accumulate_stats(
+        feats, frame_weights, weights, means, inv_vars)
+
+    total = jnp.sum(occupancy)
+    updatable = (
+        (occupancy > min_gaussian_occupancy)
+        & (occupancy / jnp.maximum(total, 1e-10) > min_gaussian_weight))
+
+    new_weights = jnp.where(updatable, occupancy / total, weights)
+    new_weights = new_weights / jnp.sum(new_weights)
+    safe_occ = jnp.maximum(occupancy, 1e-10)[:, None]
+    new_means = jnp.where(
+        updatable[:, None], mean_acc / safe_occ, means)
+    variances = var_acc / safe_occ - (mean_acc / safe_occ) ** 2
+    variances = jnp.maximum(variances, min_variance)
+    new_inv = jnp.where(updatable[:, None], 1.0 / variances, inv_vars)
+    return tot_like, new_weights, new_means, new_inv
+
+
 def mle_update(occupancy, mean_acc, var_acc, weights, means, inv_vars,
                min_gaussian_weight=1e-4, min_gaussian_occupancy=10.0,
                min_variance=0.001, remove_low_count_gaussians=False):

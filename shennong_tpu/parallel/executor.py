@@ -112,8 +112,10 @@ class BatchExecutor:
 
         for names, signals, nsamples, nvalid in batching.make_batches(
                 items, self.batch_size, self._pad_multiple()):
-            feats = self._run_batch(
-                names, signals, nsamples, vtln_warp)
+            # one host fetch for the whole batch: per-row slicing
+            # would pay one relay round trip per utterance
+            feats = np.asarray(self._run_batch(
+                names, signals, nsamples, vtln_warp))
             for row, utt_name in enumerate(names):
                 if name == 'pitch':
                     nframes = pitch_ops.num_pitch_frames(
@@ -121,7 +123,7 @@ class BatchExecutor:
                 else:
                     nframes = num_frames(
                         int(nsamples[row]), proc.frame_options())
-                data = np.asarray(feats[row, :nframes])
+                data = feats[row, :nframes]
                 if name == 'energy':
                     data = data.astype(np.float64)[:, None]
                 properties = (
@@ -176,6 +178,60 @@ class BatchExecutor:
                         proc.times(nframes),
                         properties=proc.get_properties(vtln_warp=warp))
         return collections
+
+    def accumulate_lvtln_stats(self, utterances, class_warps, keep,
+                               delta_order=None, delta_window=None,
+                               njobs=4):
+        """LS mapping statistics for every VTLN warp class, fused.
+
+        ``keep`` maps utterance names to per-frame float weights (the
+        VAD-and-subsample selection). The per-class features are never
+        materialized on the host: each signal batch runs one device
+        program producing centered weighted moments
+        (:func:`shennong_tpu.ops.fmllr.warp_class_mapping_moments`).
+
+        Returns the list of per-batch moment tuples for
+        :func:`shennong_tpu.ops.fmllr.solve_mapping_from_moments`.
+        """
+        import jax.numpy as jnp
+
+        from shennong_tpu.ops import fmllr as fmllr_ops
+
+        proc = self.processor
+        if proc.name != 'mfcc':
+            raise ValueError(
+                'LVTLN statistics require an MFCC processor, '
+                f'got {proc.name}')
+
+        mel_weights = np.stack(
+            [proc.mel_weights(w) for w in class_warps]
+            + [proc.mel_weights(1.0)])
+
+        moments = []
+        items = batching.load_signals(utterances, njobs=njobs)
+        for names, signals, nsamples, nvalid in batching.make_batches(
+                items, self.batch_size, self._pad_multiple()):
+            frame_opts = proc.frame_options()
+            nframes_max = num_frames(signals.shape[1], frame_opts)
+            nframes = np.ones(signals.shape[0], dtype=np.int32)
+            weights = np.zeros(
+                (signals.shape[0], nframes_max), dtype=np.float32)
+            for row, name in enumerate(names):
+                count = num_frames(int(nsamples[row]), frame_opts)
+                nframes[row] = count
+                weights[row, :count] = keep[name][:count]
+            key = None
+            if frame_opts.dither != 0:
+                from shennong_tpu.processor.base import _fresh_key
+                key = _fresh_key()
+            out = fmllr_ops.warp_class_mapping_moments(
+                signals, jnp.asarray(nsamples), jnp.asarray(nframes),
+                jnp.asarray(mel_weights), jnp.asarray(weights),
+                proc.options(), nframes_max,
+                delta_order=delta_order, delta_window=delta_window,
+                key=key)
+            moments.append(tuple(np.asarray(o) for o in out))
+        return moments
 
     def _run_batch(self, names, signals, nsamples, vtln_warp):
         proc = self.processor

@@ -219,18 +219,65 @@ def extract_features_warp_classes(
         collections = BatchExecutor(proc).process_all_classes(
             utterances, [float(w) for w in class_warps], njobs=njobs)
         if 'delta' in config:
+            # one flat batched delta pass over all (class, utterance)
+            # matrices — a per-item loop would pay 41 x n_utterances
+            # device dispatches
             delta = manager.get_delta_processor(None)
-            collections = [
-                FeaturesCollection({
-                    name: delta.process(feats)
-                    for name, feats in collection.items()})
-                for collection in collections]
+            keys = [
+                (c, name) for c, collection in enumerate(collections)
+                for name in collection.keys()]
+            arrays = [collections[c][name].data for c, name in keys]
+            outputs = _batched_deltas(arrays, delta, batch_rows=64)
+            for (c, name), out in zip(keys, outputs):
+                feats = collections[c][name]
+                collections[c][name] = Features(
+                    out.astype(feats.dtype), feats.times,
+                    delta.get_properties(feats))
         return collections
 
     return [
         extract_features_warp(
             configuration, utterances, warp, log, njobs=njobs)
         for warp in class_warps]
+
+
+def accumulate_warp_mapping_stats(
+        configuration, utterances, class_warps, keep, log, njobs=1):
+    """Fused LS statistics for the LVTLN base-transform training.
+
+    Instead of materializing 41 warped feature collections
+    (:func:`extract_features_warp_classes`), accumulate the per-class
+    centered least-squares moments directly on device — the warped
+    features never reach the host. ``keep`` maps utterance names to
+    per-frame selection weights (VAD + subsampling).
+
+    Returns the per-batch moments list for
+    :func:`shennong_tpu.ops.fmllr.solve_mapping_from_moments`, or
+    None when the configuration is not a plain single-rate MFCC setup
+    (the caller then falls back to the per-collection path).
+    """
+    from shennong_tpu.parallel.executor import BatchExecutor
+
+    njobs = get_njobs(njobs, log=log)
+    config = init_config(configuration, log=log)
+    manager = PipelineManager(config, utterances, log=log)
+
+    utterances = list(utterances)
+    rates = set(
+        meta.sample_rate for meta in manager.audio_metadata.values())
+    if manager.features != 'mfcc' or len(rates) != 1:
+        return None
+
+    proc = manager.get_features_processor(utterances[0])
+    delta_order = delta_window = None
+    if 'delta' in config:
+        delta_proc = manager.get_delta_processor(None)
+        delta_order = delta_proc.order
+        delta_window = delta_proc.window
+    return BatchExecutor(proc).accumulate_lvtln_stats(
+        utterances, [float(w) for w in class_warps], keep,
+        delta_order=delta_order, delta_window=delta_window,
+        njobs=njobs)
 
 
 def init_config(config, log=get_logger('pipeline', 'warning')):
@@ -385,10 +432,10 @@ def _batched_pass_one(manager, utterances, log, njobs):
         energies = BatchExecutor(
             manager.get_energy_processor(first)).process_all(
                 utterances, njobs=njobs)
-        vad_proc = manager.get_vad_processor(first)
         vads = {
-            name: vad_proc.process(energy).data.reshape(-1)
-            for name, energy in energies.items()}
+            name: vad.data.reshape(-1)
+            for name, vad in manager.get_vad_processor(
+                first).process_all(energies).items()}
     else:
         vads = None
 
@@ -525,34 +572,15 @@ def _batched_deltas(arrays, proc, batch_rows=16):
     programs: utterances are grouped by (frame bucket, dim), stacked
     into fixed-width masked batches and run through the batched delta
     kernel. Returns the per-utterance outputs in order."""
-    import jax.numpy as jnp
-
     from shennong_tpu.ops import postops
-    from shennong_tpu.ops.framing import bucket_size
-
-    groups = {}
-    for index, data in enumerate(arrays):
-        key = (bucket_size(data.shape[0], minimum=128), data.shape[1])
-        groups.setdefault(key, []).append(index)
 
     outputs = [None] * len(arrays)
-    for (bucket, dim), indices in sorted(groups.items()):
-        for start in range(0, len(indices), batch_rows):
-            chunk = indices[start:start + batch_rows]
-            # fixed batch width so the jit cache is keyed by O(log T)
-            # shapes; padding rows carry one zero frame and are dropped
-            rows = batch_rows if len(indices) > batch_rows else len(chunk)
-            stacked = np.zeros((rows, bucket, dim), dtype=np.float32)
-            nframes = np.ones(rows, dtype=np.int32)
-            for row, index in enumerate(chunk):
-                data = arrays[index]
-                stacked[row, :data.shape[0]] = data
-                nframes[row] = data.shape[0]
-            out = np.asarray(postops.compute_deltas(
-                jnp.asarray(stacked), jnp.asarray(nframes),
-                order=proc.order, window=proc.window))
-            for row, index in enumerate(chunk):
-                outputs[index] = out[row, :arrays[index].shape[0]]
+    for chunk, stacked, nframes in postops.batch_ragged(
+            arrays, batch_rows=batch_rows):
+        out = np.asarray(postops.compute_deltas(
+            stacked, nframes, order=proc.order, window=proc.window))
+        for row, index in enumerate(chunk):
+            outputs[index] = out[row, :arrays[index].shape[0]]
     return outputs
 
 

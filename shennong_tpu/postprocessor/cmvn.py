@@ -276,3 +276,28 @@ class SlidingWindowCmvnPostProcessor(FeaturesPostProcessor):
             np.asarray(out[0, :features.nframes]).astype(features.dtype),
             features.times,
             self.get_properties(features))
+
+    def process_all(self, features_collection, njobs=None):
+        """Sliding-window normalization of a whole collection.
+
+        Utterances are grouped into padded masked batches: O(buckets)
+        device programs instead of one per utterance. Returns a
+        FeaturesCollection keyed like the input.
+        """
+        names = list(features_collection.keys())
+        arrays = [features_collection[n].data for n in names]
+        out = FeaturesCollection()
+        for chunk, stacked, nframes in postops.batch_ragged(arrays):
+            normed = np.asarray(postops.sliding_window_cmvn(
+                stacked, nframes,
+                center=self._center, cmn_window=self._cmn_window,
+                min_window=self._min_window,
+                normalize_variance=self._normalize_variance))
+            for row, index in enumerate(chunk):
+                features = features_collection[names[index]]
+                out[names[index]] = Features(
+                    normed[row, :features.nframes].astype(
+                        features.dtype),
+                    features.times,
+                    self.get_properties(features))
+        return out

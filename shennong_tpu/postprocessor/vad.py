@@ -115,3 +115,31 @@ class VadPostProcessor(FeaturesPostProcessor):
             np.asarray(
                 vad[0, :features.nframes], dtype=np.uint8)[:, None],
             features.times, properties=self.get_properties(features))
+
+    def process_all(self, features_collection, njobs=None):
+        """Voicing decisions for a whole collection.
+
+        Utterances are grouped into padded masked batches: O(buckets)
+        device programs instead of one per utterance. Returns a
+        FeaturesCollection keyed like the input.
+        """
+        from shennong_tpu import FeaturesCollection
+
+        names = list(features_collection.keys())
+        arrays = [features_collection[n].data[:, :1] for n in names]
+        out = FeaturesCollection()
+        for chunk, stacked, nframes in postops.batch_ragged(arrays):
+            vad = np.asarray(postops.compute_vad_energy(
+                stacked[:, :, 0], nframes,
+                energy_threshold=self._energy_threshold,
+                energy_mean_scale=self._energy_mean_scale,
+                frames_context=self._frames_context,
+                proportion_threshold=self._proportion_threshold))
+            for row, index in enumerate(chunk):
+                features = features_collection[names[index]]
+                out[names[index]] = Features(
+                    vad[row, :features.nframes].astype(
+                        np.uint8)[:, None],
+                    features.times,
+                    properties=self.get_properties(features))
+        return out

@@ -291,33 +291,39 @@ class DiagUbmProcessor(BaseProcessor):
                 'Number of gaussians %s is too low', self.num_gauss)
             gauss_inc = 1
 
+        # the data and the model stay device-resident across the EM
+        # iterations: one em_step program per iteration, host fetches
+        # only around the shape-changing splits
+        feats_dev = jnp.asarray(feats, dtype=jnp.float32)
+        ones_dev = jnp.ones(feats.shape[0], dtype=jnp.float32)
+        params = self.gmm.as_jax()
         for i in range(self.num_iters_init):
-            self.log.debug('Iteration %s', i)
-            weights, means, inv_vars = self.gmm.as_jax()
-            tot_like, occ, mean_acc, var_acc = gmm_ops.accumulate_stats(
-                jnp.asarray(feats, dtype=jnp.float32),
-                jnp.ones(feats.shape[0], dtype=jnp.float32),
-                weights, means, inv_vars)
-            self.log.debug(
-                'Likelihood per frame: %s over %s frames',
-                float(tot_like) / feats.shape[0], feats.shape[0])
-
-            new = gmm_ops.mle_update(
-                occ, mean_acc, var_acc, self.gmm.weights,
-                self.gmm.means, self.gmm.inv_vars,
-                min_gaussian_weight=self._min_gaussian_weight,
-                remove_low_count_gaussians=False)
-            self.gmm = DiagGmm(*new)
+            if self.log.isEnabledFor(10):  # logging.DEBUG
+                self.log.debug('Iteration %s', i)
+            tot_like, *params = gmm_ops.em_step(
+                feats_dev, ones_dev, *params,
+                min_gaussian_weight=self._min_gaussian_weight)
+            if self.log.isEnabledFor(10):
+                self.log.debug(
+                    'Likelihood per frame: %s over %s frames',
+                    float(tot_like) / feats.shape[0], feats.shape[0])
 
             next_num_gauss = min(
                 self.num_gauss, cur_num_gauss + gauss_inc)
-            if next_num_gauss > self.gmm.num_gauss():
+            if next_num_gauss > params[0].shape[0]:
                 self.log.debug(
                     'Splitting to %s Gaussians', next_num_gauss)
-                self.gmm = DiagGmm(*gmm_ops.split_gmm(
-                    self.gmm.weights, self.gmm.means, self.gmm.inv_vars,
-                    next_num_gauss, 0.1, self._rng))
+                split = gmm_ops.split_gmm(
+                    np.asarray(params[0], dtype=np.float64),
+                    np.asarray(params[1], dtype=np.float64),
+                    np.asarray(params[2], dtype=np.float64),
+                    next_num_gauss, 0.1, self._rng)
+                params = list(DiagGmm(*split).as_jax())
                 cur_num_gauss = next_num_gauss
+        self.gmm = DiagGmm(
+            np.asarray(params[0], dtype=np.float64),
+            np.asarray(params[1], dtype=np.float64),
+            np.asarray(params[2], dtype=np.float64))
 
     def _reservoir_indices(self, num_read):
         """Frame indices kept by the reference's reservoir sampling."""
@@ -347,12 +353,35 @@ class DiagUbmProcessor(BaseProcessor):
             feats64[chosen],
             np.tile(1.0 / var, (num_gauss, 1)))
 
+    @staticmethod
+    def _flat_frames(feats_collection):
+        """Concatenate a collection on the frame axis, padded to a
+        bucket: GMM per-frame operations are independent of utterance
+        boundaries, so the whole collection runs as ONE device program
+        (padding rows carry zero weight / are sliced away).
+
+        Returns (names, counts, padded feats [N', D] float32, nrows).
+        """
+        from shennong_tpu.ops.framing import bucket_size
+
+        names = list(feats_collection.keys())
+        counts = [feats_collection[n].nframes for n in names]
+        nrows = int(sum(counts))
+        bucket = bucket_size(max(nrows, 1), minimum=128)
+        dim = feats_collection[names[0]].ndims
+        flat = np.zeros((bucket, dim), dtype=np.float32)
+        offset = 0
+        for name, count in zip(names, counts):
+            flat[offset:offset + count] = feats_collection[name].data
+            offset += count
+        return names, counts, flat, nrows
+
     def gaussian_selection(self, feats_collection):
         """Select the ``num_gselect`` best components per frame.
 
         Stores per-utterance [nframes, num_gselect] index arrays in
-        ``self.selection`` (refining a previous selection when one
-        exists, like Kaldi's preselect mode).
+        ``self.selection``; the whole collection runs as one device
+        program (frame-independent top-k).
         """
         if not isinstance(self.gmm, DiagGmm):
             raise TypeError('GMM not initialized')
@@ -369,31 +398,28 @@ class DiagUbmProcessor(BaseProcessor):
                 self.num_gselect, self.gmm.num_gauss())
             self.num_gselect = self.gmm.num_gauss()
 
-        from shennong_tpu.ops.framing import bucket_size
+        if already:
+            for utt in feats_collection.keys():
+                if utt not in self.selection:
+                    raise ValueError(
+                        f'No gselect information for utterance {utt}')
 
         weights, means, inv_vars = self.gmm.as_jax()
-        tot_like, tot_frames = 0.0, 0
-        for utt in feats_collection.keys():
-            data = feats_collection[utt].data
-            if already and utt not in self.selection:
-                raise ValueError(
-                    f'No gselect information for utterance {utt}')
-            # pad the frame axis to a bucket: one compile per bucket
-            nrows = data.shape[0]
-            bucket = bucket_size(nrows, minimum=128)
-            feats = np.zeros((bucket, data.shape[1]), dtype=np.float32)
-            feats[:nrows] = data
-            like, indices = gmm_ops.gaussian_selection(
-                jnp.asarray(feats), weights, means, inv_vars,
-                self.num_gselect)
-            self.selection[utt] = np.asarray(indices[:nrows])
-            tot_like += float(like)
-            tot_frames += nrows
+        names, counts, flat, nrows = self._flat_frames(feats_collection)
+        like, indices = gmm_ops.gaussian_selection(
+            jnp.asarray(flat), weights, means, inv_vars,
+            self.num_gselect)
+        indices = np.asarray(indices[:nrows])
+        offset = 0
+        for name, count in zip(names, counts):
+            self.selection[name] = indices[offset:offset + count]
+            offset += count
 
-        self.log.debug(
-            'Done %s utterances, mean UBM log-likelihood is %s over %s '
-            'frames', len(feats_collection),
-            tot_like / max(tot_frames, 1), tot_frames)
+        if self.log.isEnabledFor(10):  # logging.DEBUG
+            self.log.debug(
+                'Done %s utterances, mean UBM log-likelihood is %s over '
+                '%s frames', len(feats_collection),
+                float(like) / max(nrows, 1), nrows)
 
     def gaussian_selection_to_post(self, feats_collection,
                                    min_post=None):
@@ -406,52 +432,52 @@ class DiagUbmProcessor(BaseProcessor):
         if not isinstance(self.selection, dict):
             raise ValueError('Gaussian selection has not been done')
 
-        weights, means, inv_vars = self.gmm.as_jax()
-        posteriors = {}
-        tot_loglike, tot_frames = 0.0, 0
         for utt in feats_collection.keys():
             if utt not in self.selection:
                 raise ValueError(
                     f'No gselect information for utterance {utt}')
-            indices = self.selection[utt]
-            feats = feats_collection[utt].data
-            if indices.shape[0] != feats.shape[0]:
+            if (self.selection[utt].shape[0]
+                    != feats_collection[utt].nframes):
                 raise ValueError(
                     f'Input gselect utterance {utt} has wrong size '
-                    f'{indices.shape[0]} vs {feats.shape[0]}')
+                    f'{self.selection[utt].shape[0]} vs '
+                    f'{feats_collection[utt].nframes}')
 
-            from shennong_tpu.ops.framing import bucket_size
-            nrows = feats.shape[0]
-            bucket = bucket_size(nrows, minimum=128)
-            feats_pad = np.zeros(
-                (bucket, feats.shape[1]), dtype=np.float32)
-            feats_pad[:nrows] = feats
-            idx_pad = np.zeros(
-                (bucket, indices.shape[1]), dtype=np.int32)
-            idx_pad[:nrows] = indices
-            norm, post = gmm_ops.posteriors_preselect(
-                jnp.asarray(feats_pad), jnp.asarray(idx_pad),
-                weights, means, inv_vars)
-            norm = norm[:nrows]
-            post = np.asarray(post[:nrows], dtype=np.float64)
+        # one device program over the concatenated collection
+        weights, means, inv_vars = self.gmm.as_jax()
+        names, counts, flat, nrows = self._flat_frames(feats_collection)
+        num_sel = self.selection[names[0]].shape[1]
+        idx_flat = np.zeros((flat.shape[0], num_sel), dtype=np.int32)
+        offset = 0
+        for name, count in zip(names, counts):
+            idx_flat[offset:offset + count] = self.selection[name]
+            offset += count
+        norm, post_flat = gmm_ops.posteriors_preselect(
+            jnp.asarray(flat), jnp.asarray(idx_flat),
+            weights, means, inv_vars)
+        post_flat = np.asarray(post_flat[:nrows], dtype=np.float64)
 
-            if min_post is not None:
-                pruned = np.where(post < min_post, 0.0, post)
-                totals = pruned.sum(axis=1, keepdims=True)
-                # frames losing all mass keep their best component
-                best = post.argmax(axis=1)
-                empty = totals[:, 0] == 0
-                pruned[empty, best[empty]] = 1.0
-                totals = pruned.sum(axis=1, keepdims=True)
-                post = pruned / totals
+        if min_post is not None:
+            pruned = np.where(post_flat < min_post, 0.0, post_flat)
+            totals = pruned.sum(axis=1, keepdims=True)
+            # frames losing all mass keep their best component
+            best = post_flat.argmax(axis=1)
+            empty = totals[:, 0] == 0
+            pruned[empty, best[empty]] = 1.0
+            totals = pruned.sum(axis=1, keepdims=True)
+            post_flat = pruned / totals
 
-            posteriors[utt] = (indices, post)
-            tot_loglike += float(jnp.sum(norm))
-            tot_frames += feats.shape[0]
+        posteriors = {}
+        offset = 0
+        for name, count in zip(names, counts):
+            posteriors[name] = (
+                self.selection[name], post_flat[offset:offset + count])
+            offset += count
 
-        self.log.debug(
-            'Overall likelihood per frame is %s over %s frames',
-            tot_loglike / max(tot_frames, 1), tot_frames)
+        if self.log.isEnabledFor(10):  # logging.DEBUG
+            self.log.debug(
+                'Overall likelihood per frame is %s over %s frames',
+                float(jnp.sum(norm[:nrows])) / max(nrows, 1), nrows)
         return posteriors
 
     def accumulate(self, feats_collection, weights_collection=None,
@@ -482,42 +508,33 @@ class DiagUbmProcessor(BaseProcessor):
                     raise ValueError(
                         f'Wrong size for weights on utterance {utt}')
 
+        # one device program over the concatenated collection
+        # (zero-weight padding rows keep the statistics exact)
         jweights, jmeans, jinv = self.gmm.as_jax()
-        occ = np.zeros(self.gmm.num_gauss())
-        mean_acc = np.zeros((self.gmm.num_gauss(), dim))
-        var_acc = np.zeros((self.gmm.num_gauss(), dim))
-        tot_like, tot_weight = 0.0, 0.0
-
-        from shennong_tpu.ops.framing import bucket_size
-        for utt in feats_collection.keys():
-            feats = feats_collection[utt].data
+        names, counts, flat, nrows = self._flat_frames(feats_collection)
+        flat_weights = np.zeros(flat.shape[0], dtype=np.float32)
+        offset = 0
+        for name, count in zip(names, counts):
             if weights_collection is None:
-                frame_weights = np.ones(feats.shape[0], dtype=np.float32)
+                flat_weights[offset:offset + count] = 1.0
             else:
-                frame_weights = np.asarray(
-                    weights_collection[utt], dtype=np.float32)
-            # zero-weight padding rows keep the statistics exact while
-            # bounding the number of compiled shapes
-            nrows = feats.shape[0]
-            bucket = bucket_size(nrows, minimum=128)
-            feats_pad = np.zeros(
-                (bucket, feats.shape[1]), dtype=np.float32)
-            feats_pad[:nrows] = feats
-            weights_pad = np.zeros(bucket, dtype=np.float32)
-            weights_pad[:nrows] = frame_weights
-            like, o, m, v = gmm_ops.accumulate_stats(
-                jnp.asarray(feats_pad), jnp.asarray(weights_pad),
-                jweights, jmeans, jinv)
-            occ += np.asarray(o, dtype=np.float64)
-            mean_acc += np.asarray(m, dtype=np.float64)
-            var_acc += np.asarray(v, dtype=np.float64)
-            tot_like += float(like)
-            tot_weight += float(frame_weights.sum())
+                flat_weights[offset:offset + count] = np.asarray(
+                    weights_collection[name], dtype=np.float32)
+            offset += count
 
-        self.log.debug(
-            'Overall likelihood per frame = %s over %s weighted frames',
-            tot_like / max(tot_weight, 1e-10), tot_weight)
-        return occ, mean_acc, var_acc
+        like, occ, mean_acc, var_acc = gmm_ops.accumulate_stats(
+            jnp.asarray(flat), jnp.asarray(flat_weights),
+            jweights, jmeans, jinv)
+
+        if self.log.isEnabledFor(10):  # logging.DEBUG
+            tot_weight = float(flat_weights.sum())
+            self.log.debug(
+                'Overall likelihood per frame = %s over %s weighted '
+                'frames', float(like) / max(tot_weight, 1e-10),
+                tot_weight)
+        return (np.asarray(occ, dtype=np.float64),
+                np.asarray(mean_acc, dtype=np.float64),
+                np.asarray(var_acc, dtype=np.float64))
 
     def estimate(self, gmm_accs, mixup=None, perturb_factor=0.01):
         """Re-estimate the GMM from accumulated statistics."""
@@ -553,19 +570,16 @@ class DiagUbmProcessor(BaseProcessor):
         raw_features = pipeline.extract_features(
             self.features, utterances, njobs=njobs, log=null_logger())
 
-        # VAD decision per utterance
-        vad = {}
-        for utt, feats in raw_features.items():
-            decision = VadPostProcessor(**self.vad).process(feats)
-            vad[utt] = decision.data.reshape(
-                (decision.shape[0],)).astype(bool)
+        # batched VAD decisions (O(buckets) device programs)
+        vad = {
+            utt: decision.data.reshape(-1).astype(bool)
+            for utt, decision in VadPostProcessor(
+                **self.vad).process_all(raw_features).items()}
 
-        # sliding-window normalization
-        features = FeaturesCollection()
+        # batched sliding-window normalization
         if cmvn_config is not None:
-            proc = SlidingWindowCmvnPostProcessor(**cmvn_config)
-            for utt, feats in raw_features.items():
-                features[utt] = proc.process(feats)
+            features = SlidingWindowCmvnPostProcessor(
+                **cmvn_config).process_all(raw_features)
             self.features['sliding_window_cmvn'] = cmvn_config
         else:
             features = raw_features
@@ -578,12 +592,34 @@ class DiagUbmProcessor(BaseProcessor):
             utt: feats.copy(subsample=self.subsample)
             for utt, feats in features.items()})
 
-        remove_low_count = self.remove_low_count_gaussians
-        self.remove_low_count_gaussians = False
+        # main EM: data and model device-resident, one program per
+        # iteration; the final iteration goes through the host update
+        # when low-count components must be removed (shape change)
+        names, counts, flat, nrows = self._flat_frames(features)
+        flat_weights = np.zeros(flat.shape[0], dtype=np.float32)
+        flat_weights[:nrows] = 1.0
+        feats_dev = jnp.asarray(flat)
+        weights_dev = jnp.asarray(flat_weights)
+        params = self.gmm.as_jax()
         for i in range(self.num_iters):
-            self.log.debug('Training pass %s', i + 1)
-            accs = self.accumulate(features, njobs=njobs)
-            if i == self.num_iters - 1:
-                self.remove_low_count_gaussians = remove_low_count
-            self.estimate(accs)
+            if self.log.isEnabledFor(10):  # logging.DEBUG
+                self.log.debug('Training pass %s', i + 1)
+            last = i == self.num_iters - 1
+            if last and self.remove_low_count_gaussians:
+                _, occ, mean_acc, var_acc = gmm_ops.accumulate_stats(
+                    feats_dev, weights_dev, *params)
+                self.gmm = DiagGmm(*[
+                    np.asarray(p, dtype=np.float64) for p in params])
+                self.estimate((
+                    np.asarray(occ, dtype=np.float64),
+                    np.asarray(mean_acc, dtype=np.float64),
+                    np.asarray(var_acc, dtype=np.float64)))
+                params = None
+                break
+            _, *params = gmm_ops.em_step(
+                feats_dev, weights_dev, *params,
+                min_gaussian_weight=self._min_gaussian_weight)
+        if params is not None:
+            self.gmm = DiagGmm(*[
+                np.asarray(p, dtype=np.float64) for p in params])
         self.log.info('Done training UBM.')

@@ -241,6 +241,81 @@ class VtlnProcessor(BaseProcessor):
         self.lvtln.set_transform(class_idx, matrix)
         self.lvtln.set_warp(class_idx, warp)
 
+    def _accumulate_group_stats(self, ubm, feats_collection,
+                                posteriors, groups,
+                                chunk_frames=16384):
+        """fMLLR statistics of every speaker group, on device.
+
+        Frames of all utterances are concatenated with a per-frame
+        group index and run through
+        :func:`shennong_tpu.ops.fmllr.fmllr_stats_groups` in bounded
+        chunks (one device program per chunk instead of per-frame host
+        loops); chunk statistics are summed in float64 like Kaldi's
+        double-precision ``AffineXformStats``.
+        """
+        import jax.numpy as jnp
+
+        from shennong_tpu.ops.fmllr import fmllr_stats_groups
+        from shennong_tpu.ops.framing import bucket_size
+
+        group_names = sorted(groups)
+        group_index = {name: i for i, name in enumerate(group_names)}
+
+        feats_list, idx_list, val_list, gid_list = [], [], [], []
+        for group in group_names:
+            for utt in groups[group]:
+                if utt not in posteriors:
+                    raise ValueError(f'No posterior for utterance {utt}')
+                feats = feats_collection[utt].data
+                indices, values = posteriors[utt]
+                if indices.shape[0] != feats.shape[0]:
+                    raise ValueError(
+                        f'Posterior has wrong size {indices.shape[0]}'
+                        f' vs {feats.shape[0]}')
+                feats_list.append(feats)
+                idx_list.append(indices)
+                val_list.append(values)
+                gid_list.append(
+                    np.full(feats.shape[0], group_index[group],
+                            dtype=np.int32))
+
+        feats_all = np.concatenate(feats_list).astype(np.float32)
+        idx_all = np.concatenate(idx_list).astype(np.int32)
+        val_all = np.concatenate(val_list).astype(np.float32)
+        gid_all = np.concatenate(gid_list)
+
+        dim = self.lvtln.dim
+        nspeakers = len(group_names)
+        out = {
+            name: FmllrStats(dim) for name in group_names}
+        for start in range(0, feats_all.shape[0], chunk_frames):
+            stop = min(start + chunk_frames, feats_all.shape[0])
+            rows = stop - start
+            bucket = bucket_size(rows, minimum=2048)
+            feats = np.zeros((bucket, dim), dtype=np.float32)
+            feats[:rows] = feats_all[start:stop]
+            idx = np.zeros((bucket, idx_all.shape[1]), dtype=np.int32)
+            idx[:rows] = idx_all[start:stop]
+            val = np.zeros((bucket, val_all.shape[1]), dtype=np.float32)
+            val[:rows] = val_all[start:stop]
+            gid = np.zeros(bucket, dtype=np.int32)
+            gid[:rows] = gid_all[start:stop]
+
+            beta, K, G = fmllr_stats_groups(
+                jnp.asarray(feats), jnp.asarray(idx),
+                jnp.asarray(val), jnp.asarray(gid),
+                jnp.asarray(ubm.gmm.means, dtype=jnp.float32),
+                jnp.asarray(ubm.gmm.inv_vars, dtype=jnp.float32),
+                nspeakers)
+            beta = np.asarray(beta, dtype=np.float64)
+            K = np.asarray(K, dtype=np.float64)
+            G = np.asarray(G, dtype=np.float64)
+            for i, name in enumerate(group_names):
+                out[name].beta += beta[i]
+                out[name].K += K[i]
+                out[name].G += G[i]
+        return out
+
     def estimate(self, ubm, feats_collection, posteriors,
                  utt2speak=None):
         """Estimate per-speaker (or per-utterance) LVTLN transforms.
@@ -264,19 +339,11 @@ class VtlnProcessor(BaseProcessor):
         else:
             groups = {utt: [utt] for utt in feats_collection}
 
-        for group, utts in sorted(groups.items()):
-            stats = FmllrStats(self.lvtln.dim)
-            for utt in utts:
-                if utt not in posteriors:
-                    raise ValueError(f'No posterior for utterance {utt}')
-                feats = feats_collection[utt].data
-                indices, values = posteriors[utt]
-                if indices.shape[0] != feats.shape[0]:
-                    raise ValueError(
-                        f'Posterior has wrong size {indices.shape[0]}'
-                        f' vs {feats.shape[0]}')
-                stats.accumulate(feats, indices, values, ubm.gmm)
+        group_stats = self._accumulate_group_stats(
+            ubm, feats_collection, posteriors, groups)
 
+        for group, utts in sorted(groups.items()):
+            stats = group_stats[group]
             class_idx, _, transform, objf_impr, count = (
                 self.lvtln.compute_transform(
                     stats, self.norm_type, self.logdet_scale))
@@ -349,20 +416,17 @@ class VtlnProcessor(BaseProcessor):
         raw_mfcc = pipeline.extract_features(
             self.features, utterances, njobs=njobs, log=null_logger())
 
-        # VAD decisions
+        # batched VAD decisions
         self.log.debug('... computing VAD decision')
-        vad = {}
-        for utt, feats in raw_mfcc.items():
-            decision = VadPostProcessor(**ubm.vad).process(feats)
-            vad[utt] = decision.data.reshape(
-                (decision.shape[0],)).astype(bool)
+        vad = {
+            utt: decision.data.reshape(-1).astype(bool)
+            for utt, decision in VadPostProcessor(
+                **ubm.vad).process_all(raw_mfcc).items()}
 
-        # normalized features for the model updates
-        orig_features = FeaturesCollection()
+        # normalized features for the model updates (batched)
         if cmvn_config is not None:
-            proc = SlidingWindowCmvnPostProcessor(**cmvn_config)
-            for utt, feats in raw_mfcc.items():
-                orig_features[utt] = proc.process(feats)
+            orig_features = SlidingWindowCmvnPostProcessor(
+                **cmvn_config).process_all(raw_mfcc)
         else:
             orig_features = raw_mfcc
         orig_features = orig_features.trim(vad)
@@ -370,32 +434,54 @@ class VtlnProcessor(BaseProcessor):
             utt: feats.copy(subsample=self.subsample)
             for utt, feats in orig_features.items()})
 
-        # base transforms: solve the unwarped -> warped LS map per class
-        featsub_unwarped = raw_mfcc.trim(vad)
-        featsub_unwarped = FeaturesCollection({
-            utt: feats.copy(subsample=self.subsample)
-            for utt, feats in featsub_unwarped.items()})
-
-        # all 41 classes share the framing and the DFT: one batched
-        # device pass, only the mel bank differs per class
+        # base transforms: solve the unwarped -> warped LS map per
+        # class. The fused device path accumulates the per-class
+        # normal equations without materializing the 41 warped
+        # collections; the per-frame selection weights reproduce
+        # trim(vad) followed by [::subsample].
         class_warps = [
             self.min_warp + c * self.warp_step
             for c in range(num_classes)]
-        warped_collections = pipeline.extract_features_warp_classes(
-            self.features, utterances, class_warps,
-            null_logger(), njobs=njobs)
-        for c, this_warp in enumerate(class_warps):
-            self.log.info(
-                'Computing base transform (warp=%s) %s/%s',
-                this_warp, c + 1, num_classes)
-            featsub_warped = warped_collections[c].trim(vad)
-            featsub_warped = FeaturesCollection({
-                utt: feats.copy(subsample=self.subsample)
-                for utt, feats in featsub_warped.items()})
-            self.compute_mapping_transform(
-                featsub_unwarped, featsub_warped, c, this_warp)
 
-        del featsub_warped, featsub_unwarped, vad
+        keep = {}
+        for utt, mask in vad.items():
+            rank = np.cumsum(mask) - 1
+            keep[utt] = (
+                mask & (rank % self.subsample == 0)).astype(np.float32)
+
+        moments = pipeline.accumulate_warp_mapping_stats(
+            self.features, utterances, class_warps, keep,
+            null_logger(), njobs=njobs)
+        if moments is not None:
+            self.log.info(
+                'Computing base transforms for %s warp classes '
+                '(fused device pass)', num_classes)
+            from shennong_tpu.ops.fmllr import solve_mapping_from_moments
+            matrices = solve_mapping_from_moments(moments)
+            for c, this_warp in enumerate(class_warps):
+                self.lvtln.set_transform(c, matrices[c])
+                self.lvtln.set_warp(c, this_warp)
+        else:
+            featsub_unwarped = raw_mfcc.trim(vad)
+            featsub_unwarped = FeaturesCollection({
+                utt: feats.copy(subsample=self.subsample)
+                for utt, feats in featsub_unwarped.items()})
+            warped_collections = pipeline.extract_features_warp_classes(
+                self.features, utterances, class_warps,
+                null_logger(), njobs=njobs)
+            for c, this_warp in enumerate(class_warps):
+                self.log.info(
+                    'Computing base transform (warp=%s) %s/%s',
+                    this_warp, c + 1, num_classes)
+                featsub_warped = warped_collections[c].trim(vad)
+                featsub_warped = FeaturesCollection({
+                    utt: feats.copy(subsample=self.subsample)
+                    for utt, feats in featsub_warped.items()})
+                self.compute_mapping_transform(
+                    featsub_unwarped, featsub_warped, c, this_warp)
+            del featsub_warped, featsub_unwarped
+
+        del vad
 
         if cmvn_config is not None:
             self.features['sliding_window_cmvn'] = cmvn_config

@@ -218,3 +218,94 @@ def test_process_full_warp_grid(utterances):
     for warp in warps.values():
         assert 0.85 <= warp <= 1.25
     assert vtln.lvtln.num_classes == 41
+
+
+def test_fused_mapping_stats_match_fallback(utterances):
+    """The device-fused LS statistics path produces the same base
+    transforms as materializing the warped collections and solving
+    with compute_mapping_transform (dither=0)."""
+    from shennong_tpu import pipeline, FeaturesCollection
+    from shennong_tpu.logger import null_logger
+    from shennong_tpu.ops.fmllr import solve_mapping_from_moments
+    from shennong_tpu.postprocessor.vad import VadPostProcessor
+
+    config = pipeline.get_default_config('mfcc', with_delta=True)
+    config['mfcc']['dither'] = 0
+    config['delta']['window'] = 3
+    subsample = 2
+    class_warps = [0.9, 1.0, 1.1]
+
+    raw = pipeline.extract_features(
+        config, utterances, log=null_logger())
+    vad = {
+        utt: d.data.reshape(-1).astype(bool)
+        for utt, d in VadPostProcessor(
+            energy_threshold=5.5).process_all(raw).items()}
+
+    keep = {}
+    for utt, mask in vad.items():
+        rank = np.cumsum(mask) - 1
+        keep[utt] = (mask & (rank % subsample == 0)).astype(np.float32)
+
+    moments = pipeline.accumulate_warp_mapping_stats(
+        config, utterances, class_warps, keep, null_logger())
+    fused = solve_mapping_from_moments(moments)
+
+    # fallback: materialize the warped collections, trim + subsample
+    unwarped = FeaturesCollection({
+        u: f.copy(subsample=subsample)
+        for u, f in raw.trim(vad).items()})
+    collections = pipeline.extract_features_warp_classes(
+        config, utterances, class_warps, null_logger())
+    dim = fused.shape[1]
+    for c in range(len(class_warps)):
+        warped = FeaturesCollection({
+            u: f.copy(subsample=subsample)
+            for u, f in collections[c].trim(vad).items()})
+        pairs = [
+            (unwarped[u].data, warped[u].data, None) for u in unwarped]
+        expected = compute_mapping_transform(iter(pairs), dim)
+        # the two paths extract the features through differently-fused
+        # float32 programs; the LS solve amplifies those ~1e-6 feature
+        # differences by the covariance condition number (Kaldi's own
+        # tool accumulates these stats in BaseFloat=float32 too)
+        diff = np.abs(fused[c] - expected)
+        assert diff.max() < 2e-3, c
+        assert np.median(diff) < 1e-5, c
+
+    # the total selected weight equals the trimmed+subsampled rows
+    beta = sum(float(m[0]) for m in moments)
+    assert beta == sum(unwarped[u].nframes for u in unwarped)
+
+
+def test_fmllr_stats_groups_match_host():
+    """The one-program grouped fMLLR accumulation equals per-group
+    float64 host accumulation (Kaldi AffineXformStats semantics)."""
+    import jax.numpy as jnp
+    from shennong_tpu.ops.fmllr import fmllr_stats_groups
+
+    rng = np.random.RandomState(0)
+    dim, ngauss, k, n, nspk = 5, 8, 3, 300, 3
+    gmm = DiagGmm(
+        np.full(ngauss, 1.0 / ngauss),
+        rng.randn(ngauss, dim),
+        1.0 / (0.5 + rng.rand(ngauss, dim)))
+    feats = rng.randn(n, dim).astype(np.float32)
+    idx = rng.randint(0, ngauss, size=(n, k)).astype(np.int32)
+    val = rng.rand(n, k).astype(np.float32)
+    val /= val.sum(axis=1, keepdims=True)
+    gid = rng.randint(0, nspk, size=n).astype(np.int32)
+
+    beta, K, G = fmllr_stats_groups(
+        jnp.asarray(feats), jnp.asarray(idx), jnp.asarray(val),
+        jnp.asarray(gid),
+        jnp.asarray(gmm.means, dtype=jnp.float32),
+        jnp.asarray(gmm.inv_vars, dtype=jnp.float32), nspk)
+
+    for s in range(nspk):
+        rows = gid == s
+        expected = FmllrStats(dim)
+        expected.accumulate(feats[rows], idx[rows], val[rows], gmm)
+        assert float(beta[s]) == pytest.approx(expected.beta, rel=1e-5)
+        assert np.abs(np.asarray(K[s]) - expected.K).max() < 1e-3
+        assert np.abs(np.asarray(G[s]) - expected.G).max() < 1e-3
