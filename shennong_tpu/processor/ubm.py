@@ -226,12 +226,23 @@ class DiagUbmProcessor(BaseProcessor):
 
     @classmethod
     def load(cls, path):
-        """Load a GMM from an npz checkpoint"""
+        """Load a GMM checkpoint.
+
+        Accepts both this package's npz format and Kaldi's binary
+        DiagGmm (as written by the reference and by Kaldi tools like
+        gmm-global-init-from-feats); the format is sniffed from the
+        file header.
+        """
         if not os.path.isfile(path):
             raise OSError('{}: file not found'.format(path))
-        with np.load(path) as data:
-            gmm = DiagGmm(
-                data['weights'], data['means'], data['inv_vars'])
+
+        from shennong_tpu import kaldiio
+        if kaldiio.is_kaldi_binary(path):
+            gmm = DiagGmm(*kaldiio.read_diag_gmm(path))
+        else:
+            with np.load(path) as data:
+                gmm = DiagGmm(
+                    data['weights'], data['means'], data['inv_vars'])
         ubm = DiagUbmProcessor(gmm.num_gauss())
         ubm.gmm = gmm
         return ubm
@@ -245,6 +256,17 @@ class DiagUbmProcessor(BaseProcessor):
         np.savez(
             path, weights=self.gmm.weights, means=self.gmm.means,
             inv_vars=self.gmm.inv_vars)
+
+    def save_kaldi(self, path):
+        """Save the GMM in Kaldi's binary DiagGmm format (readable by
+        Kaldi tools and by the reference's pykaldi loader)."""
+        if os.path.isfile(path):
+            raise OSError('{}: file already exists'.format(path))
+        if not isinstance(self.gmm, DiagGmm):
+            raise TypeError('GMM not initialized')
+        from shennong_tpu import kaldiio
+        kaldiio.write_diag_gmm(
+            path, self.gmm.weights, self.gmm.means, self.gmm.inv_vars)
 
     def initialize_gmm(self, feats_collection, njobs=1):
         """Initialize the GMM and run the initial EM with splitting.

@@ -170,11 +170,27 @@ class VtlnProcessor(BaseProcessor):
 
     @classmethod
     def load(cls, path):
-        """Load the LVTLN transforms from an npz checkpoint"""
+        """Load LVTLN transforms.
+
+        Accepts both this package's npz format and Kaldi's binary
+        LinearVtln (as written by the reference and by
+        gmm-train-lvtln-special); the format is sniffed from the file
+        header.
+        """
         if not os.path.isfile(path):
             raise OSError('{}: file not found'.format(path))
+
+        from shennong_tpu import kaldiio
         vtln = VtlnProcessor()
-        vtln.lvtln = LinearVtln.load(path)
+        if kaldiio.is_kaldi_binary(path):
+            transforms, warps, default_class = kaldiio.read_lvtln(path)
+            vtln.lvtln = LinearVtln(
+                transforms.shape[1], transforms.shape[0],
+                int(default_class))
+            vtln.lvtln.transforms = transforms
+            vtln.lvtln.warps = warps
+        else:
+            vtln.lvtln = LinearVtln.load(path)
         return vtln
 
     def save(self, path):
@@ -184,6 +200,19 @@ class VtlnProcessor(BaseProcessor):
         if not isinstance(self.lvtln, LinearVtln):
             raise TypeError('VTLN not initialized')
         self.lvtln.save(path)
+
+    def save_kaldi(self, path):
+        """Save the LVTLN in Kaldi's binary LinearVtln format
+        (readable by Kaldi tools and the reference's pykaldi
+        loader)."""
+        if os.path.isfile(path):
+            raise OSError('{}: file already exists'.format(path))
+        if not isinstance(self.lvtln, LinearVtln):
+            raise TypeError('VTLN not initialized')
+        from shennong_tpu import kaldiio
+        kaldiio.write_lvtln(
+            path, self.lvtln.transforms, self.lvtln.warps,
+            self.lvtln.default_class)
 
     @classmethod
     def load_warps(cls, path):
