@@ -250,21 +250,76 @@ class PickleSerializer(FeaturesSerializer):
 
 
 class H5featuresSerializer(FeaturesSerializer):
-    """HDF5 ``.h5f`` format (h5py-based).
+    """HDF5 ``.h5f`` format, h5features-1.x compatible layout.
 
-    Layout: one HDF5 group per item under the root group 'features',
-    with 'data' and 'times' datasets and a JSON-encoded 'properties'
-    attribute. Not byte-compatible with the h5features library used by
-    the reference, but fulfills the same role (partial reads, large
-    datasets, compression).
+    Writes the dense format-1.1 layout of the h5features library the
+    reference uses (``shennong/serializers.py:354-389``): one root
+    group (default 'features') with attrs ``version='1.1'`` and
+    ``format='dense'`` holding four flat datasets — ``items`` (vlen
+    UTF-8 names), ``features`` (row-concatenated [total, dim]),
+    ``labels`` (row-concatenated times) and ``index`` (int64 inclusive
+    last-row index per item) — so files interoperate with the
+    reference ecosystem's ABX/ZRC tooling. Properties are stored as a
+    JSON vlen-str dataset ``properties`` (a shennong-side extension;
+    h5features itself added properties only in 1.3.2).
+    ``tests/test_serializers.py`` round-trips a written file through
+    the real h5features library when it is installed (skipped
+    otherwise — it is not installable in this environment). The
+    round-1 private one-group-per-item layout is still read.
     """
+
+    GROUP = 'features'
 
     def _save(self, features, with_properties, compress=True):
         import h5py
         self._log.info('writing %s', self.filename)
         comp = dict(compression='lzf') if compress else {}
+
+        names = list(features.keys())
+        label_dims = set(features[n].times.ndim for n in names)
+        if len(label_dims) > 1:
+            # h5features cannot represent mixed 1-D/2-D labels in one
+            # group; keep such collections loadable via the private
+            # per-item layout
+            self._log.warning(
+                'mixed times dimensions in the collection: writing '
+                'the private (non h5features-compatible) layout')
+            return self._save_legacy(features, with_properties, comp)
+
+        data = np.concatenate([features[n].data for n in names])
+        labels = np.concatenate([features[n].times for n in names])
+        sizes = np.array(
+            [features[n].nframes for n in names], dtype=np.int64)
+        index = np.cumsum(sizes) - 1  # inclusive last-row per item
+
         with h5py.File(self.filename, 'a') as fh:
-            group = fh.create_group('features')
+            group = fh.create_group(self.GROUP)
+            group.attrs['version'] = '1.1'
+            group.attrs['format'] = 'dense'
+            # per-item dtypes (our extension, transparent to
+            # h5features readers): the flat layout stores one
+            # concatenated array, this restores exact dtypes on load
+            group.attrs['item_dtypes'] = json_dumps(
+                [str(features[n].dtype) for n in names])
+            str_dtype = h5py.string_dtype(encoding='utf-8')
+            group.create_dataset(
+                'items', data=np.array(names, dtype=object),
+                dtype=str_dtype, **comp)
+            group.create_dataset('features', data=data, **comp)
+            group.create_dataset('labels', data=labels, **comp)
+            group.create_dataset('index', data=index, **comp)
+            if with_properties:
+                group.create_dataset(
+                    'properties',
+                    data=np.array(
+                        [json_dumps(features[n].properties)
+                         for n in names], dtype=object),
+                    dtype=str_dtype, **comp)
+
+    def _save_legacy(self, features, with_properties, comp):
+        import h5py
+        with h5py.File(self.filename, 'a') as fh:
+            group = fh.create_group(self.GROUP)
             for k, v in features.items():
                 sub = group.create_group(k)
                 sub.create_dataset('data', data=v.data, **comp)
@@ -277,13 +332,50 @@ class H5featuresSerializer(FeaturesSerializer):
         self._log.info('loading %s', self.filename)
         collection = self._features_collection()
         with h5py.File(self.filename, 'r') as fh:
-            for k, sub in fh['features'].items():
-                properties = (
-                    json_loads(sub.attrs['properties'])
-                    if 'properties' in sub.attrs else {})
-                collection[k] = Features(
-                    sub['data'][...], sub['times'][...],
-                    properties=properties, validate=False)
+            group = fh[self.GROUP]
+            if 'items' not in group:
+                return self._load_legacy(group, collection)
+
+            names = [
+                item.decode('utf-8') if isinstance(item, bytes)
+                else item for item in group['items'][...]]
+            data = group['features'][...]
+            labels = group['labels'][...]
+            index = group['index'][...]
+            if 'item_dtypes' in group.attrs:
+                dtypes = [
+                    np.dtype(d)
+                    for d in json_loads(group.attrs['item_dtypes'])]
+            else:
+                dtypes = [data.dtype] * len(names)
+            if 'properties' in group:
+                raw = group['properties'][...]
+                properties = [
+                    json_loads(p.decode('utf-8')
+                               if isinstance(p, bytes) else p)
+                    for p in raw]
+            else:
+                properties = [{}] * len(names)
+
+            start = 0
+            for n, name in enumerate(names):
+                stop = int(index[n]) + 1
+                collection[name] = Features(
+                    data[start:stop].astype(dtypes[n], copy=False),
+                    labels[start:stop],
+                    properties=properties[n], validate=False)
+                start = stop
+        return collection
+
+    def _load_legacy(self, group, collection):
+        """The round-1 private layout: one sub-group per item."""
+        for k, sub in group.items():
+            properties = (
+                json_loads(sub.attrs['properties'])
+                if 'properties' in sub.attrs else {})
+            collection[k] = Features(
+                sub['data'][...], sub['times'][...],
+                properties=properties, validate=False)
         return collection
 
 

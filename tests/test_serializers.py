@@ -141,3 +141,78 @@ def test_ark_unicode_keys(tmpdir, mfcc):
     collection.save(path)
     back = FeaturesCollection.load(path)
     assert np.allclose(back['utté_1'].data, mfcc.data)
+
+
+def test_h5f_layout_is_h5features(tmpdir):
+    """The written .h5f carries the h5features 1.1 dense layout:
+    flat items/features/labels/index datasets under one group."""
+    import h5py
+    rng = np.random.RandomState(7)
+    features_collection = FeaturesCollection({
+        'a': Features(rng.randn(9, 3), np.arange(9, dtype=float)),
+        'b': Features(rng.randn(5, 3), np.arange(5, dtype=float))})
+    path = str(tmpdir.join('layout.h5f'))
+    features_collection.save(path)
+
+    with h5py.File(path, 'r') as fh:
+        group = fh['features']
+        assert group.attrs['version'] == '1.1'
+        assert group.attrs['format'] == 'dense'
+        items = [i.decode() if isinstance(i, bytes) else i
+                 for i in group['items'][...]]
+        assert items == list(features_collection.keys())
+        total = sum(f.nframes for f in features_collection.values())
+        assert group['features'].shape[0] == total
+        assert group['labels'].shape[0] == total
+        # inclusive last-row index per item
+        sizes = [f.nframes for f in features_collection.values()]
+        assert list(group['index'][...]) == list(
+            np.cumsum(sizes) - 1)
+
+
+def test_h5f_legacy_layout_still_loads(collection, tmpdir):
+    """Files written with the round-1 private one-group-per-item
+    layout keep loading."""
+    import h5py
+    from shennong_tpu.utils import json_dumps
+    path = str(tmpdir.join('legacy.h5f'))
+    with h5py.File(path, 'w') as fh:
+        group = fh.create_group('features')
+        for k, v in collection.items():
+            sub = group.create_group(k)
+            sub.create_dataset('data', data=v.data)
+            sub.create_dataset('times', data=v.times)
+            sub.attrs['properties'] = json_dumps(v.properties)
+
+    loaded = FeaturesCollection.load(path)
+    assert loaded.is_close(collection)
+
+
+def test_h5f_cross_library():
+    """Round-trip through the real h5features library (the reference's
+    serializer backend); skipped when it is not installed."""
+    h5features = pytest.importorskip('h5features')
+
+    import tempfile, os
+    rng = np.random.RandomState(0)
+    collection = FeaturesCollection({
+        'a': Features(rng.randn(10, 4),
+                      np.arange(10, dtype=float)),
+        'b': Features(rng.randn(7, 4), np.arange(7, dtype=float))})
+    with tempfile.TemporaryDirectory() as tmp:
+        ours = os.path.join(tmp, 'ours.h5f')
+        collection.save(ours, with_properties=False)
+        data = h5features.Reader(ours, groupname='features').read()
+        assert sorted(data.items()) == ['a', 'b']
+        idx = data.items().index('a')
+        assert np.allclose(data.features()[idx], collection['a'].data)
+
+        theirs = os.path.join(tmp, 'theirs.h5f')
+        with h5features.Writer(theirs) as writer:
+            writer.write(h5features.Data(
+                list(collection.keys()),
+                [f.times for f in collection.values()],
+                [f.data for f in collection.values()]),
+                groupname='features')
+        loaded = FeaturesCollection.load(theirs)
+        assert loaded.is_close(collection)
