@@ -32,6 +32,28 @@ def _ffmpeg_binary():
     return shutil.which('ffmpeg')
 
 
+def _is_flac(filename):
+    try:
+        with open(filename, 'rb') as fp:
+            return fp.read(4) == b'fLaC'
+    except OSError:
+        return False
+
+
+def _flac_scan_native(filename):
+    if not _is_flac(filename):
+        return None
+    from shennong_tpu import native
+    return native.flac_scan(filename)
+
+
+def _flac_decode_native(filename):
+    if not _is_flac(filename):
+        return None
+    from shennong_tpu import native
+    return native.flac_decode(filename)
+
+
 class Audio:
     """A multichannel audio signal: ``data [nsamples, nchannels]`` + rate.
 
@@ -129,6 +151,13 @@ class Audio:
         except ValueError:
             pass
 
+        # FLAC through the native decoder (no ffmpeg needed)
+        meta = _flac_scan_native(filename)
+        if meta is not None:
+            nchannels, rate, _bits, nsamples = meta
+            return cls._metadata(
+                nchannels, rate, nsamples, nsamples / rate)
+
         # other formats: probe with ffmpeg if available
         if _ffmpeg_binary():
             try:
@@ -165,6 +194,12 @@ class Audio:
             return cls(data, rate, validate=False)
         except ValueError:
             pass
+
+        # FLAC through the native decoder (sample-exact, no ffmpeg)
+        decoded = _flac_decode_native(filename)
+        if decoded is not None:
+            data, rate = decoded
+            return cls(data, rate, validate=False)
 
         # non-WAV formats decoded through the ffmpeg binary
         if _ffmpeg_binary():

@@ -16,7 +16,9 @@ import threading
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SOURCE = os.path.join(_HERE, 'shennong_io.cpp')
+_SOURCES = [
+    os.path.join(_HERE, 'shennong_io.cpp'),
+    os.path.join(_HERE, 'shennong_flac.cpp')]
 _LIBRARY = os.path.join(_HERE, 'libshennong_io.so')
 
 _lock = threading.Lock()
@@ -27,7 +29,7 @@ _failed = False
 def _build():
     subprocess.run(
         ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', '-pthread',
-         '-o', _LIBRARY, _SOURCE],
+         '-o', _LIBRARY] + _SOURCES,
         check=True, capture_output=True)
 
 
@@ -42,7 +44,7 @@ def load_library():
         try:
             if (not os.path.isfile(_LIBRARY)
                     or os.path.getmtime(_LIBRARY)
-                    < os.path.getmtime(_SOURCE)):
+                    < max(os.path.getmtime(s) for s in _SOURCES)):
                 _build()
             lib = ctypes.CDLL(_LIBRARY)
 
@@ -69,6 +71,18 @@ def load_library():
             lib.shennong_ark_read.argtypes = [
                 ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_void_p]
+
+            lib.shennong_flac_scan.restype = ctypes.c_int
+            lib.shennong_flac_scan.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int64)]
+
+            lib.shennong_flac_decode.restype = ctypes.c_int64
+            lib.shennong_flac_decode.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64]
 
             _lib = lib
         except Exception:
@@ -149,6 +163,57 @@ def ark_index(path, max_records=1 << 20, keys_capacity=1 << 24):
         (keys[i].decode(), int(meta[i, 0]), int(meta[i, 1]),
          int(meta[i, 2]), bool(meta[i, 3]))
         for i in range(count)]
+
+
+def flac_scan(path):
+    """(channels, sample_rate, bits, nsamples) of a FLAC file, or
+    None when the native library is unavailable or parsing failed."""
+    lib = load_library()
+    if lib is None:
+        return None
+    channels = ctypes.c_int32()
+    rate = ctypes.c_int32()
+    bits = ctypes.c_int32()
+    nsamples = ctypes.c_int64()
+    status = lib.shennong_flac_scan(
+        str(path).encode(), ctypes.byref(channels), ctypes.byref(rate),
+        ctypes.byref(bits), ctypes.byref(nsamples))
+    if status != 0:
+        return None
+    return channels.value, rate.value, bits.value, nsamples.value
+
+
+def flac_decode(path):
+    """Decode a FLAC file.
+
+    Returns (samples [nframes, channels] or [nframes] int16/int32,
+    sample_rate), or None when the native library is unavailable or
+    decoding failed.
+    """
+    lib = load_library()
+    if lib is None:
+        return None
+    meta = flac_scan(path)
+    if meta is None:
+        return None
+    channels, rate, bits, nsamples = meta
+    if nsamples <= 0:
+        # total unknown in STREAMINFO: bound by the file size (a FLAC
+        # frame never expands past ~1 sample per coded bit)
+        nsamples = os.path.getsize(path) * 8 // max(bits, 1) + 65536
+    out = np.empty(nsamples * channels, dtype=np.int32)
+    decoded = lib.shennong_flac_decode(
+        str(path).encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.shape[0])
+    if decoded < 0:
+        return None
+    data = out[:decoded * channels].reshape(decoded, channels)
+    if channels == 1:
+        data = data[:, 0]
+    if bits <= 16:
+        data = data.astype(np.int16)
+    return data, rate
 
 
 def ark_read_matrix(path, offset, rows, cols, is_double):

@@ -288,3 +288,29 @@ def golden_real(real_data_path):
     path = os.path.join(real_data_path, 'golden_real.npz')
     with np.load(path) as data:
         return {k: data[k] for k in data.files}
+
+
+# --- FLAC decoding (native decoder, no ffmpeg) -------------------------
+
+def test_flac_scan_and_load(real_data_path, real_audio):
+    import os
+    flac = os.path.join(real_data_path, 'test.flac')
+
+    meta = Audio.scan(flac)
+    assert meta.nchannels == 1
+    assert meta.sample_rate == 16000
+    assert meta.nsamples == real_audio.nsamples
+
+    decoded = Audio.load(flac)
+    assert decoded.sample_rate == 16000
+    assert decoded.dtype == np.int16
+    # FLAC is lossless: decode must be sample-exact vs the source wav
+    assert np.array_equal(decoded.data, real_audio.data)
+
+
+def test_mfcc_on_flac_equals_wav(real_data_path, real_audio):
+    import os
+    flac_audio = Audio.load(os.path.join(real_data_path, 'test.flac'))
+    from_flac = MfccProcessor(dither=0).process(flac_audio)
+    from_wav = MfccProcessor(dither=0).process(real_audio)
+    assert np.array_equal(from_flac.data, from_wav.data)
