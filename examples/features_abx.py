@@ -79,7 +79,9 @@ def main():
     from shennong_tpu.logger import get_logger
     from shennong_tpu.pipeline import extract_features, get_default_config
     from shennong_tpu.processor import VtlnProcessor
+    from shennong_tpu.utils import enable_compilation_cache
 
+    enable_compilation_cache()
     log = get_logger('abx', 'info')
     os.makedirs(args.output_dir, exist_ok=True)
 

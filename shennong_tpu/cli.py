@@ -212,6 +212,8 @@ def _command_convert_crepe(args):
 @utils.CatchExceptions
 def main():
     """Entry point of the ``speech-features`` program"""
+    # first-run compiles dominate cold extractions; persist them
+    utils.enable_compilation_cache()
     epilog = (
         f'speech-features is part of the shennong-tpu library\n'
         f'see full documentation at {url()}')

@@ -174,12 +174,12 @@ def extract_features_warp(configuration, utterances, warp, log, njobs=1):
     rates = set(
         meta.sample_rate for meta in manager.audio_metadata.values())
     if manager.features != 'bottleneck' and len(rates) == 1:
-        proc = manager.get_features_processor(utterances[0])
+        proc = manager.make('features', utterances[0])
         warps = {utt.name: float(warp) for utt in utterances}
         features = BatchExecutor(proc).process_all(
             utterances, vtln_warp=warps, njobs=njobs)
         if 'delta' in config:
-            delta = manager.get_delta_processor(None)
+            delta = manager.make('delta')
             features = FeaturesCollection({
                 name: delta.process(feats)
                 for name, feats in features.items()})
@@ -215,14 +215,14 @@ def extract_features_warp_classes(
     rates = set(
         meta.sample_rate for meta in manager.audio_metadata.values())
     if manager.features == 'mfcc' and len(rates) == 1:
-        proc = manager.get_features_processor(utterances[0])
+        proc = manager.make('features', utterances[0])
         collections = BatchExecutor(proc).process_all_classes(
             utterances, [float(w) for w in class_warps], njobs=njobs)
         if 'delta' in config:
             # one flat batched delta pass over all (class, utterance)
             # matrices — a per-item loop would pay 41 x n_utterances
             # device dispatches
-            delta = manager.get_delta_processor(None)
+            delta = manager.make('delta')
             keys = [
                 (c, name) for c, collection in enumerate(collections)
                 for name in collection.keys()]
@@ -268,10 +268,10 @@ def accumulate_warp_mapping_stats(
     if manager.features != 'mfcc' or len(rates) != 1:
         return None
 
-    proc = manager.get_features_processor(utterances[0])
+    proc = manager.make('features', utterances[0])
     delta_order = delta_window = None
     if 'delta' in config:
-        delta_proc = manager.get_delta_processor(None)
+        delta_proc = manager.make('delta')
         delta_order = delta_proc.order
         delta_window = delta_proc.window
     return BatchExecutor(proc).accumulate_lvtln_stats(
@@ -385,8 +385,8 @@ def _extract_features(config, utterances, warps, log, njobs=1):
     if warps:
         manager.warps = warps
     elif 'vtln' in config:
-        manager.warps = manager.get_vtln_processor(
-            'vtln').process(utterances, njobs=njobs)
+        manager.warps = manager.make('vtln').process(
+            utterances, njobs=njobs)
 
     # batched pass 1 whenever the whole collection shares one device
     # program (everything except bottleneck and crepe pitch, which
@@ -422,7 +422,7 @@ def _batched_pass_one(manager, utterances, log, njobs):
     first = utterances[0]
 
     log.debug('batched extraction of %s', manager.features)
-    proc = manager.get_features_processor(first)
+    proc = manager.make('features', first)
     warp_arg = dict(manager.warps) if manager.warps else None
     feats_collection = BatchExecutor(proc).process_all(
         utterances, vtln_warp=warp_arg, njobs=njobs)
@@ -430,25 +430,24 @@ def _batched_pass_one(manager, utterances, log, njobs):
     if 'cmvn' in config and config['cmvn']['with_vad']:
         log.debug('batched energy + vad')
         energies = BatchExecutor(
-            manager.get_energy_processor(first)).process_all(
+            manager.make('energy', first)).process_all(
                 utterances, njobs=njobs)
         vads = {
             name: vad.data.reshape(-1)
-            for name, vad in manager.get_vad_processor(
-                first).process_all(energies).items()}
+            for name, vad in manager.make('vad').process_all(energies).items()}
     else:
         vads = None
 
     if 'pitch' in config:
         log.debug('batched pitch extraction')
-        pitch_proc = manager.get_pitch_processor(first)
+        pitch_proc = manager.make('pitch', first)
         if config['pitch']['processor'] == 'crepe':
             # crepe batches internally (one CNN pass over the corpus)
             pitch_raw = pitch_proc.process_all(utterances, njobs=njobs)
         else:
             pitch_raw = BatchExecutor(pitch_proc).process_all(
                 utterances, njobs=njobs)
-        pitch_post = manager.get_pitch_post_processor(first)
+        pitch_post = manager.make('pitch_post')
         pitches = {
             name: pitch_post.process(raw)
             for name, raw in pitch_raw.items()}
@@ -460,8 +459,8 @@ def _batched_pass_one(manager, utterances, log, njobs):
         features = feats_collection[utterance.name]
 
         if 'cmvn' in config:
-            manager.get_cmvn_processor(utterance).accumulate(
-                features,
+            manager.accumulate_cmvn(
+                utterance, features,
                 weights=vads[utterance.name] if vads else None)
 
         if utterance.speaker:
@@ -487,28 +486,27 @@ def _extract_pass_one(utterance, manager, log):
 
     log.debug('%s: extract %s', utterance.name, manager.features)
     if manager.warps:
-        features = manager.get_features_processor(utterance).process(
+        features = manager.make('features', utterance).process(
             audio, vtln_warp=manager.get_warp(utterance))
     else:
-        features = manager.get_features_processor(utterance).process(audio)
+        features = manager.make('features', utterance).process(audio)
 
     if 'cmvn' in manager.config:
         log.debug('%s: accumulate cmvn', utterance.name)
         if manager.config['cmvn']['with_vad']:
-            energy = manager.get_energy_processor(utterance).process(audio)
-            vad = manager.get_vad_processor(utterance).process(energy)
+            energy = manager.make('energy', utterance).process(audio)
+            vad = manager.make('vad').process(energy)
             vad = vad.data.reshape((vad.shape[0],))
         else:
             vad = None
-        manager.get_cmvn_processor(utterance).accumulate(
-            features, weights=vad)
+        manager.accumulate_cmvn(utterance, features, weights=vad)
 
     if 'pitch' in manager.config:
         log.debug(
             '%s: extract %s pitch', utterance.name,
             manager.config['pitch']['processor'])
-        pitch = manager.get_pitch_processor(utterance).process(audio)
-        pitch = manager.get_pitch_post_processor(utterance).process(pitch)
+        pitch = manager.make('pitch', utterance).process(audio)
+        pitch = manager.make('pitch_post').process(pitch)
     else:
         pitch = None
 
@@ -541,13 +539,12 @@ def _batched_pass_two(manager, triplets, log, tolerance=2):
     for utterance, features, pitch in triplets:
         if 'cmvn' in config:
             log.debug('%s: apply cmvn', utterance.name)
-            features = manager.get_cmvn_processor(
-                utterance).process(features)
+            features = manager.apply_cmvn(utterance, features)
         staged.append((utterance, features, pitch))
 
     if 'delta' in config:
         log.debug('batched delta over %d utterances', len(staged))
-        delta_proc = manager.get_delta_processor(None)
+        delta_proc = manager.make('delta')
         outputs = _batched_deltas(
             [features.data for _, features, _ in staged], delta_proc)
         staged = [
@@ -588,11 +585,11 @@ def _extract_pass_two(utterance, manager, features, pitch, log,
                       tolerance=2):
     if 'cmvn' in manager.config:
         log.debug('%s: apply cmvn', utterance.name)
-        features = manager.get_cmvn_processor(utterance).process(features)
+        features = manager.apply_cmvn(utterance, features)
 
     if 'delta' in manager.config:
         log.debug('%s: apply delta', utterance.name)
-        features = manager.get_delta_processor(utterance).process(features)
+        features = manager.make('delta').process(features)
 
     if pitch:
         log.debug('%s: concatenate pitch', utterance.name)
@@ -612,12 +609,12 @@ def _process_one(utterance, manager, log, warp=None, with_pitch=True):
     audio = manager.get_audio(utterance)
 
     log.debug('%s: extract %s', utterance.name, manager.features)
-    features = manager.get_features_processor(utterance).process(
+    features = manager.make('features', utterance).process(
         audio, vtln_warp=warp)
 
     if 'delta' in manager.config:
         log.debug('%s: apply delta', utterance.name)
-        features = manager.get_delta_processor(utterance).process(features)
+        features = manager.make('delta').process(features)
 
     return utterance.name, features
 

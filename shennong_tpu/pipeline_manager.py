@@ -1,9 +1,17 @@
-"""Processor instantiation for the extraction pipeline.
+"""Pipeline stage wiring: config sections -> configured processors.
 
-API-compatible with ``shennong/pipeline_manager.py``: maps config
-sections to processor classes (dynamic imports to avoid loading every
-backend), scans audio metadata, wires shared framing parameters and
-keeps per-speaker or per-utterance CMVN accumulators.
+Fulfills the role of ``shennong/pipeline_manager.py`` (map YAML
+sections to processor classes, scan corpus audio metadata, share the
+framing parameters across stages) with a different internal design:
+
+- one spec-table-driven :meth:`make` factory builds any stage
+  processor, instead of one hand-written ``get_x_processor`` method
+  per stage;
+- CMVN state is a dict of plain ``[2, dim+1]`` statistics arrays keyed
+  by speaker or utterance — the associative form the device reductions
+  and the multi-host psums operate on — rather than long-lived
+  accumulator objects (the reference shares mutable
+  ``CmvnPostProcessor`` instances across worker threads).
 """
 
 import datetime
@@ -17,7 +25,7 @@ from shennong_tpu.logger import get_logger
 
 
 class PipelineManager:
-    """Instanciates and configures the pipeline processors"""
+    """Builds and wires the processors of one extraction pipeline"""
 
     valid_features = [
         'spectrogram', 'filterbank', 'mfcc', 'plp', 'bottleneck']
@@ -57,35 +65,41 @@ class PipelineManager:
         self._warps = {}
         self.log = log
 
-        self._check_utterances()
+        by_speaker = (
+            'cmvn' in config and config['cmvn'].get('by_speaker', False))
+        if by_speaker and not utterances.has_speakers():
+            raise ValueError(
+                'cmvn normalization by speaker requested '
+                'but no speaker information provided')
 
-        # scan the audio metadata once (sample rates are needed to
-        # instanciate the processors)
-        self._audio_metadata = {}
-        for audio_file in set(utt.audio_file for utt in utterances):
-            log.debug('scanning %s', audio_file)
-            self._audio_metadata[audio_file] = Audio.scan(audio_file)
+        # one metadata scan per distinct file; processors need the
+        # sample rates at build time
+        self._audio_metadata = {
+            audio_file: Audio.scan(audio_file)
+            for audio_file in set(utt.audio_file for utt in utterances)}
 
-        log.info('scanning %s utterances...', len(self._utterances))
-        self._check_audio_files()
+        log.info('scanning %s utterances...', len(utterances))
+        self._report_corpus()
 
         self.features = [
-            k for k in self.config.keys() if k in self.valid_features][0]
+            k for k in config.keys() if k in self.valid_features][0]
 
-        # framing parameters shared by the energy/pitch processors
-        proc = self.get_features_processor(next(iter(self.utterances)))
+        # framing parameters shared by the energy/pitch stages
+        proc = self.make('features', next(iter(utterances)))
         self.frame_length = proc.frame_length
         self.frame_shift = proc.frame_shift
+        self._ndims = proc.ndims
 
-        # one CMVN accumulator per speaker (or per utterance)
-        if 'cmvn' in self.config:
-            if self.config['cmvn']['by_speaker']:
-                keys = set(utt.speaker for utt in self.utterances)
-            else:
-                keys = set(utt.name for utt in self.utterances)
-            self._cmvn_processors = {
-                key: self.get_processor_class('cmvn')(proc.ndims)
-                for key in keys}
+        # CMVN state: plain statistics arrays, one per group key
+        self.cmvn_stats = {}
+        if 'cmvn' in config:
+            keys = set(
+                utt.speaker if by_speaker else utt.name
+                for utt in utterances)
+            self.cmvn_stats = {
+                key: np.zeros((2, self._ndims + 1)) for key in keys}
+
+    # ------------------------------------------------------- accessors
 
     @property
     def config(self):
@@ -111,33 +125,23 @@ class PipelineManager:
         """Audio metadata corresponding to utterances"""
         return self._audio_metadata
 
-    def _check_utterances(self):
-        cmvn_by_speaker = (
-            'cmvn' in self.config
-            and self.config['cmvn'].get('by_speaker', False))
-        if cmvn_by_speaker and not self.utterances.has_speakers():
-            raise ValueError(
-                'cmvn normalization by speaker requested '
-                'but no speaker information provided')
-
-    def _check_audio_files(self):
-        total_duration = self.utterances.duration()
+    def _report_corpus(self):
         speakers = (
-            '' if not self.utterances.has_speakers()
+            '' if not self._utterances.has_speakers()
             else ' from {} speakers'.format(
-                len(set(utt.speaker for utt in self.utterances))))
+                len(set(utt.speaker for utt in self._utterances))))
         self.log.info(
             'processing %s utterances%s from %s audio files '
             '(total duration %s)',
-            len(self.utterances), speakers, len(self.audio_metadata),
-            datetime.timedelta(seconds=total_duration))
+            len(self._utterances), speakers, len(self._audio_metadata),
+            datetime.timedelta(seconds=self._utterances.duration()))
 
         if any(meta.nchannels != 1
-               for meta in self.audio_metadata.values()):
+               for meta in self._audio_metadata.values()):
             raise ValueError('all audio files are not mono')
 
         samplerates = set(
-            meta.sample_rate for meta in self.audio_metadata.values())
+            meta.sample_rate for meta in self._audio_metadata.values())
         if len(samplerates) > 1:
             self.log.warning(
                 'audio files mix several sample rates (%s); extraction '
@@ -145,9 +149,7 @@ class PipelineManager:
                 'mistake',
                 ', '.join(str(s) + 'Hz' for s in samplerates))
 
-    def _set_logger(self, processor):
-        processor.log.setLevel(self.log.getEffectiveLevel())
-        return processor
+    # ------------------------------------------------- class inspection
 
     @classmethod
     def get_processor_class(cls, name):
@@ -197,6 +199,64 @@ class PipelineManager:
             text = re.sub(pattern, replacement, text)
         return text.strip()
 
+    # ------------------------------------------------ the stage factory
+
+    def _stage_spec(self, kind):
+        """(processor name, config section, wiring flags) of a stage.
+
+        Wiring flags: 'rate' copies the utterance's sample rate in,
+        'framing' copies the pipeline's shared frame geometry.
+        """
+        pitch_kind = (
+            self.config['pitch']['processor']
+            if 'pitch' in self.config else None)
+        specs = {
+            'features': (
+                self.features, dict(self.config[self.features]),
+                # bottleneck pins its own 8 kHz rate
+                {'rate'} if self.features != 'bottleneck' else set()),
+            'energy': ('energy', {}, {'rate', 'framing'}),
+            'vad': (
+                'vad', dict(self.config.get('cmvn', {}).get('vad', {})),
+                set()),
+            'delta': ('delta', dict(self.config.get('delta', {})), set()),
+            'vtln': ('vtln', dict(self.config.get('vtln', {})), set()),
+            'pitch': (
+                f'{pitch_kind}_pitch',
+                {k: v for k, v in self.config.get('pitch', {}).items()
+                 if k not in ('processor', 'postprocessing')},
+                # crepe pins its own 16 kHz rate
+                {'framing'} | ({'rate'} if pitch_kind == 'kaldi'
+                               else set())),
+            'pitch_post': (
+                f'{pitch_kind}_pitch_post',
+                dict(self.config.get('pitch', {}).get(
+                    'postprocessing', {})),
+                set()),
+        }
+        return specs[kind]
+
+    def make(self, kind, utterance=None):
+        """Build the configured processor of one pipeline stage.
+
+        ``kind`` is one of features/energy/vad/delta/vtln/pitch/
+        pitch_post; ``utterance`` supplies the sample rate for the
+        stages that need one.
+        """
+        name, params, wiring = self._stage_spec(kind)
+        if 'framing' in wiring:
+            params['frame_length'] = self.frame_length
+            params['frame_shift'] = self.frame_shift
+        if 'rate' in wiring and utterance is not None:
+            params['sample_rate'] = self._rate_of(utterance)
+
+        proc = self.get_processor_class(name)(**params)
+        proc.log.setLevel(self.log.getEffectiveLevel())
+        return proc
+
+    def _rate_of(self, utterance):
+        return self._audio_metadata[utterance.audio_file].sample_rate
+
     def get_audio(self, utterance):
         """Load (and for bottleneck, resample) an utterance's audio."""
         audio = utterance.load_audio()
@@ -214,77 +274,35 @@ class PipelineManager:
             audio.nsamples, audio.duration)
         return audio
 
-    def _rate_of(self, utterance):
-        return self._audio_metadata[utterance.audio_file].sample_rate
-
-    def get_features_processor(self, utterance):
-        """The main features processor for an utterance"""
-        proc = self.get_processor_class(self.features)(
-            **self.config[self.features])
-        try:
-            proc.sample_rate = self._rate_of(utterance)
-        except AttributeError:
-            pass  # bottleneck pins its own sample rate
-        return self._set_logger(proc)
-
-    def get_energy_processor(self, utterance):
-        """An energy processor matching the pipeline framing"""
-        proc = self.get_processor_class('energy')()
-        proc.frame_length = self.frame_length
-        proc.frame_shift = self.frame_shift
-        proc.sample_rate = self._rate_of(utterance)
-        return self._set_logger(proc)
-
-    def get_vad_processor(self, _):
-        """The VAD processor of the cmvn config section"""
-        return self._set_logger(
-            self.get_processor_class('vad')(**self.config['cmvn']['vad']))
-
-    def get_cmvn_processor(self, utterance):
-        """The CMVN accumulator of this utterance (or its speaker)"""
-        if self.config['cmvn']['by_speaker']:
-            return self._cmvn_processors[utterance.speaker]
-        return self._set_logger(self._cmvn_processors[utterance.name])
-
-    def get_pitch_processor(self, utterance):
-        """The pitch processor configured for an utterance"""
-        params = dict(
-            self.config['pitch'],
-            frame_shift=self.frame_shift,
-            frame_length=self.frame_length)
-        params.pop('processor', None)
-        params.pop('postprocessing', None)
-
-        if self.config['pitch']['processor'] == 'crepe':
-            name = 'crepe_pitch'  # crepe pins its own 16 kHz rate
-        else:
-            name = 'kaldi_pitch'
-            params['sample_rate'] = self._rate_of(utterance)
-        return self._set_logger(self.get_processor_class(name)(**params))
-
-    def get_pitch_post_processor(self, _):
-        """The pitch post-processor of the pipeline"""
-        name = (
-            'crepe_pitch_post'
-            if self.config['pitch']['processor'] == 'crepe'
-            else 'kaldi_pitch_post')
-        return self._set_logger(
-            self.get_processor_class(name)(
-                **self.config['pitch']['postprocessing']))
-
-    def get_delta_processor(self, _):
-        """The delta post-processor of the pipeline"""
-        return self._set_logger(
-            self.get_processor_class('delta')(**self.config['delta']))
-
-    def get_vtln_processor(self, _):
-        """The VTLN processor of the pipeline"""
-        return self._set_logger(
-            self.get_processor_class('vtln')(**self.config['vtln']))
-
     def get_warp(self, utterance):
         """The VTLN warp of this utterance (1.0 when unset)"""
         try:
             return self.warps[utterance.name]
         except KeyError:  # pragma: nocover
             return 1.0
+
+    # --------------------------------------------- CMVN stats-as-arrays
+
+    def cmvn_key(self, utterance):
+        """The CMVN statistics group of an utterance"""
+        if self.config['cmvn']['by_speaker']:
+            return utterance.speaker
+        return utterance.name
+
+    def accumulate_cmvn(self, utterance, features, weights=None):
+        """Add one utterance's statistics to its group accumulator.
+
+        Statistics are plain ``[2, dim+1]`` arrays: the reduction is
+        associative, so utterances accumulate in any order (and shards
+        psum across devices/hosts in the distributed pipeline).
+        """
+        from shennong_tpu.ops.postops import accumulate_cmvn_stats
+        self.cmvn_stats[self.cmvn_key(utterance)] += \
+            accumulate_cmvn_stats(features.data, weights=weights)
+
+    def apply_cmvn(self, utterance, features):
+        """Normalize one utterance's features with its group stats."""
+        cmvn = self.get_processor_class('cmvn')(
+            self._ndims, stats=self.cmvn_stats[self.cmvn_key(utterance)])
+        cmvn.log.setLevel(self.log.getEffectiveLevel())
+        return cmvn.process(features)

@@ -140,3 +140,35 @@ class CatchExceptions:
     def exit(msg):
         sys.stderr.write(msg.strip() + '\n')
         sys.exit(1)
+
+
+def enable_compilation_cache(directory=None):
+    """Turn on JAX's persistent compilation cache.
+
+    First-run compiles of the pipeline programs cost seconds to
+    minutes per shape bucket; the persistent cache makes every later
+    process start warm. Called by the CLI and the examples; library
+    users opt in explicitly (or via the standard
+    ``JAX_COMPILATION_CACHE_DIR`` environment variable). Safe to call
+    multiple times; a no-op once a backend is initialized with a cache
+    already configured.
+    """
+    import os
+
+    import jax
+
+    if directory is None:
+        directory = os.environ.get(
+            'JAX_COMPILATION_CACHE_DIR',
+            os.path.join(
+                os.path.expanduser('~'), '.cache', 'shennong_tpu',
+                'jax_cache'))
+    os.makedirs(directory, exist_ok=True)
+    try:
+        jax.config.update('jax_compilation_cache_dir', directory)
+        # cache every program, however small the compile time
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0)
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+    except Exception:  # pragma: nocover - depends on the jax version
+        pass
+    return directory
