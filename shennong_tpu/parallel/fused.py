@@ -30,7 +30,11 @@ def mfcc_pitch_pipeline(signals, nsamples, mel_weights, mfcc_opts,
     [B, T] padded signals -> [B, F, 13*(delta_order+1) + pitch_dims]
     feature batch plus the per-utterance frame counts. Mirrors the
     reference's `mfcc --cmvn --delta --pitch kaldi` pipeline with
-    per-utterance CMVN; every stage is fused into one XLA program.
+    per-utterance CMVN normalizing mean AND variance — exactly the
+    reference pipeline's pass-2 behavior (CmvnPostProcessor.process
+    defaults to norm_vars=True and the reference's own test asserts
+    unit output std, test/test_pipeline.py:403-408); every stage is
+    fused into one XLA program.
     """
     feats = spectral.mfcc_batch(
         signals, nsamples, mel_weights, mfcc_opts, nframes_max)
