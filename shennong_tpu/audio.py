@@ -6,9 +6,13 @@ resampling and time segmentation.
 
 Differences from the reference:
 
-- decoding relies on :mod:`scipy.io.wavfile` and, for non-WAV formats,
-  on an ``ffmpeg`` binary when present (the reference used pydub/sox
-  Python bindings, not available here);
+- decoding relies on :mod:`scipy.io.wavfile` for WAV and on the native
+  in-process codec runtime for compressed formats: FLAC through our own
+  decoder (``native/shennong_flac.cpp``) and mp3/ogg/... through the
+  system libav* libraries (``native/shennong_codec.cpp``); an
+  ``ffmpeg`` binary, when present, remains a last-resort fallback (the
+  reference shelled out to ffmpeg through pydub for every non-WAV
+  format, ``shennong/audio.py:276-281``);
 - the 'sox' resampling backend is replaced by a polyphase bandlimited
   resampler (``scipy.signal.resample_poly``) of equivalent quality; the
   'sox' name is kept as an alias so existing configurations keep
@@ -158,6 +162,16 @@ class Audio:
             return cls._metadata(
                 nchannels, rate, nsamples, nsamples / rate)
 
+        # mp3/ogg/... through the in-process libav* codec runtime;
+        # the sample count is the container-duration estimate, as
+        # with the reference's ffmpeg probe
+        from shennong_tpu import native
+        meta = native.codec_scan(filename)
+        if meta is not None:
+            nchannels, rate, nsamples = meta
+            return cls._metadata(
+                nchannels, rate, nsamples, nsamples / rate)
+
         # other formats: probe with ffmpeg if available
         if _ffmpeg_binary():
             try:
@@ -201,6 +215,13 @@ class Audio:
             data, rate = decoded
             return cls(data, rate, validate=False)
 
+        # mp3/ogg/... through the in-process libav* codec runtime
+        from shennong_tpu import native
+        decoded = native.codec_decode(filename)
+        if decoded is not None:
+            data, rate = decoded
+            return cls(data, rate, validate=False)
+
         # non-WAV formats decoded through the ffmpeg binary
         if _ffmpeg_binary():
             try:
@@ -216,8 +237,8 @@ class Audio:
                     f'{filename}: cannot read file, {err}') from None
 
         raise ValueError(
-            f'{filename}: cannot read file (not a WAV and no ffmpeg '
-            f'binary found for other formats)')
+            f'{filename}: cannot read file (not a WAV, and neither the '
+            f'native codec runtime nor an ffmpeg binary could decode it)')
 
     def save(self, filename):
         """Write the signal to ``filename`` (format from extension)."""
@@ -231,7 +252,17 @@ class Audio:
         extension = filename.split('.')[-1].lower()
         if extension == 'wav':
             scipy.io.wavfile.write(filename, self.sample_rate, self.data)
-        elif _ffmpeg_binary():
+            return
+
+        # compressed formats through the in-process libav* codec
+        # runtime (lossy codecs take int16 PCM; the conversion uses
+        # the same scaling rules as astype)
+        from shennong_tpu import native
+        if native.codec_encode(
+                filename, self.astype(np.int16).data, self.sample_rate):
+            return
+
+        if _ffmpeg_binary():
             import io
             buf = io.BytesIO()
             scipy.io.wavfile.write(buf, self.sample_rate, self.data)
@@ -240,7 +271,8 @@ class Audio:
                 input=buf.getvalue(), capture_output=True, check=True)
         else:
             raise ValueError(
-                f'{filename}: only .wav output supported without ffmpeg')
+                f'{filename}: cannot encode .{extension} (neither the '
+                f'native codec runtime nor an ffmpeg binary is available)')
 
     def channel(self, index):
         """Extract channel ``index`` as a mono :class:`Audio`."""
@@ -318,18 +350,20 @@ class Audio:
         Follows the reference scaling rules exactly (int16<->int32 via
         2^15, floats normalized to [-1, 1] via 2^15 or 2^30).
         """
-        if self.dtype is np.dtype(dtype):
+        if self.dtype == np.dtype(dtype):
             return self
         if not self._is_valid_dtype(dtype):
             raise ValueError(f'unsupported audio data type: {dtype}')
 
-        if self.dtype is np.dtype(np.int16):
+        # dtype comparisons use == (not `is`): arrays born from
+        # ctypes/buffer views carry equal but non-interned dtype objects
+        if self.dtype == np.dtype(np.int16):
             # widen before scaling: numpy 2 would otherwise wrap the
             # int16 multiplication
             data = (
                 self.data.astype(np.int64) * 2**15 if dtype is np.int32
                 else self.data / 2**15)
-        elif self.dtype is np.dtype(np.int32):
+        elif self.dtype == np.dtype(np.int32):
             data = (
                 self.data / 2**15 if dtype is np.int16
                 else self.data / 2**30)

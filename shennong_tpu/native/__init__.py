@@ -21,15 +21,31 @@ _SOURCES = [
     os.path.join(_HERE, 'shennong_flac.cpp')]
 _LIBRARY = os.path.join(_HERE, 'libshennong_io.so')
 
+# the compressed-audio codec (mp3/ogg/... via the system libav*
+# libraries) builds as its own shared object so a machine without
+# libavformat still gets the base IO runtime
+_CODEC_SOURCES = [os.path.join(_HERE, 'shennong_codec.cpp')]
+_CODEC_LIBRARY = os.path.join(_HERE, 'libshennong_codec.so')
+
 _lock = threading.Lock()
 _lib = None
 _failed = False
+_codec_lib = None
+_codec_failed = False
 
 
 def _build():
     subprocess.run(
         ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', '-pthread',
          '-o', _LIBRARY] + _SOURCES,
+        check=True, capture_output=True)
+
+
+def _build_codec():
+    subprocess.run(
+        ['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
+         '-o', _CODEC_LIBRARY] + _CODEC_SOURCES
+        + ['-lavformat', '-lavcodec', '-lavutil', '-lswresample'],
         check=True, capture_output=True)
 
 
@@ -90,9 +106,127 @@ def load_library():
     return _lib
 
 
+def load_codec_library():
+    """Load (building if needed) the codec library, or None.
+
+    Returns None on machines without the libav* system libraries;
+    callers then fall back to an ffmpeg binary or raise.
+    """
+    global _codec_lib, _codec_failed
+    if _codec_lib is not None or _codec_failed:
+        return _codec_lib
+    with _lock:
+        if _codec_lib is not None or _codec_failed:
+            return _codec_lib
+        try:
+            if (not os.path.isfile(_CODEC_LIBRARY)
+                    or os.path.getmtime(_CODEC_LIBRARY)
+                    < max(os.path.getmtime(s) for s in _CODEC_SOURCES)):
+                _build_codec()
+            lib = ctypes.CDLL(_CODEC_LIBRARY)
+
+            lib.shennong_codec_scan.restype = ctypes.c_int
+            lib.shennong_codec_scan.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int64)]
+
+            lib.shennong_codec_decode.restype = ctypes.POINTER(
+                ctypes.c_int16)
+            lib.shennong_codec_decode.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32)]
+
+            lib.shennong_codec_free.restype = None
+            lib.shennong_codec_free.argtypes = [
+                ctypes.POINTER(ctypes.c_int16)]
+
+            lib.shennong_codec_encode.restype = ctypes.c_int
+            lib.shennong_codec_encode.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int16),
+                ctypes.c_int64, ctypes.c_int32, ctypes.c_int32]
+
+            _codec_lib = lib
+        except Exception:
+            _codec_failed = True
+    return _codec_lib
+
+
 def available():
     """True when the native library could be built and loaded"""
     return load_library() is not None
+
+
+def codec_available():
+    """True when the libav*-backed codec library is usable"""
+    return load_codec_library() is not None
+
+
+def codec_scan(path):
+    """(channels, sample_rate, nsamples_estimate) of a compressed
+    audio file, or None. The sample count comes from the container
+    duration (the exact count requires a decode, as with the
+    reference's ffmpeg probe)."""
+    lib = load_codec_library()
+    if lib is None:
+        return None
+    channels = ctypes.c_int32()
+    rate = ctypes.c_int32()
+    nsamples = ctypes.c_int64()
+    status = lib.shennong_codec_scan(
+        str(path).encode(), ctypes.byref(channels), ctypes.byref(rate),
+        ctypes.byref(nsamples))
+    if status != 0:
+        return None
+    return channels.value, rate.value, nsamples.value
+
+
+def codec_decode(path):
+    """Decode a compressed audio file entirely.
+
+    Returns (samples int16 [nframes] or [nframes, channels],
+    sample_rate), or None when the codec library is unavailable or
+    the file cannot be decoded.
+    """
+    lib = load_codec_library()
+    if lib is None:
+        return None
+    nframes = ctypes.c_int64()
+    channels = ctypes.c_int32()
+    rate = ctypes.c_int32()
+    buffer = lib.shennong_codec_decode(
+        str(path).encode(), ctypes.byref(nframes),
+        ctypes.byref(channels), ctypes.byref(rate))
+    if not buffer:
+        return None
+    try:
+        count = nframes.value * channels.value
+        # astype (not copy) so the result carries the canonical
+        # np.int16 dtype instance, not ctypeslib's private one
+        data = np.ctypeslib.as_array(
+            buffer, shape=(count,)).astype(np.int16)
+    finally:
+        lib.shennong_codec_free(buffer)
+    if channels.value > 1:
+        data = data.reshape(nframes.value, channels.value)
+    return data, rate.value
+
+
+def codec_encode(path, data, sample_rate):
+    """Encode interleaved int16 PCM to ``path`` (format from the
+    extension: mp3, flac, ogg, ...). Returns True on success."""
+    lib = load_codec_library()
+    if lib is None:
+        return False
+    data = np.ascontiguousarray(data, dtype=np.int16)
+    nframes = data.shape[0]
+    channels = 1 if data.ndim == 1 else data.shape[1]
+    status = lib.shennong_codec_encode(
+        str(path).encode(),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        nframes, channels, sample_rate)
+    return status == 0
 
 
 def wav_scan(path):
