@@ -257,6 +257,45 @@ class PipelineManager:
     def _rate_of(self, utterance):
         return self._audio_metadata[utterance.audio_file].sample_rate
 
+    # ------------------------------------- per-stage getters (reference
+    # public API, shennong/pipeline_manager.py:247-318; thin wrappers
+    # over the spec-table factory)
+
+    def get_features_processor(self, utterance):
+        """The configured main features extractor for ``utterance``"""
+        return self.make('features', utterance)
+
+    def get_energy_processor(self, utterance):
+        """The energy processor sharing the pipeline's framing"""
+        return self.make('energy', utterance)
+
+    def get_vad_processor(self, _utterance=None):
+        """The VAD post-processor weighting the CMVN statistics"""
+        return self.make('vad')
+
+    def get_cmvn_processor(self, utterance):
+        """A CMVN post-processor over the utterance's group stats"""
+        cmvn = self.get_processor_class('cmvn')(
+            self._ndims, stats=self.cmvn_stats[self.cmvn_key(utterance)])
+        cmvn.log.setLevel(self.log.getEffectiveLevel())
+        return cmvn
+
+    def get_pitch_processor(self, utterance):
+        """The configured pitch extractor for ``utterance``"""
+        return self.make('pitch', utterance)
+
+    def get_pitch_post_processor(self, _utterance=None):
+        """The configured pitch post-processor"""
+        return self.make('pitch_post')
+
+    def get_delta_processor(self, _utterance=None):
+        """The configured delta post-processor"""
+        return self.make('delta')
+
+    def get_vtln_processor(self, _utterance=None):
+        """The configured VTLN processor"""
+        return self.make('vtln')
+
     def get_audio(self, utterance):
         """Load (and for bottleneck, resample) an utterance's audio."""
         audio = utterance.load_audio()
