@@ -18,7 +18,8 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SOURCES = [
     os.path.join(_HERE, 'shennong_io.cpp'),
-    os.path.join(_HERE, 'shennong_flac.cpp')]
+    os.path.join(_HERE, 'shennong_flac.cpp'),
+    os.path.join(_HERE, 'shennong_csv.cpp')]
 _LIBRARY = os.path.join(_HERE, 'libshennong_io.so')
 
 # the compressed-audio codec (mp3/ogg/... via the system libav*
@@ -99,6 +100,12 @@ def load_library():
             lib.shennong_flac_decode.argtypes = [
                 ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int64]
+
+            lib.shennong_csv_write.restype = ctypes.c_int64
+            lib.shennong_csv_write.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int64, ctypes.c_int32, ctypes.c_int32]
 
             _lib = lib
         except Exception:
@@ -292,7 +299,9 @@ def ark_index(path, max_records=1 << 20, keys_capacity=1 << 24):
         max_records)
     if count < 0:
         return None
-    keys = keys_buf.raw.split(b'\0')[:count]
+    # bound the split at `count` NULs: splitting the whole capacity
+    # buffer would shred megabytes of trailing zeros
+    keys = keys_buf.raw.split(b'\0', count)[:count]
     return [
         (keys[i].decode(), int(meta[i, 0]), int(meta[i, 1]),
          int(meta[i, 2]), bool(meta[i, 3]))
@@ -348,6 +357,27 @@ def flac_decode(path):
     if bits <= 16:
         data = data.astype(np.int16)
     return data, rate
+
+
+def csv_write(path, header, values, num_threads=8):
+    """Write a 2-D float64 array as a space-separated CSV.
+
+    ``header`` is written verbatim first (pass '' for none). Values
+    are formatted %.17g (round-trip exact). Returns True on success,
+    False when the native library is unavailable or the write failed
+    (callers then fall back to numpy.savetxt).
+    """
+    lib = load_library()
+    if lib is None:
+        return False
+    values = np.ascontiguousarray(values, dtype=np.float64)
+    if values.ndim != 2:
+        return False
+    written = lib.shennong_csv_write(
+        str(path).encode(), header.encode(),
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        values.shape[0], values.shape[1], num_threads)
+    return written >= 0
 
 
 def ark_read_matrix(path, offset, rows, cols, is_double):

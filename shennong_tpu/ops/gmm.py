@@ -142,6 +142,33 @@ def em_step(feats, frame_weights, weights, means, inv_vars,
     return tot_like, new_weights, new_means, new_inv
 
 
+@functools.partial(
+    jax.jit, static_argnames=(
+        'num_iters', 'min_gaussian_weight', 'min_gaussian_occupancy',
+        'min_variance'))
+def em_steps(feats, frame_weights, weights, means, inv_vars, num_iters,
+             min_gaussian_weight=1e-4, min_gaussian_occupancy=10.0,
+             min_variance=0.001):
+    """``num_iters`` EM iterations fused into one device program.
+
+    A ``lax.fori_loop`` over :func:`em_step`: the training loops pay
+    one dispatch per *run* of same-shape iterations instead of one per
+    iteration (each dispatch costs milliseconds through a device
+    relay). Returns (tot_like of the last iteration, weights, means,
+    inv_vars).
+    """
+    def body(_, carry):
+        _, w, m, v = carry
+        return em_step(
+            feats, frame_weights, w, m, v,
+            min_gaussian_weight=min_gaussian_weight,
+            min_gaussian_occupancy=min_gaussian_occupancy,
+            min_variance=min_variance)
+
+    init = (jnp.float32(0.0), weights, means, inv_vars)
+    return jax.lax.fori_loop(0, num_iters, body, init)
+
+
 def mle_update(occupancy, mean_acc, var_acc, weights, means, inv_vars,
                min_gaussian_weight=1e-4, min_gaussian_occupancy=10.0,
                min_variance=0.001, remove_low_count_gaussians=False):

@@ -319,12 +319,26 @@ class DiagUbmProcessor(BaseProcessor):
         feats_dev = jnp.asarray(feats, dtype=jnp.float32)
         ones_dev = jnp.ones(feats.shape[0], dtype=jnp.float32)
         params = self.gmm.as_jax()
-        for i in range(self.num_iters_init):
-            if self.log.isEnabledFor(10):  # logging.DEBUG
-                self.log.debug('Iteration %s', i)
-            tot_like, *params = gmm_ops.em_step(
-                feats_dev, ones_dev, *params,
-                min_gaussian_weight=self._min_gaussian_weight)
+        i = 0
+        while i < self.num_iters_init:
+            if cur_num_gauss >= self.num_gauss:
+                # no more shape-changing splits ahead: fuse every
+                # remaining iteration into one device program
+                run = self.num_iters_init - i
+                if self.log.isEnabledFor(10):  # logging.DEBUG
+                    self.log.debug('Iterations %s..%s (fused)',
+                                   i, self.num_iters_init - 1)
+                tot_like, *params = gmm_ops.em_steps(
+                    feats_dev, ones_dev, *params, num_iters=run,
+                    min_gaussian_weight=self._min_gaussian_weight)
+                i += run
+            else:
+                if self.log.isEnabledFor(10):
+                    self.log.debug('Iteration %s', i)
+                tot_like, *params = gmm_ops.em_step(
+                    feats_dev, ones_dev, *params,
+                    min_gaussian_weight=self._min_gaussian_weight)
+                i += 1
             if self.log.isEnabledFor(10):
                 self.log.debug(
                     'Likelihood per frame: %s over %s frames',
@@ -623,25 +637,28 @@ class DiagUbmProcessor(BaseProcessor):
         feats_dev = jnp.asarray(flat)
         weights_dev = jnp.asarray(flat_weights)
         params = self.gmm.as_jax()
-        for i in range(self.num_iters):
-            if self.log.isEnabledFor(10):  # logging.DEBUG
-                self.log.debug('Training pass %s', i + 1)
-            last = i == self.num_iters - 1
-            if last and self.remove_low_count_gaussians:
-                _, occ, mean_acc, var_acc = gmm_ops.accumulate_stats(
-                    feats_dev, weights_dev, *params)
-                self.gmm = DiagGmm(*[
-                    np.asarray(p, dtype=np.float64) for p in params])
-                self.estimate((
-                    np.asarray(occ, dtype=np.float64),
-                    np.asarray(mean_acc, dtype=np.float64),
-                    np.asarray(var_acc, dtype=np.float64)))
-                params = None
-                break
-            _, *params = gmm_ops.em_step(
+        if self.num_iters > 0 and self.remove_low_count_gaussians:
+            # all but the last iteration fused into one program; the
+            # final one goes through the host update because component
+            # removal changes shapes
+            if self.num_iters > 1:
+                _, *params = gmm_ops.em_steps(
+                    feats_dev, weights_dev, *params,
+                    num_iters=self.num_iters - 1,
+                    min_gaussian_weight=self._min_gaussian_weight)
+            _, occ, mean_acc, var_acc = gmm_ops.accumulate_stats(
+                feats_dev, weights_dev, *params)
+            self.gmm = DiagGmm(*[
+                np.asarray(p, dtype=np.float64) for p in params])
+            self.estimate((
+                np.asarray(occ, dtype=np.float64),
+                np.asarray(mean_acc, dtype=np.float64),
+                np.asarray(var_acc, dtype=np.float64)))
+        elif self.num_iters > 0:
+            _, *params = gmm_ops.em_steps(
                 feats_dev, weights_dev, *params,
+                num_iters=self.num_iters,
                 min_gaussian_weight=self._min_gaussian_weight)
-        if params is not None:
             self.gmm = DiagGmm(*[
                 np.asarray(p, dtype=np.float64) for p in params])
         self.log.info('Done training UBM.')

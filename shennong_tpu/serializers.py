@@ -241,7 +241,9 @@ class PickleSerializer(FeaturesSerializer):
         self._log.info('writing %s', self.filename)
         pickler = pickle.Pickler if with_properties else _NoPropertiesPickler
         with open(self.filename, 'wb') as stream:
-            pickler(stream).dump(features)
+            # protocol 5 serializes numpy arrays without the extra
+            # in-band bytes copy of protocol 4 (~2x faster dumps)
+            pickler(stream, protocol=5).dump(features)
 
     def _load(self):
         self._log.info('loading %s', self.filename)
@@ -608,8 +610,11 @@ class KaldiSerializer(FeaturesSerializer):
 
         return self._features_collection(**{
             k: Features(
-                data[k].astype(properties[k]['__dtype_data__']),
-                times[k].astype(properties[k]['__dtype_times__']),
+                # copy=False: the ark stores float32 matrices natively,
+                # so the common case is already in the target dtype
+                data[k].astype(properties[k]['__dtype_data__'], copy=False),
+                times[k].astype(
+                    properties[k]['__dtype_times__'], copy=False),
                 properties={
                     key: p for key, p in properties[k].items()
                     if '__dtype_' not in key},
@@ -631,19 +636,23 @@ class CsvSerializer(FeaturesSerializer):
     def _save(self, features, with_properties):
         os.makedirs(self.filename)
         self._log.info('writing directory "%s"', self.filename)
+        from shennong_tpu import native
         for name, feat in features.items():
             csv_file = os.path.join(self.filename, name + '.csv')
             self._log.debug('writing %s', csv_file)
             times = (
                 feat.times.reshape((feat.nframes, 1))
                 if feat.times.ndim == 1 else feat.times)
-            np.savetxt(
-                csv_file, np.hstack((times, feat.data)),
-                header=(
-                    f'data_dtype = {feat.dtype}, '
-                    f'times_dtype = {feat.times.dtype}, '
-                    f'features_ndims = {feat.ndims}'),
-                comments='# ')
+            header = (
+                f'data_dtype = {feat.dtype}, '
+                f'times_dtype = {feat.times.dtype}, '
+                f'features_ndims = {feat.ndims}')
+            table = np.hstack((times, feat.data))
+            # the threaded native writer renders shortest-round-trip
+            # doubles (exact); numpy.savetxt is the fallback
+            if not native.csv_write(csv_file, '# ' + header + '\n', table):
+                np.savetxt(
+                    csv_file, table, header=header, comments='# ')
 
             if with_properties and feat.properties:
                 json_file = os.path.join(self.filename, name + '.json')
@@ -679,6 +688,9 @@ class CsvSerializer(FeaturesSerializer):
             self._log.debug('loading %s', csv)
             data_dtype, times_dtype, ndims = self._parse_header(csv)
 
+            # numpy.loadtxt: correctly-rounded parsing, so the
+            # writer's shortest-round-trip rendering reads back exact
+            # (pandas' fast parsers are not correctly rounded)
             raw = np.loadtxt(csv)
             times = raw[:, :raw.shape[1] - ndims].astype(times_dtype)
             if times.shape[1] == 1:

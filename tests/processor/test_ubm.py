@@ -153,3 +153,34 @@ def test_accumulate_validation(utterances):
         u1=Features(np.zeros((5, 3)), np.arange(5.0)))
     with pytest.raises(TypeError, match='not initialized'):
         ubm.accumulate(fc)
+
+
+def test_em_steps_matches_repeated_em_step(gmm_data):
+    """The fused multi-iteration program equals iterated em_step."""
+    import jax.numpy as jnp
+    from shennong_tpu.ops import gmm as gmm_ops
+
+    feats = gmm_data
+    rng = np.random.RandomState(1)
+    weights = np.full(4, 0.25)
+    means = rng.randn(4, feats.shape[1])
+    inv_vars = np.ones((4, feats.shape[1]))
+    fw = jnp.ones(feats.shape[0], dtype=jnp.float32)
+
+    params_loop = (jnp.asarray(weights, jnp.float32),
+                   jnp.asarray(means, jnp.float32),
+                   jnp.asarray(inv_vars, jnp.float32))
+    like_loop = None
+    for _ in range(3):
+        like_loop, *params_loop = gmm_ops.em_step(
+            jnp.asarray(feats, jnp.float32), fw, *params_loop)
+
+    like_fused, *params_fused = gmm_ops.em_steps(
+        jnp.asarray(feats, jnp.float32), fw,
+        jnp.asarray(weights, jnp.float32),
+        jnp.asarray(means, jnp.float32),
+        jnp.asarray(inv_vars, jnp.float32), num_iters=3)
+
+    assert np.allclose(float(like_loop), float(like_fused), rtol=1e-6)
+    for a, b in zip(params_loop, params_fused):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -110,3 +110,40 @@ def test_shard_utterances(wav_file):
     assert names == sorted(u.name for u in utterances)
     sizes = [len(s) for s in shards if s]
     assert max(sizes) - min(sizes) <= 1
+
+
+def test_csv_write_roundtrip_exact(tmpdir):
+    """The native to_chars rendering reads back bit-exact through
+    numpy.loadtxt (correctly-rounded strtod)."""
+    rng = np.random.RandomState(7)
+    table = np.concatenate([
+        rng.randn(200, 5),
+        rng.randn(200, 5) * 1e-300,   # subnormal territory
+        rng.randn(200, 5) * 1e300,    # huge exponents
+        np.zeros((3, 5)),
+    ])
+    path = str(tmpdir.join('table.csv'))
+    assert native.csv_write(path, '# header line\n', table)
+
+    with open(path) as fp:
+        assert fp.readline() == '# header line\n'
+    back = np.loadtxt(path)
+    assert np.array_equal(back, table)
+
+
+def test_csv_write_matches_serializer(tmpdir):
+    """FeaturesCollection CSV round trip stays exact through the
+    native writer."""
+    from shennong_tpu import Features, FeaturesCollection
+    rng = np.random.RandomState(3)
+    fc = FeaturesCollection()
+    starts = np.arange(50, dtype=np.float64) * 0.01
+    fc['one'] = Features(
+        rng.randn(50, 4).astype(np.float32),
+        np.stack([starts, starts + 0.025], axis=1))
+    folder = str(tmpdir.join('csvdir'))
+    fc.save(folder)
+    back = FeaturesCollection.load(folder)
+    assert np.array_equal(back['one'].data, fc['one'].data)
+    assert np.array_equal(back['one'].times, fc['one'].times)
+    assert back['one'].dtype == fc['one'].dtype
