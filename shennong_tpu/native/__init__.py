@@ -89,6 +89,11 @@ def load_library():
                 ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_void_p]
 
+            lib.shennong_ark_read_f32.restype = ctypes.c_int
+            lib.shennong_ark_read_f32.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float)]
+
             lib.shennong_flac_scan.restype = ctypes.c_int
             lib.shennong_flac_scan.argtypes = [
                 ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
@@ -380,11 +385,23 @@ def csv_write(path, header, values, num_threads=8):
     return written >= 0
 
 
-def ark_read_matrix(path, offset, rows, cols, is_double):
-    """Bulk-read one ark matrix record, or None."""
+def ark_read_matrix(path, offset, rows, cols, is_double,
+                    as_float32=False):
+    """Bulk-read one ark matrix record, or None.
+
+    ``as_float32`` converts a double record to float32 during the
+    read (single pass over the destination pages, instead of read +
+    astype).
+    """
     lib = load_library()
     if lib is None:
         return None
+    if is_double and as_float32:
+        out = np.empty((rows, cols), dtype=np.float32)
+        status = lib.shennong_ark_read_f32(
+            str(path).encode(), offset, rows * cols,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return out if status == 0 else None
     dtype = np.float64 if is_double else np.float32
     out = np.empty((rows, cols), dtype=dtype)
     status = lib.shennong_ark_read(

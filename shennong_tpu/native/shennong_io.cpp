@@ -269,4 +269,35 @@ int shennong_ark_read(const char* path, int64_t offset, int64_t bytes,
   return got == static_cast<size_t>(bytes) ? 0 : -1;
 }
 
+// Bulk-read one double-matrix record converted to float32. Converting
+// through a small staging buffer touches each destination page once;
+// reading the doubles into a fresh numpy array and calling astype
+// afterwards would write (and fault in) 3x the bytes.
+int shennong_ark_read_f32(const char* path, int64_t offset,
+                          int64_t count, float* out) {
+  std::FILE* fp = std::fopen(path, "rb");
+  if (!fp) return -1;
+  std::fseek(fp, offset, SEEK_SET);
+
+  constexpr int64_t kStage = 1 << 16;  // 64k doubles = 512 KB
+  std::vector<double> buffer(static_cast<size_t>(
+      count < kStage ? count : kStage));
+  int64_t done = 0;
+  while (done < count) {
+    const int64_t chunk =
+        (count - done) < kStage ? (count - done) : kStage;
+    const size_t got = std::fread(
+        buffer.data(), sizeof(double), static_cast<size_t>(chunk), fp);
+    if (got != static_cast<size_t>(chunk)) {
+      std::fclose(fp);
+      return -1;
+    }
+    for (int64_t i = 0; i < chunk; ++i)
+      out[done + i] = static_cast<float>(buffer[i]);
+    done += chunk;
+  }
+  std::fclose(fp);
+  return 0;
+}
+
 }  // extern "C"

@@ -455,21 +455,27 @@ def write_ark_matrix(fp, key, matrix):
     return offset
 
 
-def read_ark(filename):
+def read_ark(filename, dtypes=None):
     """Iterate over (key, matrix) pairs of a Kaldi binary ark file.
 
     Uses the native C++ indexer/bulk reader when available
     (:mod:`shennong_tpu.native`), falling back to the pure-Python
-    codec.
+    codec. ``dtypes`` optionally maps keys to a target dtype name:
+    double records destined for float32 convert during the native
+    read (one pass over the destination pages instead of read +
+    astype).
     """
     from shennong_tpu import native
+    dtypes = dtypes or {}
     if native.available():
         index = native.ark_index(filename)
         if index is not None:
             done = True
             for key, offset, rows, cols, is_double in index:
                 matrix = native.ark_read_matrix(
-                    filename, offset, rows, cols, is_double)
+                    filename, offset, rows, cols, is_double,
+                    as_float32=(
+                        is_double and dtypes.get(key) == 'float32'))
                 if matrix is None:  # pragma: nocover
                     done = False
                     break
@@ -599,7 +605,10 @@ class KaldiSerializer(FeaturesSerializer):
 
         ark = self._fileroot + '.ark'
         self._log.info('loading %s', ark)
-        data = {k: v for k, v in read_ark(ark)}
+        data = {k: v for k, v in read_ark(
+            ark, dtypes={
+                k: str(v.get('__dtype_data__', ''))
+                for k, v in properties.items()})}
 
         if properties.keys() != data.keys():
             raise ValueError(
