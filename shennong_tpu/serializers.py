@@ -288,11 +288,15 @@ class H5featuresSerializer(FeaturesSerializer):
                 'the private (non h5features-compatible) layout')
             return self._save_legacy(features, with_properties, comp)
 
-        data = np.concatenate([features[n].data for n in names])
-        labels = np.concatenate([features[n].times for n in names])
         sizes = np.array(
             [features[n].nframes for n in names], dtype=np.int64)
         index = np.cumsum(sizes) - 1  # inclusive last-row per item
+        total = int(sizes.sum())
+        data_dtype = np.result_type(
+            *(features[n].data.dtype for n in names))
+        label_shape = (
+            (total,) if features[names[0]].times.ndim == 1
+            else (total, features[names[0]].times.shape[1]))
 
         with h5py.File(self.filename, 'a') as fh:
             group = fh.create_group(self.GROUP)
@@ -307,8 +311,20 @@ class H5featuresSerializer(FeaturesSerializer):
             group.create_dataset(
                 'items', data=np.array(names, dtype=object),
                 dtype=str_dtype, **comp)
-            group.create_dataset('features', data=data, **comp)
-            group.create_dataset('labels', data=labels, **comp)
+            # preallocate and write one slice per item: concatenating
+            # the collection first would fault in a second full copy
+            dset = group.create_dataset(
+                'features', shape=(total, features[names[0]].ndims),
+                dtype=data_dtype, **comp)
+            labels = group.create_dataset(
+                'labels', shape=label_shape,
+                dtype=features[names[0]].times.dtype, **comp)
+            start = 0
+            for name in names:
+                stop = start + features[name].nframes
+                dset[start:stop] = features[name].data
+                labels[start:stop] = features[name].times
+                start = stop
             group.create_dataset('index', data=index, **comp)
             if with_properties:
                 group.create_dataset(
