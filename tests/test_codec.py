@@ -113,3 +113,23 @@ def test_codec_bad_files(tmpdir):
     # unwritable encode target fails cleanly
     assert not native.codec_encode(
         '/no/such/dir/out.mp3', np.zeros(100, dtype=np.int16), 16000)
+
+
+def test_flac_pipeline_equals_wav(real_data_path, tmpdir):
+    """FLAC is lossless: the extraction pipeline must produce
+    bit-identical features from test.flac and test.wav."""
+    import os
+
+    from shennong_tpu import Utterances
+    from shennong_tpu.pipeline import extract_features, get_default_config
+
+    utterances = Utterances([
+        ('as_wav', os.path.join(real_data_path, 'test.wav')),
+        ('as_flac', os.path.join(real_data_path, 'test.flac'))])
+    config = get_default_config('mfcc')
+    config['mfcc']['dither'] = 0
+    features = extract_features(config, utterances)
+    assert np.array_equal(
+        features['as_wav'].data, features['as_flac'].data)
+    assert np.array_equal(
+        features['as_wav'].times, features['as_flac'].times)
