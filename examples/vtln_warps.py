@@ -45,7 +45,10 @@ def main():
 
     vtln = VtlnProcessor()
     vtln.set_logger('info')
-    warps = vtln.process(training)
+    # one warp per speaker when speakers are known, as in the
+    # reference recipe (examples/simple/mfcc_vtln.py:104)
+    group_by = 'speaker' if training.has_speakers() else 'utterance'
+    warps = vtln.process(training, group_by=group_by)
     vtln.save_warps(args.warps_output)
     log.info('saved %s warps to %s', len(warps), args.warps_output)
 

@@ -1,13 +1,25 @@
 """Installation script for shennong_tpu"""
 
+import os
+import re
+
 from setuptools import setup, find_packages
 
-import shennong_tpu
+
+def read_version():
+    # parse __version__ without importing (the package needs its
+    # dependencies at import time; a build environment may not)
+    init = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        'shennong_tpu', '__init__.py')
+    with open(init) as fp:
+        return re.search(
+            r"__version__\s*=\s*'([^']+)'", fp.read()).group(1)
 
 
 setup(
     name='shennong-tpu',
-    version=shennong_tpu.__version__,
+    version=read_version(),
     description='A TPU-native speech features extraction toolbox',
     long_description=open('README.md').read(),
     long_description_content_type='text/markdown',
