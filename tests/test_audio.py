@@ -122,3 +122,32 @@ def test_astype_int32_roundtrip():
     assert back.data.tolist() == [100, -200, 32767]
     floats = as32.astype(np.float64)
     assert np.max(np.abs(floats.data)) <= 1.0
+
+
+def test_astype_string_dtype(audio):
+    """dtype may arrive as a string or dtype instance; scaling rules
+    must not silently change (regression: `is` comparisons matched
+    only the type classes)."""
+    for spec in ('int32', np.dtype(np.int32), np.int32):
+        as32 = audio.astype(spec)
+        assert as32.dtype == np.int32
+        assert np.array_equal(
+            as32.data, audio.data.astype(np.int64) * 2 ** 15)
+    as_float = audio.astype('float32')
+    assert np.max(np.abs(as_float.data)) <= 1.0
+    assert np.array_equal(
+        as_float.astype('int16').data, audio.data)
+
+
+def test_save_lossless_never_truncates(tmpdir, audio):
+    """Saving non-int16 samples to a lossless format must preserve
+    them (through ffmpeg) or fail loudly - never silently truncate
+    through the int16 codec path."""
+    from shennong_tpu.audio import _ffmpeg_binary
+    as32 = audio.astype(np.int32)
+    path = str(tmpdir.join('wide.flac'))
+    if _ffmpeg_binary() is None:
+        with pytest.raises(ValueError, match='cannot encode'):
+            as32.save(path)
+    else:  # pragma: nocover - no ffmpeg in this environment
+        as32.save(path)
