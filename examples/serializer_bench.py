@@ -103,6 +103,10 @@ def main():
             elif os.path.exists(stale):
                 os.remove(stale)
 
+        # settle pending writeback so the previous stage's (or the
+        # collection build's) dirty pages don't tax this one
+        os.sync()
+
         start = time.perf_counter()
         collection.save(target)
         write_time = time.perf_counter() - start
