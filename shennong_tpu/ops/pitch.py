@@ -300,6 +300,22 @@ def compute_pitch(signals, nsamples, opts, nframes_max):
     mean_square = jnp.sum(resampled * resampled, axis=1) / denom - \
         mean * mean
 
+    nframes = pitch_num_frames_device(num_rs, opts)
+    return pitch_from_resampled(
+        resampled, nframes, mean_square, opts, nframes_max)
+
+
+def pitch_from_resampled(resampled, nframes, mean_square, opts,
+                         nframes_max):
+    """NCCF + Viterbi lag selection on an already-resampled signal.
+
+    ``resampled`` is [B, R] at ``opts.resample_freq`` with zeros
+    beyond each row's valid samples, ``nframes`` the per-row valid
+    frame counts (frames past it are Viterbi pass-through) and
+    ``mean_square`` the per-row ballast statistic (over the *whole*
+    utterance, so chunked extraction passes the global value).
+    Returns [B, nframes_max, 2].
+    """
     shift = opts.frame_shift_samples
     window_size = opts.window_size_samples
     first_lag, last_lag = opts.first_lag, opts.last_lag
@@ -366,7 +382,6 @@ def compute_pitch(signals, nsamples, opts, nframes_max):
         + opts.soft_min_f0 * lags_f32[None, None, :] * nccf_pitch_rs)
     inter_frame_factor = (
         opts.penalty_factor * math.log(1.0 + opts.delta_pitch) ** 2)
-    nframes = pitch_num_frames_device(num_rs, opts)
     if jax.default_backend() == 'tpu':
         # single-kernel forward recursion with the state in VMEM
         from shennong_tpu.ops.pallas_viterbi import viterbi_lags_pallas
@@ -398,6 +413,76 @@ def pitch_num_frames_device(num_rs, opts):
     else:
         nframes = (num_rs - length) // shift + 1
     return jnp.maximum(jnp.where(num_rs < length, 0, nframes), 0)
+
+
+_pitch_from_resampled_jit = jax.jit(
+    pitch_from_resampled, static_argnames=('opts', 'nframes_max'))
+
+
+def compute_pitch_long(signal, opts, chunk_frames=8000,
+                       halo_frames=200, chunk_batch=8):
+    """Kaldi pitch for hour-scale signals in bounded-memory chunks.
+
+    Three deviations from one whole-utterance program, all bounded:
+    the signal is resampled in aligned chunks whose halos cover the
+    full sinc support (interior values are bit-identical to the
+    whole-signal resample), the NCCF ballast uses the global
+    mean-square accumulated in float64 on the host (the device
+    program accumulates the same sum in float32), and the Viterbi lag
+    selection runs per chunk of ``chunk_frames`` frames with
+    ``halo_frames`` context frames on each side — paths coalesce well
+    inside a 200-frame (2 s) halo, so kept decisions match the
+    whole-utterance program (see tests/processor/test_pitch_kaldi.py).
+    Chunks share one compiled program, dispatched ``chunk_batch`` at
+    a time. Returns a [total_frames, 2] float32 numpy array.
+    """
+    signal = np.asarray(signal, dtype=np.float32)
+    nsamp = signal.shape[0]
+    ftotal = num_pitch_frames(nsamp, opts)
+    if ftotal == 0:
+        return np.zeros((0, 2), dtype=np.float32)
+
+    resampled = resample.linear_resample_chunked(
+        signal, opts.sample_rate, opts.resample_freq,
+        opts.lowpass_cutoff, opts.lowpass_filter_width)
+    nrs = resampled.shape[0]
+    mean = resampled.sum(dtype=np.float64) / nrs
+    mean_square = float(
+        np.einsum('i,i->', resampled, resampled, dtype=np.float64)
+        / nrs - mean * mean)
+
+    cf, halo = int(chunk_frames), int(halo_frames)
+    shift = opts.frame_shift_samples
+    full_window = opts.window_size_samples + opts.last_lag
+    fslice = cf + 2 * halo
+    rslice = fslice * shift + full_window
+
+    nchunks = -(-ftotal // cf)
+    starts = [max(0, c * cf - halo) for c in range(nchunks)]
+    maxend = starts[-1] * shift + rslice
+    buf = np.zeros(maxend, np.float32)
+    valid = min(nrs, maxend)
+    buf[:valid] = resampled[:valid]
+
+    ms_arr = jnp.full((chunk_batch,), mean_square, jnp.float32)
+    out = np.empty((ftotal, 2), np.float32)
+    for group0 in range(0, nchunks, chunk_batch):
+        group = range(group0, min(group0 + chunk_batch, nchunks))
+        arr = np.zeros((chunk_batch, rslice), np.float32)
+        nframes = np.zeros((chunk_batch,), np.int32)
+        for i, c in enumerate(group):
+            lo = starts[c] * shift
+            arr[i] = buf[lo:lo + rslice]
+            nframes[i] = min(fslice, ftotal - starts[c])
+        feats = np.asarray(_pitch_from_resampled_jit(
+            jnp.asarray(arr), jnp.asarray(nframes), ms_arr, opts,
+            fslice))
+        for i, c in enumerate(group):
+            keep0 = c * cf
+            keep1 = min(keep0 + cf, ftotal)
+            local = keep0 - starts[c]
+            out[keep0:keep1] = feats[i, local:local + keep1 - keep0]
+    return out
 
 
 # ---------------------------------------------------------------- post

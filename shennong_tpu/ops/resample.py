@@ -151,6 +151,67 @@ def linear_resample(signals, nsamples_in_max, rate_in, rate_out,
         preferred_element_type=jnp.float32)
 
 
+_linear_resample_jit = jax.jit(
+    linear_resample, static_argnums=(1, 2, 3, 4, 5))
+
+
+def linear_resample_chunked(signal, rate_in, rate_out, filter_cutoff,
+                            num_zeros, chunk_samples=1 << 21):
+    """Chunked resample of a long 1-D signal (host loop).
+
+    Bounds device memory for hour-scale audio: the signal is cut at
+    input samples that are multiples of rate_in/gcd (so every chunk's
+    output grid lands on the global 1/rate_out grid) and each chunk
+    carries a halo covering the full sinc support. Zeros beyond the
+    true signal edges reproduce Kaldi's boundary truncation exactly.
+    For integer decimation ratios (one shared filter phase — the
+    pitch tracker's 16k->4k) the result is bit-identical to the
+    whole-signal resample; for arbitrary ratios the per-chunk filter
+    weights are evaluated at different absolute times, leaving
+    last-ulp (<1e-6) rounding differences. Returns a [nout] float32
+    numpy array.
+    """
+    signal = np.ascontiguousarray(signal, dtype=np.float32)
+    rate_in_i, rate_out_i = int(rate_in), int(rate_out)
+    g = math.gcd(rate_in_i, rate_out_i)
+    in_r, out_r = rate_in_i // g, rate_out_i // g
+    n = signal.shape[0]
+    nout = linear_resample_num_samples(n, rate_in_i, rate_out_i)
+
+    width = num_zeros / (2.0 * filter_cutoff)
+    extent = int(math.ceil(width * rate_in_i)) + 2
+    halo_in = -(-extent // in_r) * in_r
+    chunk_in = max(in_r, int(chunk_samples) // in_r * in_r)
+    if n <= chunk_in:
+        out = _linear_resample_jit(
+            jnp.asarray(signal)[None], n, float(rate_in),
+            float(rate_out), float(filter_cutoff), int(num_zeros))
+        return np.asarray(out[0])
+
+    halo_out = halo_in // in_r * out_r
+    chunk_out = chunk_in // in_r * out_r
+    slice_len = chunk_in + 2 * halo_in
+
+    padded = np.zeros(halo_in + n + chunk_in + halo_in, np.float32)
+    padded[halo_in:halo_in + n] = signal
+
+    pieces = []
+    start = 0  # global input sample at which the kept range begins
+    while start < n:
+        # padded[start : start+slice_len] is global
+        # [start - halo_in, start + chunk_in + halo_in)
+        local = _linear_resample_jit(
+            jnp.asarray(padded[start:start + slice_len])[None],
+            slice_len, float(rate_in), float(rate_out),
+            float(filter_cutoff), int(num_zeros))
+        o0 = start // in_r * out_r
+        keep = min(chunk_out, nout - o0)
+        pieces.append(
+            np.asarray(local[0, halo_out:halo_out + keep]))
+        start += chunk_in
+    return np.concatenate(pieces)[:nout]
+
+
 @functools.lru_cache(maxsize=None)
 def arbitrary_resample_matrix(num_samples_in, rate, sample_points,
                               filter_cutoff, num_zeros):

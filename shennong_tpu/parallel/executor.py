@@ -93,9 +93,12 @@ class BatchExecutor:
         if limit and hasattr(proc, 'process_chunked'):
             regular = []
             for utt in utterances:
-                frames = num_frames(
-                    int(utt.duration * float(proc.sample_rate)),
-                    proc.frame_options())
+                nsamp = int(utt.duration * float(proc.sample_rate))
+                if name == 'pitch':
+                    frames = pitch_ops.num_pitch_frames(
+                        nsamp, proc.options())
+                else:
+                    frames = num_frames(nsamp, proc.frame_options())
                 if frames > limit:
                     kwargs = (
                         {'vtln_warp': vtln_warp[utt.name]}

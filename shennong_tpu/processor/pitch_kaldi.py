@@ -14,8 +14,8 @@ import jax
 from shennong_tpu import Features
 from shennong_tpu.ops.framing import bucket_size
 from shennong_tpu.ops.pitch import (
-    PitchOpts, ProcessPitchOpts, compute_pitch, num_pitch_frames,
-    process_pitch)
+    PitchOpts, ProcessPitchOpts, compute_pitch, compute_pitch_long,
+    num_pitch_frames, process_pitch)
 from shennong_tpu.processor.base import FeaturesProcessor, _fresh_key
 from shennong_tpu.postprocessor.base import FeaturesPostProcessor
 
@@ -27,6 +27,11 @@ class KaldiPitchProcessor(FeaturesProcessor):
     Correlation Function value at the selected lag and the pitch
     estimate in Hz.
     """
+
+    # signals producing more pitch frames than this are routed to
+    # chunked extraction (bounds device memory for hour-scale audio);
+    # None disables the automatic routing
+    AUTO_CHUNK_FRAMES = 60000
 
     def __init__(self, sample_rate=16000, frame_shift=0.01,
                  frame_length=0.025, min_f0=50, max_f0=400,
@@ -244,11 +249,16 @@ class KaldiPitchProcessor(FeaturesProcessor):
         opts = self.options()
         data = signal.astype(np.int16).data.astype(np.float32)
         nsamp = data.shape[0]
+
+        nframes = num_pitch_frames(nsamp, opts)
+        limit = self.AUTO_CHUNK_FRAMES
+        if limit and nframes > limit:
+            return self.process_chunked(signal)
+
         bucket = bucket_size(nsamp)
         padded = np.zeros((1, bucket), dtype=np.float32)
         padded[0, :nsamp] = data
 
-        nframes = num_pitch_frames(nsamp, opts)
         nframes_max = num_pitch_frames(bucket, opts)
         if nframes == 0:
             out = np.zeros((0, 2), dtype=np.float32)
@@ -258,6 +268,41 @@ class KaldiPitchProcessor(FeaturesProcessor):
                 nframes_max)
             out = np.asarray(feats[0, :nframes])
 
+        return Features(
+            out, self.times(out.shape[0]),
+            properties=self.get_properties())
+
+    def process_chunked(self, signal, chunk_frames=8000,
+                        halo_frames=200):
+        """Pitch extraction for very long signals, in frame chunks.
+
+        Bounds device memory for hour-scale utterances: the signal is
+        resampled in exact aligned chunks, the NCCF ballast uses the
+        global signal statistic, and the Viterbi lag selection runs
+        per chunk of ``chunk_frames`` frames with ``halo_frames``
+        context frames on each side (Viterbi paths coalesce well
+        inside a 2 s halo; see :func:`ops.pitch.compute_pitch_long`).
+        All chunks share one compiled program.
+        """
+        if int(chunk_frames) < 1:
+            raise ValueError(
+                f'chunk_frames must be >= 1, it is {chunk_frames}')
+        if int(halo_frames) < 0:
+            raise ValueError(
+                f'halo_frames must be >= 0, it is {halo_frames}')
+        if signal.nchannels != 1:
+            raise ValueError(
+                'audio signal must have one channel, but it has {}'
+                .format(signal.nchannels))
+        if self.sample_rate != signal.sample_rate:
+            raise ValueError(
+                'processor and signal mismatch in sample rates: '
+                '{} != {}'.format(self.sample_rate, signal.sample_rate))
+
+        data = signal.astype(np.int16).data.astype(np.float32)
+        out = compute_pitch_long(
+            data, self.options(), chunk_frames=int(chunk_frames),
+            halo_frames=int(halo_frames))
         return Features(
             out, self.times(out.shape[0]),
             properties=self.get_properties())

@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+from shennong_tpu.audio import Audio
 from shennong_tpu.processor.pitch_kaldi import (
     KaldiPitchProcessor, KaldiPitchPostProcessor)
 
@@ -135,3 +136,80 @@ def test_post_noise(raw_pitch):
     assert not np.array_equal(out1[:, 2], out2[:, 2])
     # other columns are deterministic
     assert np.array_equal(out1[:, :2], out2[:, :2])
+
+
+def _long_audio(seconds=30, rate=16000):
+    rng = np.random.RandomState(1)
+    t = np.arange(int(rate * seconds)) / rate
+    f0 = 120 + 30 * np.sin(2 * np.pi * 0.3 * t)
+    phase = 2 * np.pi * np.cumsum(f0) / rate
+    sig = sum((0.6 ** k) * np.sin((k + 1) * phase) for k in range(5))
+    sig = (sig * (0.5 + 0.5 * np.sin(2 * np.pi * 1.3 * t) ** 2)
+           + 0.02 * rng.randn(len(t)))
+    return Audio((sig / np.abs(sig).max() * 0.7).astype(np.float32),
+                 rate)
+
+
+def test_chunked_equals_whole():
+    # 5 chunks with 200-frame halos reproduce the whole-utterance
+    # program bit-for-bit (Viterbi paths coalesce inside the halo and
+    # the chunked resample is exact)
+    audio = _long_audio(30)
+    proc = KaldiPitchProcessor()
+    whole = proc.process(audio)
+    chunked = proc.process_chunked(
+        audio, chunk_frames=700, halo_frames=200)
+    assert chunked.shape == whole.shape
+    np.testing.assert_array_equal(chunked.data, whole.data)
+    np.testing.assert_array_equal(chunked.times, whole.times)
+
+
+def test_chunked_auto_routing():
+    audio = _long_audio(12)
+    proc = KaldiPitchProcessor()
+    whole = proc.process(audio)
+    try:
+        # a low threshold re-enters process() through the chunked path
+        proc.AUTO_CHUNK_FRAMES = 400
+        routed = proc.process(audio)
+    finally:
+        proc.AUTO_CHUNK_FRAMES = KaldiPitchProcessor.AUTO_CHUNK_FRAMES
+    assert routed.shape == whole.shape
+    np.testing.assert_array_equal(routed.data, whole.data)
+
+
+def test_chunked_validation():
+    audio = _long_audio(2)
+    proc = KaldiPitchProcessor()
+    with pytest.raises(ValueError, match='chunk_frames'):
+        proc.process_chunked(audio, chunk_frames=0)
+    with pytest.raises(ValueError, match='halo_frames'):
+        proc.process_chunked(audio, halo_frames=-1)
+    with pytest.raises(ValueError, match='sample rates'):
+        proc.process_chunked(
+            Audio(audio.data, audio.sample_rate, validate=False)
+            .resample(8000))
+
+
+def test_chunked_resample_exact():
+    from shennong_tpu.ops import resample
+    rng = np.random.RandomState(3)
+    # integer decimation ratio (the pitch tracker's case): bit-exact
+    # against the jitted whole-signal resample (the path the pitch
+    # program uses; eager CPU execution rounds differently without
+    # FMA fusion); arbitrary ratio: the per-chunk filter weights are
+    # evaluated at different absolute times, so identity holds to
+    # float rounding
+    for rate_in, rate_out, atol in (
+            (16000, 4000, 0.0), (44100, 4000, 1e-6)):
+        sig = rng.randn(rate_in * 4).astype(np.float32)
+        whole = np.asarray(resample._linear_resample_jit(
+            sig[None], sig.shape[0], rate_in, rate_out, 1000.0, 1)[0])
+        chunked = resample.linear_resample_chunked(
+            sig, rate_in, rate_out, 1000.0, 1,
+            chunk_samples=rate_in // 3)
+        assert chunked.shape == whole.shape
+        if atol == 0.0:
+            np.testing.assert_array_equal(chunked, whole)
+        else:
+            np.testing.assert_allclose(chunked, whole, atol=atol)
