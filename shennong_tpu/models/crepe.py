@@ -112,6 +112,10 @@ def load_params(model_capacity):
 def forward(params, frames):
     """CREPE forward: [T, 1024] normalized frames -> [T, 360]
     activations."""
+    return _forward_body(params, frames)
+
+
+def _forward_body(params, frames):
     x = frames[:, :, None]  # NWC, one channel
 
     for i in range(1, 7):
@@ -142,3 +146,72 @@ def forward(params, frames):
 def cents_mapping():
     """Bin index -> cents mapping used by CREPE"""
     return np.linspace(0, 7180, 360) + 1997.3794084376191
+
+
+def _strided_frames(segment, nframes, hop):
+    """[L] samples -> [nframes, 1024] windows at ``hop``, as chunk
+    slices (no gather)."""
+    npieces, rem = divmod(1024, hop)
+    # enough whole tiles for the remainder piece of the last frame
+    needed = (nframes + npieces) * hop
+    if segment.shape[0] < needed:
+        segment = jnp.pad(segment, (0, needed - segment.shape[0]))
+    tiles = segment[
+        :segment.shape[0] // hop * hop].reshape(-1, hop)
+    pieces = [tiles[j:j + nframes] for j in range(npieces)]
+    if rem:
+        pieces.append(tiles[npieces:npieces + nframes, :rem])
+    return jnp.concatenate(pieces, axis=-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=('hop', 'chunk_frames', 'halo'))
+def forward_audio_chunk(params, segment, last_owner, hop, chunk_frames,
+                        halo):
+    """Framing + reference normalization + CNN, on device.
+
+    ``segment`` holds the (center-padded) audio samples covering
+    frames [f0 - halo, f0 + chunk_frames + halo) of the signal, zeros
+    outside the signal; ``last_owner`` is the local index of the last
+    real frame (n_global - 1 - f0 + halo, may exceed the local range).
+    Reproduces the reference's in-place overlapping normalization
+    (sample s is normalized by the statistics of the last frame
+    covering it, see CrepePitchProcessor._model_frames); the halo
+    (>= 13 frames) covers the two-stage owner dependency so kept
+    frames match the whole-signal computation.
+
+    Returns (salience [chunk_frames, 360], argmax [chunk_frames]
+    int32, max [chunk_frames]) — callers keep the salience on device
+    and fetch only the per-frame statistics.
+    """
+    nlocal = chunk_frames + 2 * halo
+    frames0 = _strided_frames(segment, nlocal, hop)
+    mean = jnp.mean(frames0, axis=1)
+
+    owner = jnp.clip(
+        jnp.minimum(jnp.arange(segment.shape[0]) // hop, last_owner),
+        0, nlocal - 1)
+    audio1 = segment - mean[owner]
+
+    frames1 = _strided_frames(audio1, nlocal, hop)
+    center = jnp.mean(frames1, axis=1)
+    std = jnp.sqrt(jnp.mean(
+        (frames1 - center[:, None]) ** 2, axis=1))
+    audio2 = audio1 / jnp.maximum(std[owner], 1e-38)
+
+    frames = _strided_frames(audio2, nlocal, hop)[
+        halo:halo + chunk_frames]
+    salience = _forward_body(params, frames)
+    return (salience, jnp.argmax(salience, axis=1).astype(jnp.int32),
+            jnp.max(salience, axis=1))
+
+
+@jax.jit
+def gather_neighborhood(salience, centers):
+    """salience [n, S], centers [n] -> [n, 9] values at bins
+    centers-4 .. centers+4, zeros outside the bin range."""
+    idx = centers[:, None] + jnp.arange(-4, 5)[None, :]
+    valid = (idx >= 0) & (idx < salience.shape[1])
+    vals = jnp.take_along_axis(
+        salience, jnp.clip(idx, 0, salience.shape[1] - 1), axis=1)
+    return jnp.where(valid, vals, 0.0)

@@ -19,6 +19,7 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _SOURCES = [
     os.path.join(_HERE, 'shennong_io.cpp'),
     os.path.join(_HERE, 'shennong_flac.cpp'),
+    os.path.join(_HERE, 'shennong_viterbi.cpp'),
     os.path.join(_HERE, 'shennong_csv.cpp')]
 _LIBRARY = os.path.join(_HERE, 'libshennong_io.so')
 
@@ -116,6 +117,14 @@ def load_library():
             lib.shennong_flac_decode.argtypes = [
                 ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int64]
+
+            lib.shennong_viterbi_banded.restype = ctypes.c_int64
+            lib.shennong_viterbi_banded.argtypes = [
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64)]
 
             try:
                 # absent when the library built without shennong_csv
@@ -424,3 +433,28 @@ def ark_read_matrix(path, offset, rows, cols, is_double,
         str(path).encode(), offset, out.nbytes,
         out.ctypes.data_as(ctypes.c_void_p))
     return out if status == 0 else None
+
+
+def viterbi_banded(log_start, band, log_obs):
+    """Banded Viterbi decode, or None when the library is unavailable.
+
+    ``band[j, d]`` holds the transition weight from state
+    ``j - halfwidth + d`` to state ``j`` (-inf outside the band and
+    the state range); halfwidth is inferred from the band width.
+    Bit-identical to the numpy decoder in ops/viterbi.py.
+    """
+    lib = load_library()
+    if lib is None:
+        return None
+    log_start = np.ascontiguousarray(log_start, dtype=np.float64)
+    band = np.ascontiguousarray(band, dtype=np.float64)
+    log_obs = np.ascontiguousarray(log_obs, dtype=np.float64)
+    nframes, nstates = log_obs.shape
+    path = np.empty(nframes, dtype=np.int64)
+    status = lib.shennong_viterbi_banded(
+        log_start.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        band.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        log_obs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        nframes, nstates, band.shape[1],
+        path.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return path if status == 0 else None

@@ -1,0 +1,77 @@
+// Banded Viterbi decoding (float64), the hot loop of the CREPE pitch
+// smoothing and voicing decisions (shennong_tpu/ops/viterbi.py).
+//
+// Replaces the reference's hmmlearn decoder (reference call sites
+// shennong/processor/pitch_crepe.py:233-243 and :275-291).
+// Bit-identical to the numpy banded decoder: per (to, d) candidate the
+// same two float64 additions are performed (no reassociation), the
+// argmax keeps the first maximum (strict '>' comparison, candidates
+// scanned in ascending source order), and out-of-range candidates
+// carry -inf weights.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <vector>
+
+extern "C" {
+
+// log_start [S], band [S, W] (band[j*W + d] = log_trans[j - hw + d, j],
+// -inf outside), log_obs [T, S]; writes the most likely state path
+// into path_out [T]. W must be odd (hw = (W - 1) / 2).
+// Returns 0 on success, -1 on invalid arguments.
+long long shennong_viterbi_banded(
+        const double* log_start, const double* band,
+        const double* log_obs, long long T, long long S, long long W,
+        int64_t* path_out) {
+    if (T <= 0 || S <= 0 || W <= 0 || W % 2 == 0 || W > 127)
+        return -1;
+    const long long hw = (W - 1) / 2;
+    const double ninf = -std::numeric_limits<double>::infinity();
+
+    std::vector<double> score(S), next(S);
+    // padded score buffer so every window read is in range
+    std::vector<double> padded(S + 2 * hw, ninf);
+    std::vector<int8_t> back((size_t)T * S);
+
+    for (long long j = 0; j < S; ++j)
+        score[j] = log_start[j] + log_obs[j];
+
+    for (long long t = 1; t < T; ++t) {
+        std::memcpy(padded.data() + hw, score.data(),
+                    S * sizeof(double));
+        const double* obs = log_obs + t * S;
+        int8_t* bt = back.data() + (size_t)t * S;
+        double cand[128];
+        for (long long j = 0; j < S; ++j) {
+            const double* __restrict win = padded.data() + j;
+            const double* __restrict bnd = band + j * W;
+            // candidates once, max value as a vectorizable reduce,
+            // then the first index attaining it (numpy argmax
+            // tie-break)
+            for (long long d = 0; d < W; ++d)
+                cand[d] = win[d] + bnd[d];
+            double best = ninf;
+            for (long long d = 0; d < W; ++d)
+                best = std::max(best, cand[d]);
+            long long bestd = 0;
+            while (bestd < W - 1 && cand[bestd] != best) ++bestd;
+            bt[j] = (int8_t)bestd;
+            next[j] = best + obs[j];
+        }
+        score.swap(next);
+    }
+
+    long long last = 0;
+    for (long long j = 1; j < S; ++j)
+        if (score[j] > score[last]) last = j;
+    path_out[T - 1] = last;
+    for (long long t = T - 2; t >= 0; --t) {
+        long long nxt = path_out[t + 1];
+        path_out[t] = nxt - hw + back[(size_t)(t + 1) * S + nxt];
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -37,6 +37,54 @@ def viterbi_host(log_start, log_trans, log_obs):
     return path
 
 
+def viterbi_host_banded(log_start, log_trans, log_obs, halfwidth):
+    """:func:`viterbi_host` for banded transition matrices.
+
+    Bit-identical to the dense decoder when ``log_trans[i, j]`` is
+    -inf for ``|i - j| > halfwidth`` (the in-band candidates are
+    scanned in the same ascending source order, so argmax tie-breaks
+    agree), at 1/S of the per-frame work — the CREPE pitch smoothing
+    prior has halfwidth 11 over 360 states.
+    """
+    log_trans = np.asarray(log_trans, dtype=np.float64)
+    log_obs = np.asarray(log_obs, dtype=np.float64)
+    nframes, nstates = log_obs.shape
+    width = 2 * halfwidth + 1
+
+    # band[j, d] = log_trans[j - halfwidth + d, j]
+    j = np.arange(nstates)
+    src = j[:, None] - halfwidth + np.arange(width)[None, :]
+    valid = (src >= 0) & (src < nstates)
+    band = np.full((nstates, width), -np.inf)
+    band[valid] = log_trans[
+        src[valid], np.broadcast_to(j[:, None], src.shape)[valid]]
+
+    if nframes > 1:
+        # the native kernel performs the identical float64 operations
+        from shennong_tpu import native
+        path = native.viterbi_banded(log_start, band, log_obs)
+        if path is not None:
+            return path
+
+    score = np.asarray(log_start, dtype=np.float64) + log_obs[0]
+    backptr = np.zeros((nframes, nstates), dtype=np.int8)
+    padded = np.full(nstates + 2 * halfwidth, -np.inf)
+    window = np.lib.stride_tricks.as_strided(
+        padded, shape=(nstates, width),
+        strides=(padded.itemsize, padded.itemsize))
+    for t in range(1, nframes):
+        padded[halfwidth:halfwidth + nstates] = score
+        total = window + band  # [to, width]
+        rel = np.argmax(total, axis=1)
+        backptr[t] = rel
+        score = total[j, rel] + log_obs[t]
+    path = np.zeros(nframes, dtype=np.int64)
+    path[-1] = np.argmax(score)
+    for t in range(nframes - 2, -1, -1):
+        path[t] = path[t + 1] - halfwidth + backptr[t + 1][path[t + 1]]
+    return path
+
+
 def viterbi(log_start, log_trans, log_obs):
     """Most likely state path of an HMM.
 

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from shennong_tpu import Features
 from shennong_tpu.models import crepe
-from shennong_tpu.ops.viterbi import viterbi_host
+from shennong_tpu.ops.viterbi import viterbi_host, viterbi_host_banded
 from shennong_tpu.processor.base import FeaturesProcessor
 from shennong_tpu.processor.pitch_kaldi import KaldiPitchPostProcessor
 
@@ -35,9 +35,54 @@ def _to_local_average_cents(salience, centers):
     return out
 
 
-def _to_viterbi_cents(salience):
-    """Viterbi-smoothed cents decode (360-state banded prior)."""
-    nstates = salience.shape[1]
+def _local_average_from_neighborhoods(neigh, centers):
+    """:func:`_to_local_average_cents` from 9-bin neighborhoods.
+
+    ``neigh[i, d]`` holds salience[i, centers[i] - 4 + d] with zeros
+    outside the bin range (see crepe.gather_neighborhood); same
+    values as the full-salience routine, vectorized.
+    """
+    mapping = crepe.cents_mapping()
+    idx = centers[:, None].astype(np.int64) + np.arange(-4, 5)
+    valid = (idx >= 0) & (idx < mapping.shape[0])
+    map_n = np.where(
+        valid, mapping[np.clip(idx, 0, mapping.shape[0] - 1)], 0.0)
+    with np.errstate(invalid='ignore', divide='ignore'):
+        return (neigh * map_n).sum(axis=1) / neigh.sum(axis=1)
+
+
+class _DeviceSalience:
+    """CREPE salience chunks kept on device, with host statistics.
+
+    The decode needs only the per-frame argmax bin, the per-frame
+    maximum (confidence) and a 9-bin neighborhood around the decoded
+    path — fetching those instead of the full [n, 360] matrix turns a
+    ~100 MB host transfer per 10 minutes of audio into ~1 MB.
+    """
+
+    def __init__(self, chunks, counts, argmax, amax):
+        self.chunks = chunks    # [chunk_frames, 360] device arrays
+        self.counts = counts    # kept frames per chunk
+        self.argmax = argmax    # [n] per-frame argmax bin (host)
+        self.amax = amax        # [n] per-frame max salience (host)
+
+    def neighborhoods(self, centers):
+        """[n, 9] salience values around per-frame center bins,
+        zeros outside the bin range."""
+        out, lo = [], 0
+        for sal, keep in zip(self.chunks, self.counts):
+            c = np.zeros(sal.shape[0], np.int32)
+            c[:keep] = centers[lo:lo + keep]
+            out.append(np.asarray(
+                crepe.gather_neighborhood(sal, jnp.asarray(c)))[:keep])
+            lo += keep
+        if not out:
+            return np.zeros((0, 9), np.float32)
+        return np.concatenate(out)
+
+
+def _crepe_prior(nstates):
+    """(start, transition, emission) of the CREPE smoothing HMM."""
     start = np.full(nstates, 1.0 / nstates)
 
     grid = np.arange(nstates)
@@ -47,13 +92,34 @@ def _to_viterbi_cents(salience):
     self_emission = 0.1
     emission = (np.eye(nstates) * self_emission
                 + (1 - self_emission) / nstates)
+    return start, transition, emission
 
+
+def _to_viterbi_cents(salience):
+    """Viterbi-smoothed cents decode (360-state banded prior)."""
     observations = np.argmax(salience, axis=1)
-    with np.errstate(divide='ignore'):
-        log_obs = np.log(emission[:, observations].T)
-        path = viterbi_host(
-            np.log(start), np.log(transition), log_obs)
+    path = _viterbi_bin_path(observations, salience.shape[1])
     return _to_local_average_cents(salience, path)
+
+
+def _viterbi_bin_path(observations, nstates):
+    """Decode the smoothed bin path from the argmax bin sequence.
+
+    The transition prior is banded (halfwidth 11), so the banded
+    decoder applies — bit-identical to the dense one at 1/16 the
+    work.
+    """
+    start, transition, emission = _crepe_prior(nstates)
+    # emission columns are two-valued (self bin vs uniform), so the
+    # [T, S] observation matrix builds by fill + one scatter instead
+    # of gathering whole emission columns
+    uniform = np.log(emission[1, 0])
+    self_bin = np.log(emission[0, 0])
+    log_obs = np.full((len(observations), nstates), uniform)
+    log_obs[np.arange(len(observations)), observations] = self_bin
+    with np.errstate(divide='ignore'):
+        return viterbi_host_banded(
+            np.log(start), np.log(transition), log_obs, 11)
 
 
 def _nccf_to_pov(x):
@@ -88,7 +154,9 @@ def predict_voicing(confidence):
                 + np.log(2 * np.pi * variance)))
     log_start = np.log(np.array([0.5, 0.5]))
     log_trans = np.log(np.array([[0.99, 0.01], [0.01, 0.99]]))
-    return viterbi_host(log_start, log_trans, log_obs)
+    # halfwidth 1 covers the whole 2x2 transition matrix, so the
+    # banded decoder (native kernel when available) is exact
+    return viterbi_host_banded(log_start, log_trans, log_obs, 1)
 
 
 class CrepePitchProcessor(FeaturesProcessor):
@@ -249,6 +317,57 @@ class CrepePitchProcessor(FeaturesProcessor):
         """The CNN activation matrix [nframes, 360]."""
         return self._forward(self._model_frames(audio))
 
+    def _device_salience(self, audio):
+        """Framing + normalization + CNN fully on device, chunked.
+
+        Uploads the raw audio (not the 6.4x-overlapping frame matrix)
+        and keeps the [n, 360] salience on device; only per-frame
+        argmax/max statistics come back to the host. Returns a
+        :class:`_DeviceSalience` or None when the signal is shorter
+        than one model window.
+        """
+        audio = np.ascontiguousarray(audio, dtype=np.float32)
+        if self.center:
+            audio = np.pad(audio, 512, mode='constant')
+        hop = int(16000 * self.frame_shift)
+        nframes = max(0, 1 + int((len(audio) - 1024) / hop))
+        if nframes == 0:
+            return None
+
+        from shennong_tpu.ops.framing import bucket_size
+        halo = 16  # covers the two-stage normalization owner reach
+        chunk = (8192 if nframes > 8192
+                 else bucket_size(nframes, minimum=128))
+        params = crepe.load_params(self.model_capacity)
+
+        npieces, rem = divmod(1024, hop)
+        seg_len = (chunk + 2 * halo - 1 + npieces) * hop + (rem or hop)
+        pad_left = halo * hop
+        last_start = (nframes - 1) // chunk * chunk * hop
+        buf = np.zeros(
+            max(pad_left + len(audio), last_start + seg_len),
+            np.float32)
+        buf[pad_left:pad_left + len(audio)] = audio
+
+        # dispatch every chunk before fetching anything: uploads and
+        # CNN programs overlap under JAX's async dispatch, the host
+        # only waits once at the end
+        chunks, counts, pending = [], [], []
+        for f0 in range(0, nframes, chunk):
+            segment = jnp.asarray(buf[f0 * hop:f0 * hop + seg_len])
+            sal, am, mx = crepe.forward_audio_chunk(
+                params, segment, nframes - 1 - f0 + halo, hop, chunk,
+                halo)
+            chunks.append(sal)
+            counts.append(min(chunk, nframes - f0))
+            pending.append((am, mx))
+        argm = [np.asarray(am)[:keep]
+                for (am, _), keep in zip(pending, counts)]
+        amax = [np.asarray(mx)[:keep]
+                for (_, mx), keep in zip(pending, counts)]
+        return _DeviceSalience(
+            chunks, counts, np.concatenate(argm), np.concatenate(amax))
+
     def _check_audio(self, audio):
         """Mono check + transparent resampling to the model rate."""
         if audio.nchannels != 1:
@@ -303,27 +422,41 @@ class CrepePitchProcessor(FeaturesProcessor):
         grid is resampled onto the processor's frame grid.
         """
         audio = self._check_audio(audio)
-        activation = self._get_activation(audio.data)
-        return self._decode(activation, audio.shape[0])
+        salience = self._device_salience(audio.data)
+        if salience is None:
+            return self._finish_decode(None, None, audio.shape[0])
+
+        if self.viterbi:
+            centers = _viterbi_bin_path(salience.argmax, 360)
+        else:
+            centers = salience.argmax
+        cents = _local_average_from_neighborhoods(
+            salience.neighborhoods(centers), centers)
+        return self._finish_decode(
+            salience.amax, cents, audio.shape[0])
 
     def _decode(self, activation, nsamples):
         """Decode one utterance's activations into (POV, pitch)."""
-        hop = np.round(self.sample_rate * self.frame_shift).astype(int)
-        out_frames = 1 + int(
-            (nsamples - self.frame_length * self.sample_rate) / hop)
-        if activation.shape[0] == 0 or out_frames <= 0:
-            # audio shorter than one model window or one output frame
-            return Features(
-                np.zeros((0, 2)), self.times(0),
-                properties=self.get_properties())
-
+        if activation.shape[0] == 0:
+            return self._finish_decode(None, None, nsamples)
         confidence = activation.max(axis=1)
-
         if self.viterbi:
             cents = _to_viterbi_cents(activation)
         else:
             cents = _to_local_average_cents(
                 activation, np.argmax(activation, axis=1))
+        return self._finish_decode(confidence, cents, nsamples)
+
+    def _finish_decode(self, confidence, cents, nsamples):
+        """(confidence, cents) -> (POV, pitch) on the output grid."""
+        hop = np.round(self.sample_rate * self.frame_shift).astype(int)
+        out_frames = 1 + int(
+            (nsamples - self.frame_length * self.sample_rate) / hop)
+        if confidence is None or out_frames <= 0:
+            # audio shorter than one model window or one output frame
+            return Features(
+                np.zeros((0, 2)), self.times(0),
+                properties=self.get_properties())
 
         frequency = 10 * 2 ** (cents / 1200)
         frequency[np.isnan(frequency)] = 0

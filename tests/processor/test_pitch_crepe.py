@@ -139,3 +139,34 @@ def test_process_all_batched(wav_file):
         assert np.allclose(
             batched[utt.name].data, single.data, atol=1e-5), utt.name
         assert np.array_equal(batched[utt.name].times, single.times)
+
+
+def test_banded_viterbi_matches_dense():
+    # the banded decoder must reproduce the dense one bit-for-bit on
+    # the CREPE smoothing prior, including argmax tie-breaks on the
+    # two-valued emission rows
+    from shennong_tpu.ops.viterbi import viterbi_host, viterbi_host_banded
+
+    nstates = 60
+    grid = np.arange(nstates)
+    transition = np.maximum(
+        12 - np.abs(grid[:, None] - grid[None, :]), 0).astype(float)
+    transition /= transition.sum(axis=1, keepdims=True)
+    start = np.full(nstates, 1.0 / nstates)
+
+    self_emission = 0.1
+    emission = (np.eye(nstates) * self_emission
+                + (1 - self_emission) / nstates)
+
+    rng = np.random.RandomState(5)
+    for trial in range(5):
+        observations = rng.randint(0, nstates, size=300)
+        # repeated observations create long tie plateaus
+        observations[100:200] = observations[100]
+        with np.errstate(divide='ignore'):
+            log_obs = np.log(emission[:, observations].T)
+            dense = viterbi_host(
+                np.log(start), np.log(transition), log_obs)
+            banded = viterbi_host_banded(
+                np.log(start), np.log(transition), log_obs, 11)
+        np.testing.assert_array_equal(banded, dense)
