@@ -148,62 +148,70 @@ def cents_mapping():
     return np.linspace(0, 7180, 360) + 1997.3794084376191
 
 
-def _strided_frames(segment, nframes, hop):
-    """[L] samples -> [nframes, 1024] windows at ``hop``, as chunk
-    slices (no gather)."""
+def _strided_frames(segments, nframes, hop):
+    """[B, L] samples -> [B, nframes, 1024] windows at ``hop``, as
+    chunk slices (no gather)."""
     npieces, rem = divmod(1024, hop)
     # enough whole tiles for the remainder piece of the last frame
     needed = (nframes + npieces) * hop
-    if segment.shape[0] < needed:
-        segment = jnp.pad(segment, (0, needed - segment.shape[0]))
-    tiles = segment[
-        :segment.shape[0] // hop * hop].reshape(-1, hop)
-    pieces = [tiles[j:j + nframes] for j in range(npieces)]
+    if segments.shape[-1] < needed:
+        segments = jnp.pad(
+            segments, ((0, 0), (0, needed - segments.shape[-1])))
+    tiles = segments[
+        :, :segments.shape[-1] // hop * hop].reshape(
+        segments.shape[0], -1, hop)
+    pieces = [tiles[:, j:j + nframes] for j in range(npieces)]
     if rem:
-        pieces.append(tiles[npieces:npieces + nframes, :rem])
+        pieces.append(tiles[:, npieces:npieces + nframes, :rem])
     return jnp.concatenate(pieces, axis=-1)
 
 
 @functools.partial(
     jax.jit, static_argnames=('hop', 'chunk_frames', 'halo'))
-def forward_audio_chunk(params, segment, last_owner, hop, chunk_frames,
-                        halo):
-    """Framing + reference normalization + CNN, on device.
+def forward_audio_chunk(params, segments, last_owner, hop,
+                        chunk_frames, halo):
+    """Framing + reference normalization + CNN, on device, batched.
 
-    ``segment`` holds the (center-padded) audio samples covering
-    frames [f0 - halo, f0 + chunk_frames + halo) of the signal, zeros
-    outside the signal; ``last_owner`` is the local index of the last
-    real frame (n_global - 1 - f0 + halo, may exceed the local range).
-    Reproduces the reference's in-place overlapping normalization
-    (sample s is normalized by the statistics of the last frame
-    covering it, see CrepePitchProcessor._model_frames); the halo
-    (>= 13 frames) covers the two-stage owner dependency so kept
-    frames match the whole-signal computation.
+    Each row of ``segments`` [B, L] holds the (center-padded) audio
+    samples covering frames [f0 - halo, f0 + chunk_frames + halo) of
+    one signal, zeros outside the signal; ``last_owner`` [B] is the
+    local index of the last real frame (n_global - 1 - f0 + halo, may
+    exceed the local range). Rows are either chunks of one long
+    signal or whole different utterances. Reproduces the reference's
+    in-place overlapping normalization (sample s is normalized by the
+    statistics of the last frame covering it, see
+    CrepePitchProcessor._model_frames); the halo (>= 13 frames)
+    covers the two-stage owner dependency so kept frames match the
+    whole-signal computation.
 
-    Returns (salience [chunk_frames, 360], argmax [chunk_frames]
-    int32, max [chunk_frames]) — callers keep the salience on device
-    and fetch only the per-frame statistics.
+    Returns (salience [B, chunk_frames, 360], argmax [B,
+    chunk_frames] int32, max [B, chunk_frames]) — callers keep the
+    salience on device and fetch only the per-frame statistics.
     """
     nlocal = chunk_frames + 2 * halo
-    frames0 = _strided_frames(segment, nlocal, hop)
-    mean = jnp.mean(frames0, axis=1)
+    frames0 = _strided_frames(segments, nlocal, hop)
+    mean = jnp.mean(frames0, axis=-1)  # [B, nlocal]
 
     owner = jnp.clip(
-        jnp.minimum(jnp.arange(segment.shape[0]) // hop, last_owner),
+        jnp.minimum(jnp.arange(segments.shape[-1])[None, :] // hop,
+                    last_owner[:, None]),
         0, nlocal - 1)
-    audio1 = segment - mean[owner]
+    audio1 = segments - jnp.take_along_axis(mean, owner, axis=1)
 
     frames1 = _strided_frames(audio1, nlocal, hop)
-    center = jnp.mean(frames1, axis=1)
+    center = jnp.mean(frames1, axis=-1)
     std = jnp.sqrt(jnp.mean(
-        (frames1 - center[:, None]) ** 2, axis=1))
-    audio2 = audio1 / jnp.maximum(std[owner], 1e-38)
+        (frames1 - center[..., None]) ** 2, axis=-1))
+    audio2 = audio1 / jnp.maximum(
+        jnp.take_along_axis(std, owner, axis=1), 1e-38)
 
     frames = _strided_frames(audio2, nlocal, hop)[
-        halo:halo + chunk_frames]
-    salience = _forward_body(params, frames)
-    return (salience, jnp.argmax(salience, axis=1).astype(jnp.int32),
-            jnp.max(salience, axis=1))
+        :, halo:halo + chunk_frames]
+    salience = _forward_body(
+        params, frames.reshape(-1, 1024)).reshape(
+        frames.shape[0], chunk_frames, -1)
+    return (salience, jnp.argmax(salience, axis=-1).astype(jnp.int32),
+            jnp.max(salience, axis=-1))
 
 
 @jax.jit

@@ -354,16 +354,17 @@ class CrepePitchProcessor(FeaturesProcessor):
         # only waits once at the end
         chunks, counts, pending = [], [], []
         for f0 in range(0, nframes, chunk):
-            segment = jnp.asarray(buf[f0 * hop:f0 * hop + seg_len])
+            segment = jnp.asarray(
+                buf[f0 * hop:f0 * hop + seg_len])[None]
+            owner = jnp.full((1,), nframes - 1 - f0 + halo, jnp.int32)
             sal, am, mx = crepe.forward_audio_chunk(
-                params, segment, nframes - 1 - f0 + halo, hop, chunk,
-                halo)
-            chunks.append(sal)
+                params, segment, owner, hop, chunk, halo)
+            chunks.append(sal[0])
             counts.append(min(chunk, nframes - f0))
             pending.append((am, mx))
-        argm = [np.asarray(am)[:keep]
+        argm = [np.asarray(am)[0, :keep]
                 for (am, _), keep in zip(pending, counts)]
-        amax = [np.asarray(mx)[:keep]
+        amax = [np.asarray(mx)[0, :keep]
                 for (_, mx), keep in zip(pending, counts)]
         return _DeviceSalience(
             chunks, counts, np.concatenate(argm), np.concatenate(amax))
@@ -379,40 +380,79 @@ class CrepePitchProcessor(FeaturesProcessor):
         return audio
 
     def process_all(self, utterances, njobs=None, **kwargs):
-        """Batched extraction: the CNN runs over the frames of many
-        utterances at once (device batches bounded at 8192 frames),
-        instead of one forward per utterance. The per-utterance decode
-        (Viterbi, grid resampling) stays on the host.
+        """Batched extraction over an utterance collection.
+
+        Utterances are grouped into frame-count buckets; each group
+        runs framing + normalization + CNN as one batched device
+        program over the raw audio, and only per-frame statistics
+        plus the decoded-path neighborhoods return to the host (the
+        Viterbi smoothing and grid resampling stay host-side).
+        Utterances past 8192 frames take the chunked single-utterance
+        path.
         """
         if kwargs:
             return super().process_all(utterances, njobs=njobs, **kwargs)
 
-        audios = {
-            utt.name: self._check_audio(utt.load_audio())
-            for utt in utterances}
-        frames = {
-            name: self._model_frames(audio.data)
-            for name, audio in audios.items()}
-
-        # one flat frame axis over all utterances, forwarded in chunks
-        names = list(frames)
-        counts = np.array([frames[n].shape[0] for n in names])
-        flat = np.concatenate([frames[n] for n in names])
-        if flat.shape[0]:
-            chunks = [
-                self._forward(flat[lo:lo + 8192])
-                for lo in range(0, flat.shape[0], 8192)]
-            activations = np.split(
-                np.concatenate(chunks), np.cumsum(counts)[:-1])
-        else:  # every utterance shorter than one model window
-            activations = [
-                np.zeros((0, 360), np.float32) for _ in names]
-
         from shennong_tpu import FeaturesCollection
+        from shennong_tpu.ops.framing import bucket_size
+
+        hop = int(16000 * self.frame_shift)
+        halo = 16
         collection = FeaturesCollection()
-        for name, activation in zip(names, activations):
-            collection[name] = self._decode(
-                activation, audios[name].shape[0])
+
+        groups = {}  # bucket -> [(name, nsamples, padded, nframes)]
+        for utt in utterances:
+            audio = self._check_audio(utt.load_audio())
+            data = np.ascontiguousarray(audio.data, dtype=np.float32)
+            if self.center:
+                data = np.pad(data, 512, mode='constant')
+            nframes = max(0, 1 + int((len(data) - 1024) / hop))
+            if nframes == 0:
+                collection[utt.name] = self._finish_decode(
+                    None, None, audio.shape[0])
+            elif nframes > 8192:
+                collection[utt.name] = self._decode_salience(
+                    self._device_salience(audio.data), audio.shape[0])
+            else:
+                groups.setdefault(
+                    bucket_size(nframes, minimum=128), []).append(
+                    (utt.name, audio.shape[0], data, nframes))
+        if not groups:
+            return collection
+
+        params = crepe.load_params(self.model_capacity)
+        npieces, rem = divmod(1024, hop)
+        pad_left = halo * hop
+        for bucket, items in sorted(groups.items()):
+            seg_len = (
+                bucket + 2 * halo - 1 + npieces) * hop + (rem or hop)
+            segments = np.zeros((len(items), seg_len), np.float32)
+            owners = np.zeros(len(items), np.int32)
+            for i, (_, _, data, nframes) in enumerate(items):
+                segments[i, pad_left:pad_left + len(data)] = data
+                owners[i] = nframes - 1 + halo
+            sal, am, mx = crepe.forward_audio_chunk(
+                params, jnp.asarray(segments), jnp.asarray(owners),
+                hop, bucket, halo)
+            am, mx = np.asarray(am), np.asarray(mx)
+
+            # per-row banded Viterbi on host, then one batched
+            # neighborhood gather for the whole group
+            centers = np.zeros((len(items), bucket), np.int32)
+            for i, (_, _, _, nframes) in enumerate(items):
+                obs = am[i, :nframes]
+                centers[i, :nframes] = (
+                    _viterbi_bin_path(obs, 360) if self.viterbi
+                    else obs)
+            neigh = np.asarray(crepe.gather_neighborhood(
+                sal.reshape(-1, sal.shape[-1]),
+                jnp.asarray(centers.reshape(-1)))).reshape(
+                len(items), bucket, 9)
+            for i, (name, nsamples, _, nframes) in enumerate(items):
+                cents = _local_average_from_neighborhoods(
+                    neigh[i, :nframes], centers[i, :nframes])
+                collection[name] = self._finish_decode(
+                    mx[i, :nframes], cents, nsamples)
         return collection
 
     def process(self, audio):
@@ -422,18 +462,20 @@ class CrepePitchProcessor(FeaturesProcessor):
         grid is resampled onto the processor's frame grid.
         """
         audio = self._check_audio(audio)
-        salience = self._device_salience(audio.data)
-        if salience is None:
-            return self._finish_decode(None, None, audio.shape[0])
+        return self._decode_salience(
+            self._device_salience(audio.data), audio.shape[0])
 
+    def _decode_salience(self, salience, nsamples):
+        """Decode a :class:`_DeviceSalience` into (POV, pitch)."""
+        if salience is None:
+            return self._finish_decode(None, None, nsamples)
         if self.viterbi:
             centers = _viterbi_bin_path(salience.argmax, 360)
         else:
             centers = salience.argmax
         cents = _local_average_from_neighborhoods(
             salience.neighborhoods(centers), centers)
-        return self._finish_decode(
-            salience.amax, cents, audio.shape[0])
+        return self._finish_decode(salience.amax, cents, nsamples)
 
     def _decode(self, activation, nsamples):
         """Decode one utterance's activations into (POV, pitch)."""

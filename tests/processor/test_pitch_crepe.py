@@ -170,3 +170,17 @@ def test_banded_viterbi_matches_dense():
             banded = viterbi_host_banded(
                 np.log(start), np.log(transition), log_obs, 11)
         np.testing.assert_array_equal(banded, dense)
+
+
+def test_device_decode_matches_host(audio):
+    # the device-resident path (chunked device framing, stats-only
+    # fetch, neighborhood decode) must match the host reference path
+    # (_model_frames + _forward + _decode) on the same audio
+    proc = CrepePitchProcessor(model_capacity='tiny')
+    device = proc.process(audio)
+    host = proc._decode(
+        proc._forward(proc._model_frames(
+            audio.data.astype(np.float32))), audio.shape[0])
+    assert device.shape == host.shape
+    np.testing.assert_allclose(
+        device.data, host.data, rtol=1e-4, atol=1e-3)
