@@ -148,6 +148,37 @@ def cents_mapping():
     return np.linspace(0, 7180, 360) + 1997.3794084376191
 
 
+def frame_count(nsamples_padded, hop):
+    """Model frames of a (center-padded) signal at the given hop."""
+    return max(0, 1 + int((nsamples_padded - 1024) / hop))
+
+
+def required_halo(hop):
+    """Minimum frame halo for :func:`forward_audio_chunk`.
+
+    The reference normalization has a two-stage forward owner
+    dependency: samples of frame f are normalized by statistics of
+    frames up to f + K with K = floor(1023 / hop) (the last frame
+    covering the sample), and those statistics depend on samples
+    whose own owners reach f + 2K. The halo must cover 2K (+1 margin)
+    so every referenced frame is complete inside the segment.
+    """
+    return 2 * (1023 // hop) + 1
+
+
+def segment_geometry(hop, chunk_frames, halo):
+    """(segment_length, left_pad) for :func:`forward_audio_chunk`.
+
+    A segment holds the samples of ``chunk_frames + 2 * halo``
+    frames; ``left_pad`` is the sample offset of the chunk's first
+    kept frame within the segment.
+    """
+    npieces, rem = divmod(1024, hop)
+    seg_len = (
+        chunk_frames + 2 * halo - 1 + npieces) * hop + (rem or hop)
+    return seg_len, halo * hop
+
+
 def _strided_frames(segments, nframes, hop):
     """[B, L] samples -> [B, nframes, 1024] windows at ``hop``, as
     chunk slices (no gather)."""
@@ -180,9 +211,9 @@ def forward_audio_chunk(params, segments, last_owner, hop,
     signal or whole different utterances. Reproduces the reference's
     in-place overlapping normalization (sample s is normalized by the
     statistics of the last frame covering it, see
-    CrepePitchProcessor._model_frames); the halo (>= 13 frames)
-    covers the two-stage owner dependency so kept frames match the
-    whole-signal computation.
+    CrepePitchProcessor._model_frames); the halo (at least
+    :func:`required_halo` frames) covers the two-stage owner
+    dependency so kept frames match the whole-signal computation.
 
     Returns (salience [B, chunk_frames, 360], argmax [B,
     chunk_frames] int32, max [B, chunk_frames]) — callers keep the

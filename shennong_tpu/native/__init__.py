@@ -126,6 +126,15 @@ def load_library():
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64)]
 
+            lib.shennong_viterbi_banded_two.restype = ctypes.c_int64
+            lib.shennong_viterbi_banded_two.argtypes = [
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_double, ctypes.c_double,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64)]
+
             try:
                 # absent when the library built without shennong_csv
                 # (toolchain lacking floating-point std::to_chars)
@@ -456,5 +465,32 @@ def viterbi_banded(log_start, band, log_obs):
         band.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         log_obs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         nframes, nstates, band.shape[1],
+        path.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return path if status == 0 else None
+
+
+def viterbi_banded_two(log_start, band, uniform_weight, self_weight,
+                       observations, nstates):
+    """Banded Viterbi decode with a two-valued observation model.
+
+    State j at frame t weighs ``self_weight`` when
+    ``j == observations[t]`` and ``uniform_weight`` otherwise (the
+    CREPE smoothing prior), avoiding the dense [T, S] observation
+    matrix. Returns the path, or None when the library is
+    unavailable.
+    """
+    lib = load_library()
+    if lib is None:
+        return None
+    log_start = np.ascontiguousarray(log_start, dtype=np.float64)
+    band = np.ascontiguousarray(band, dtype=np.float64)
+    observations = np.ascontiguousarray(observations, dtype=np.int32)
+    path = np.empty(observations.shape[0], dtype=np.int64)
+    status = lib.shennong_viterbi_banded_two(
+        log_start.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        band.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        float(uniform_weight), float(self_weight),
+        observations.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        observations.shape[0], nstates, band.shape[1],
         path.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return path if status == 0 else None

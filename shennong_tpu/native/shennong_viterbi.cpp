@@ -15,16 +15,14 @@
 #include <limits>
 #include <vector>
 
-extern "C" {
+namespace {
 
-// log_start [S], band [S, W] (band[j*W + d] = log_trans[j - hw + d, j],
-// -inf outside), log_obs [T, S]; writes the most likely state path
-// into path_out [T]. W must be odd (hw = (W - 1) / 2).
-// Returns 0 on success, -1 on invalid arguments.
-long long shennong_viterbi_banded(
-        const double* log_start, const double* band,
-        const double* log_obs, long long T, long long S, long long W,
-        int64_t* path_out) {
+// obs_at(t, j) returns the log observation weight of state j at
+// frame t; dense and two-valued variants share this core.
+template <typename ObsFn>
+long long viterbi_banded_impl(
+        const double* log_start, const double* band, ObsFn obs_at,
+        long long T, long long S, long long W, int64_t* path_out) {
     if (T <= 0 || S <= 0 || W <= 0 || W % 2 == 0 || W > 127)
         return -1;
     const long long hw = (W - 1) / 2;
@@ -36,12 +34,11 @@ long long shennong_viterbi_banded(
     std::vector<int8_t> back((size_t)T * S);
 
     for (long long j = 0; j < S; ++j)
-        score[j] = log_start[j] + log_obs[j];
+        score[j] = log_start[j] + obs_at(0, j);
 
     for (long long t = 1; t < T; ++t) {
         std::memcpy(padded.data() + hw, score.data(),
                     S * sizeof(double));
-        const double* obs = log_obs + t * S;
         int8_t* bt = back.data() + (size_t)t * S;
         double cand[128];
         for (long long j = 0; j < S; ++j) {
@@ -58,7 +55,7 @@ long long shennong_viterbi_banded(
             long long bestd = 0;
             while (bestd < W - 1 && cand[bestd] != best) ++bestd;
             bt[j] = (int8_t)bestd;
-            next[j] = best + obs[j];
+            next[j] = best + obs_at(t, j);
         }
         score.swap(next);
     }
@@ -72,6 +69,41 @@ long long shennong_viterbi_banded(
         path_out[t] = nxt - hw + back[(size_t)(t + 1) * S + nxt];
     }
     return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// log_start [S], band [S, W] (band[j*W + d] = log_trans[j - hw + d, j],
+// -inf outside), log_obs [T, S]; writes the most likely state path
+// into path_out [T]. W must be odd (hw = (W - 1) / 2).
+// Returns 0 on success, -1 on invalid arguments.
+long long shennong_viterbi_banded(
+        const double* log_start, const double* band,
+        const double* log_obs, long long T, long long S, long long W,
+        int64_t* path_out) {
+    return viterbi_banded_impl(
+        log_start, band,
+        [log_obs, S](long long t, long long j) {
+            return log_obs[t * S + j];
+        },
+        T, S, W, path_out);
+}
+
+// Two-valued observation model (the CREPE smoothing prior): state j
+// at frame t weighs self_weight when j == obs[t], uniform_weight
+// otherwise. Avoids materializing the [T, S] observation matrix.
+long long shennong_viterbi_banded_two(
+        const double* log_start, const double* band,
+        double uniform_weight, double self_weight, const int32_t* obs,
+        long long T, long long S, long long W, int64_t* path_out) {
+    return viterbi_banded_impl(
+        log_start, band,
+        [obs, uniform_weight, self_weight](long long t, long long j) {
+            return obs[t] == j ? self_weight : uniform_weight;
+        },
+        T, S, W, path_out);
 }
 
 }  // extern "C"

@@ -37,6 +37,49 @@ def viterbi_host(log_start, log_trans, log_obs):
     return path
 
 
+def _band_matrix(log_trans, halfwidth):
+    """[S, 2*halfwidth+1] band of ``log_trans``:
+    band[j, d] = log_trans[j - halfwidth + d, j], -inf outside."""
+    nstates = log_trans.shape[0]
+    width = 2 * halfwidth + 1
+    j = np.arange(nstates)
+    src = j[:, None] - halfwidth + np.arange(width)[None, :]
+    valid = (src >= 0) & (src < nstates)
+    band = np.full((nstates, width), -np.inf)
+    band[valid] = log_trans[
+        src[valid], np.broadcast_to(j[:, None], src.shape)[valid]]
+    return band
+
+
+def viterbi_host_banded_obs(log_start, log_trans, observations,
+                            uniform_weight, self_weight, halfwidth):
+    """:func:`viterbi_host_banded` for two-valued observation models.
+
+    State j at frame t weighs ``self_weight`` when
+    ``j == observations[t]`` and ``uniform_weight`` otherwise (the
+    CREPE smoothing prior): the native kernel then never needs the
+    dense [T, S] observation matrix (~1 GB per hour of audio). The
+    numpy fallback materializes it.
+    """
+    log_trans = np.asarray(log_trans, dtype=np.float64)
+    nstates = log_trans.shape[0]
+    observations = np.asarray(observations)
+    if observations.shape[0] > 1:
+        from shennong_tpu import native
+        path = native.viterbi_banded_two(
+            np.asarray(log_start, dtype=np.float64),
+            _band_matrix(log_trans, halfwidth),
+            uniform_weight, self_weight, observations, nstates)
+        if path is not None:
+            return path
+    log_obs = np.full(
+        (observations.shape[0], nstates), uniform_weight)
+    log_obs[np.arange(observations.shape[0]), observations] = \
+        self_weight
+    return viterbi_host_banded(
+        log_start, log_trans, log_obs, halfwidth)
+
+
 def viterbi_host_banded(log_start, log_trans, log_obs, halfwidth):
     """:func:`viterbi_host` for banded transition matrices.
 
@@ -49,15 +92,7 @@ def viterbi_host_banded(log_start, log_trans, log_obs, halfwidth):
     log_trans = np.asarray(log_trans, dtype=np.float64)
     log_obs = np.asarray(log_obs, dtype=np.float64)
     nframes, nstates = log_obs.shape
-    width = 2 * halfwidth + 1
-
-    # band[j, d] = log_trans[j - halfwidth + d, j]
-    j = np.arange(nstates)
-    src = j[:, None] - halfwidth + np.arange(width)[None, :]
-    valid = (src >= 0) & (src < nstates)
-    band = np.full((nstates, width), -np.inf)
-    band[valid] = log_trans[
-        src[valid], np.broadcast_to(j[:, None], src.shape)[valid]]
+    band = _band_matrix(log_trans, halfwidth)
 
     if nframes > 1:
         # the native kernel performs the identical float64 operations

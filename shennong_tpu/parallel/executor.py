@@ -93,12 +93,8 @@ class BatchExecutor:
         if limit and hasattr(proc, 'process_chunked'):
             regular = []
             for utt in utterances:
-                nsamp = int(utt.duration * float(proc.sample_rate))
-                if name == 'pitch':
-                    frames = pitch_ops.num_pitch_frames(
-                        nsamp, proc.options())
-                else:
-                    frames = num_frames(nsamp, proc.frame_options())
+                frames = proc.output_frames(
+                    int(utt.duration * float(proc.sample_rate)))
                 if frames > limit:
                     kwargs = (
                         {'vtln_warp': vtln_warp[utt.name]}
@@ -120,12 +116,7 @@ class BatchExecutor:
             feats = np.asarray(self._run_batch(
                 names, signals, nsamples, vtln_warp))
             for row, utt_name in enumerate(names):
-                if name == 'pitch':
-                    nframes = pitch_ops.num_pitch_frames(
-                        int(nsamples[row]), proc.options())
-                else:
-                    nframes = num_frames(
-                        int(nsamples[row]), proc.frame_options())
+                nframes = proc.output_frames(int(nsamples[row]))
                 data = feats[row, :nframes]
                 if name == 'energy':
                     data = data.astype(np.float64)[:, None]

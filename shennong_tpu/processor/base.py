@@ -355,6 +355,12 @@ class FramesProcessor(FeaturesProcessor, metaclass=abc.ABCMeta):
             np.arange(nframes) * self.frame_shift,
             np.arange(nframes) * self.frame_shift + self.frame_length)).T
 
+    def output_frames(self, nsamples):
+        """Output rows produced for a signal of ``nsamples`` samples
+        (the batch executor sizes padded batches and the oversize
+        route with this)."""
+        return num_frames(nsamples, self.frame_options())
+
     def frame_options(self):
         """The current framing parameters as a static FrameOptions"""
         # snap the ms values to float32 like Kaldi's option structs:

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 
 from shennong_tpu import Features
 from shennong_tpu.models import crepe
-from shennong_tpu.ops.viterbi import viterbi_host, viterbi_host_banded
+from shennong_tpu.ops.viterbi import (
+    viterbi_host_banded, viterbi_host_banded_obs)
 from shennong_tpu.processor.base import FeaturesProcessor
 from shennong_tpu.processor.pitch_kaldi import KaldiPitchPostProcessor
 
@@ -69,16 +70,19 @@ class _DeviceSalience:
     def neighborhoods(self, centers):
         """[n, 9] salience values around per-frame center bins,
         zeros outside the bin range."""
-        out, lo = [], 0
+        pending, lo = [], 0
         for sal, keep in zip(self.chunks, self.counts):
             c = np.zeros(sal.shape[0], np.int32)
             c[:keep] = centers[lo:lo + keep]
-            out.append(np.asarray(
-                crepe.gather_neighborhood(sal, jnp.asarray(c)))[:keep])
+            # dispatch all gathers before fetching any
+            pending.append(
+                crepe.gather_neighborhood(sal, jnp.asarray(c)))
             lo += keep
-        if not out:
+        if not pending:
             return np.zeros((0, 9), np.float32)
-        return np.concatenate(out)
+        return np.concatenate([
+            np.asarray(g)[:keep]
+            for g, keep in zip(pending, self.counts)])
 
 
 def _crepe_prior(nstates):
@@ -111,15 +115,12 @@ def _viterbi_bin_path(observations, nstates):
     """
     start, transition, emission = _crepe_prior(nstates)
     # emission columns are two-valued (self bin vs uniform), so the
-    # [T, S] observation matrix builds by fill + one scatter instead
-    # of gathering whole emission columns
-    uniform = np.log(emission[1, 0])
-    self_bin = np.log(emission[0, 0])
-    log_obs = np.full((len(observations), nstates), uniform)
-    log_obs[np.arange(len(observations)), observations] = self_bin
+    # decoder takes the argmax sequence plus the two log weights and
+    # never builds the [T, S] observation matrix
     with np.errstate(divide='ignore'):
-        return viterbi_host_banded(
-            np.log(start), np.log(transition), log_obs, 11)
+        return viterbi_host_banded_obs(
+            np.log(start), np.log(transition), observations,
+            np.log(emission[1, 0]), np.log(emission[0, 0]), 11)
 
 
 def _nccf_to_pov(x):
@@ -167,6 +168,11 @@ class CrepePitchProcessor(FeaturesProcessor):
     pitch). POV is the Probability of Voicing.
 
     """
+
+    # frames per CNN device program; longer signals run in chunks of
+    # this many frames (bounds the first conv layer's ~128 KB/frame
+    # activation footprint)
+    CHUNK_FRAMES = 8192
 
     def __init__(self, model_capacity='full', viterbi=True, center=True,
                  frame_shift=0.01, frame_length=0.025):
@@ -279,7 +285,7 @@ class CrepePitchProcessor(FeaturesProcessor):
             audio = np.pad(audio, 512, mode='constant')
 
         hop = int(16000 * self.frame_shift)
-        n_frames = max(0, 1 + int((len(audio) - 1024) / hop))
+        n_frames = crepe.frame_count(len(audio), hop)
         if n_frames == 0:
             return np.zeros((0, 1024), dtype=np.float32)
 
@@ -325,24 +331,28 @@ class CrepePitchProcessor(FeaturesProcessor):
         argmax/max statistics come back to the host. Returns a
         :class:`_DeviceSalience` or None when the signal is shorter
         than one model window.
+
+        Every chunk's salience stays alive on device until the decode
+        has gathered its path neighborhoods (~5.6 MB per minute of
+        audio at the default shift) — day-scale recordings should be
+        processed in segments.
         """
         audio = np.ascontiguousarray(audio, dtype=np.float32)
         if self.center:
             audio = np.pad(audio, 512, mode='constant')
         hop = int(16000 * self.frame_shift)
-        nframes = max(0, 1 + int((len(audio) - 1024) / hop))
+        nframes = crepe.frame_count(len(audio), hop)
         if nframes == 0:
             return None
 
         from shennong_tpu.ops.framing import bucket_size
-        halo = 16  # covers the two-stage normalization owner reach
-        chunk = (8192 if nframes > 8192
+        halo = crepe.required_halo(hop)
+        cap = self.CHUNK_FRAMES
+        chunk = (cap if nframes > cap
                  else bucket_size(nframes, minimum=128))
         params = crepe.load_params(self.model_capacity)
 
-        npieces, rem = divmod(1024, hop)
-        seg_len = (chunk + 2 * halo - 1 + npieces) * hop + (rem or hop)
-        pad_left = halo * hop
+        seg_len, pad_left = crepe.segment_geometry(hop, chunk, halo)
         last_start = (nframes - 1) // chunk * chunk * hop
         buf = np.zeros(
             max(pad_left + len(audio), last_start + seg_len),
@@ -387,8 +397,8 @@ class CrepePitchProcessor(FeaturesProcessor):
         program over the raw audio, and only per-frame statistics
         plus the decoded-path neighborhoods return to the host (the
         Viterbi smoothing and grid resampling stay host-side).
-        Utterances past 8192 frames take the chunked single-utterance
-        path.
+        Utterances past ``CHUNK_FRAMES`` frames take the chunked
+        single-utterance path.
         """
         if kwargs:
             return super().process_all(utterances, njobs=njobs, **kwargs)
@@ -397,7 +407,7 @@ class CrepePitchProcessor(FeaturesProcessor):
         from shennong_tpu.ops.framing import bucket_size
 
         hop = int(16000 * self.frame_shift)
-        halo = 16
+        halo = crepe.required_halo(hop)
         collection = FeaturesCollection()
 
         groups = {}  # bucket -> [(name, nsamples, padded, nframes)]
@@ -406,11 +416,11 @@ class CrepePitchProcessor(FeaturesProcessor):
             data = np.ascontiguousarray(audio.data, dtype=np.float32)
             if self.center:
                 data = np.pad(data, 512, mode='constant')
-            nframes = max(0, 1 + int((len(data) - 1024) / hop))
+            nframes = crepe.frame_count(len(data), hop)
             if nframes == 0:
                 collection[utt.name] = self._finish_decode(
                     None, None, audio.shape[0])
-            elif nframes > 8192:
+            elif nframes > self.CHUNK_FRAMES:
                 collection[utt.name] = self._decode_salience(
                     self._device_salience(audio.data), audio.shape[0])
             else:
@@ -421,38 +431,42 @@ class CrepePitchProcessor(FeaturesProcessor):
             return collection
 
         params = crepe.load_params(self.model_capacity)
-        npieces, rem = divmod(1024, hop)
-        pad_left = halo * hop
         for bucket, items in sorted(groups.items()):
-            seg_len = (
-                bucket + 2 * halo - 1 + npieces) * hop + (rem or hop)
-            segments = np.zeros((len(items), seg_len), np.float32)
-            owners = np.zeros(len(items), np.int32)
-            for i, (_, _, data, nframes) in enumerate(items):
-                segments[i, pad_left:pad_left + len(data)] = data
-                owners[i] = nframes - 1 + halo
-            sal, am, mx = crepe.forward_audio_chunk(
-                params, jnp.asarray(segments), jnp.asarray(owners),
+            seg_len, pad_left = crepe.segment_geometry(
                 hop, bucket, halo)
-            am, mx = np.asarray(am), np.asarray(mx)
+            # bound the frames per device program (the first conv
+            # layer materializes ~128 KB per frame); pad the last
+            # slice to the same row count so the program compiles once
+            rows = max(1, 16384 // bucket)
+            for lo in range(0, len(items), rows):
+                part = items[lo:lo + rows]
+                segments = np.zeros((rows, seg_len), np.float32)
+                owners = np.zeros(rows, np.int32)
+                for i, (_, _, data, nframes) in enumerate(part):
+                    segments[i, pad_left:pad_left + len(data)] = data
+                    owners[i] = nframes - 1 + halo
+                sal, am, mx = crepe.forward_audio_chunk(
+                    params, jnp.asarray(segments),
+                    jnp.asarray(owners), hop, bucket, halo)
+                am, mx = np.asarray(am), np.asarray(mx)
 
-            # per-row banded Viterbi on host, then one batched
-            # neighborhood gather for the whole group
-            centers = np.zeros((len(items), bucket), np.int32)
-            for i, (_, _, _, nframes) in enumerate(items):
-                obs = am[i, :nframes]
-                centers[i, :nframes] = (
-                    _viterbi_bin_path(obs, 360) if self.viterbi
-                    else obs)
-            neigh = np.asarray(crepe.gather_neighborhood(
-                sal.reshape(-1, sal.shape[-1]),
-                jnp.asarray(centers.reshape(-1)))).reshape(
-                len(items), bucket, 9)
-            for i, (name, nsamples, _, nframes) in enumerate(items):
-                cents = _local_average_from_neighborhoods(
-                    neigh[i, :nframes], centers[i, :nframes])
-                collection[name] = self._finish_decode(
-                    mx[i, :nframes], cents, nsamples)
+                # per-row banded Viterbi on host, then one batched
+                # neighborhood gather for the whole slice
+                centers = np.zeros((rows, bucket), np.int32)
+                for i, (_, _, _, nframes) in enumerate(part):
+                    obs = am[i, :nframes]
+                    centers[i, :nframes] = (
+                        _viterbi_bin_path(obs, 360) if self.viterbi
+                        else obs)
+                neigh = np.asarray(crepe.gather_neighborhood(
+                    sal.reshape(-1, sal.shape[-1]),
+                    jnp.asarray(centers.reshape(-1)))).reshape(
+                    rows, bucket, 9)
+                for i, (name, nsamples, _, nframes) in enumerate(part):
+                    cents = _local_average_from_neighborhoods(
+                        neigh[i, :nframes], centers[i, :nframes])
+                    collection[name] = self._finish_decode(
+                        mx[i, :nframes], cents, nsamples)
         return collection
 
     def process(self, audio):

@@ -224,6 +224,11 @@ class KaldiPitchProcessor(FeaturesProcessor):
             np.arange(nframes) * self.frame_shift,
             np.arange(nframes) * self.frame_shift + self.frame_length)).T
 
+    def output_frames(self, nsamples):
+        """Output rows produced for a signal of ``nsamples`` samples
+        (pitch frames count on the resampled analysis grid)."""
+        return num_pitch_frames(nsamples, self.options())
+
     def process_all(self, utterances, njobs=None, **kwargs):
         """Batched pitch extraction over an utterance collection."""
         if not kwargs:
@@ -231,12 +236,7 @@ class KaldiPitchProcessor(FeaturesProcessor):
             return BatchExecutor(self).process_all(utterances)
         return super().process_all(utterances, njobs=njobs, **kwargs)
 
-    def process(self, signal):
-        """Extract the (NCCF, pitch) per frame of ``signal``.
-
-        The signal's sample rate must match the processor's; output is
-        a [nframes, 2] Features.
-        """
+    def _check_signal(self, signal):
         if signal.nchannels != 1:
             raise ValueError(
                 'audio signal must have one channel, but it has {}'
@@ -246,15 +246,22 @@ class KaldiPitchProcessor(FeaturesProcessor):
                 'processor and signal mismatch in sample rates: '
                 '{} != {}'.format(self.sample_rate, signal.sample_rate))
 
-        opts = self.options()
-        data = signal.astype(np.int16).data.astype(np.float32)
-        nsamp = data.shape[0]
+    def process(self, signal):
+        """Extract the (NCCF, pitch) per frame of ``signal``.
 
+        The signal's sample rate must match the processor's; output is
+        a [nframes, 2] Features.
+        """
+        self._check_signal(signal)
+
+        opts = self.options()
+        nsamp = signal.nsamples
         nframes = num_pitch_frames(nsamp, opts)
         limit = self.AUTO_CHUNK_FRAMES
         if limit and nframes > limit:
             return self.process_chunked(signal)
 
+        data = signal.astype(np.int16).data.astype(np.float32)
         bucket = bucket_size(nsamp)
         padded = np.zeros((1, bucket), dtype=np.float32)
         padded[0, :nsamp] = data
@@ -290,14 +297,7 @@ class KaldiPitchProcessor(FeaturesProcessor):
         if int(halo_frames) < 0:
             raise ValueError(
                 f'halo_frames must be >= 0, it is {halo_frames}')
-        if signal.nchannels != 1:
-            raise ValueError(
-                'audio signal must have one channel, but it has {}'
-                .format(signal.nchannels))
-        if self.sample_rate != signal.sample_rate:
-            raise ValueError(
-                'processor and signal mismatch in sample rates: '
-                '{} != {}'.format(self.sample_rate, signal.sample_rate))
+        self._check_signal(signal)
 
         data = signal.astype(np.int16).data.astype(np.float32)
         out = compute_pitch_long(

@@ -184,3 +184,42 @@ def test_device_decode_matches_host(audio):
     assert device.shape == host.shape
     np.testing.assert_allclose(
         device.data, host.data, rtol=1e-4, atol=1e-3)
+
+
+def test_two_valued_viterbi_matches_dense():
+    # the sparse-observation decoder (native kernel) must match the
+    # dense decoder on the CREPE smoothing prior
+    from shennong_tpu.ops.viterbi import (
+        viterbi_host, viterbi_host_banded_obs)
+    from shennong_tpu.processor.pitch_crepe import _crepe_prior
+
+    nstates = 90
+    start, transition, emission = _crepe_prior(nstates)
+    rng = np.random.RandomState(11)
+    obs = rng.randint(0, nstates, size=400)
+    obs[50:150] = obs[50]
+    with np.errstate(divide='ignore'):
+        log_obs = np.log(emission[:, obs].T)
+        dense = viterbi_host(
+            np.log(start), np.log(transition), log_obs)
+        sparse = viterbi_host_banded_obs(
+            np.log(start), np.log(transition), obs,
+            np.log(emission[1, 0]), np.log(emission[0, 0]), 11)
+    np.testing.assert_array_equal(sparse, dense)
+
+
+def test_chunked_device_matches_host_small_hop(audio):
+    # with a small hop the normalization owner dependency reaches
+    # further than the default halo used to cover; shrink the chunk
+    # cap so chunk boundaries appear on a short clip and compare to
+    # the host reference path (regression for the halo sizing)
+    proc = CrepePitchProcessor(
+        model_capacity='tiny', frame_shift=0.005)
+    proc.CHUNK_FRAMES = 64
+    device = proc.process(audio)
+    host = proc._decode(
+        proc._forward(proc._model_frames(
+            audio.data.astype(np.float32))), audio.shape[0])
+    assert device.shape == host.shape
+    np.testing.assert_allclose(
+        device.data, host.data, rtol=1e-4, atol=1e-3)
