@@ -33,14 +33,21 @@ def make_signal(nsamples, sample_rate, seed):
 
 
 def main():
+    import functools
+
     import jax
 
+    from shennong_tpu import utils
     from shennong_tpu.ops import mel as melmod
     from shennong_tpu.ops.framing import num_frames
     from shennong_tpu.ops.pitch import PitchOpts, ProcessPitchOpts, \
         num_pitch_frames
     from shennong_tpu.ops.spectral import MfccOpts
     from shennong_tpu.parallel.fused import mfcc_pitch_pipeline
+
+    # driver runs start cold per process; the persistent cache makes
+    # the pipeline compile once per machine instead of once per run
+    utils.enable_compilation_cache()
 
     backend = jax.devices()[0].platform
     sample_rate = 16000
@@ -68,18 +75,22 @@ def main():
 
     import jax.numpy as jnp
 
-    # jitted so each perturbation is one async device program (eager
-    # ops synchronize with remote transports per call)
-    perturb = jax.jit(lambda s, eps: s + eps)
+    # the input perturbation folds INTO the pipeline program: each
+    # remote dispatch carries a fixed per-program cost (~8 ms through
+    # the relay), so one program per iteration instead of
+    # perturb-then-pipeline measures the same work at half the
+    # dispatch overhead
+    @functools.partial(jax.jit, donate_argnums=())
+    def pipeline_step(s, eps):
+        return mfcc_pitch_pipeline(
+            s + eps, lengths, mel_weights, mfcc_opts, pitch_opts,
+            post_opts, nframes_max, pitch_frames_max)
 
     def dispatch(step):
         # perturb the input per iteration: executions of bit-identical
         # programs on identical buffers may be deduplicated by remote
         # device transports, which would fake the throughput
-        out, nframes = mfcc_pitch_pipeline(
-            perturb(signals, jnp.float32(step * 1e-4)), lengths,
-            mel_weights, mfcc_opts, pitch_opts, post_opts,
-            nframes_max, pitch_frames_max)
+        out, nframes = pipeline_step(signals, jnp.float32(step * 1e-4))
         return out
 
     def sync(outputs):
@@ -93,7 +104,9 @@ def main():
     # compile + warmup, including the perturbation and probe programs
     # (their one-time compiles must not land in the timed region — the
     # probe warmup must stack the same output count as the timed run)
-    iterations = 10
+    # enough in-flight batches that the one probe fetch per window
+    # (~45 ms relay round trip) amortizes below the noise
+    iterations = 25
     out = dispatch(0)
     assert np.all(np.isfinite(np.asarray(out[:, :10]))), 'non-finite output'
     sync([dispatch(1 + i) for i in range(iterations)])
