@@ -80,11 +80,19 @@ def main():
             pitch_opts, post_opts, nframes_max, pitch_max)
         np.asarray(out[0, 0])
 
+    # jitted probes: eager stacking ops synchronize with remote
+    # device transports once per op, which would bill several relay
+    # round trips to the timed window
+    stage_probe = jax.jit(
+        lambda xs: jnp.stack([x[0, 0] for x in xs]).sum())
+    out_probe = jax.jit(
+        lambda xs: jnp.stack([x[0, 0, 0] for x in xs]).sum())
+
     for window in range(args.windows):
         batches = [new_batch(i) for i in range(args.iterations)]
         # make sure the host->device staging is complete: the window
         # measures extraction throughput, not the input link
-        np.asarray(jnp.stack([b[0, 0] for b in batches]).sum())
+        np.asarray(stage_probe(batches))
         start = time.perf_counter()
         outs = [
             mfcc_pitch_pipeline(
@@ -92,7 +100,7 @@ def main():
                 pitch_opts, post_opts, nframes_max, pitch_max)[0]
             for signals in batches]
         # synchronize through a host fetch depending on every output
-        np.asarray(jnp.stack([o[0, 0, 0] for o in outs]).sum())
+        np.asarray(out_probe(outs))
         elapsed = time.perf_counter() - start
         audio = args.batch * args.seconds * args.iterations
         print(f'window {window}: {audio / elapsed:10.0f}x real-time '
