@@ -61,8 +61,12 @@ def warp_class_mapping_moments(signals, nsamples, nframes, mel_weights,
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
     beta = jnp.sum(weights)
-    mu_x = jnp.einsum('bt,btd->d', weights, x, **kwargs) / beta
-    mu_y = jnp.einsum('bt,cbtd->cd', weights, y, **kwargs) / beta
+    # a batch whose selection weights are all zero (e.g. a tail batch
+    # fully rejected by VAD) must contribute zero moments, not NaN —
+    # 0 * NaN would poison the float64 merge for every batch
+    safe_beta = jnp.maximum(beta, 1e-30)
+    mu_x = jnp.einsum('bt,btd->d', weights, x, **kwargs) / safe_beta
+    mu_y = jnp.einsum('bt,cbtd->cd', weights, y, **kwargs) / safe_beta
 
     xc = x - mu_x
     yc = y - mu_y[:, None, None, :]
@@ -87,6 +91,10 @@ def solve_mapping_from_moments(moments):
         tuple(np.asarray(m, dtype=np.float64) for m in batch)
         for batch in moments]
     beta = sum(m[0] for m in moments)
+    if not beta > 0:
+        raise ValueError(
+            'no selected frames in any batch, cannot estimate the '
+            'warp-class transforms')
     mu_x = sum(m[0] * m[1] for m in moments) / beta
     mu_y = sum(m[0] * m[2] for m in moments) / beta
 

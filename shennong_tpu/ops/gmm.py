@@ -50,13 +50,43 @@ def log_likelihoods(feats, weights, means, inv_vars):
 def gaussian_selection(feats, weights, means, inv_vars, num_gselect):
     """Top-k component indices per frame, best first.
 
-    Returns (total_loglike, indices [N, k]): the summed full-GMM
-    log-likelihood and the selected component indices.
+    Returns (loglike [N], indices [N, k]): the per-frame full-GMM
+    log-likelihood (so callers can exclude padding rows from
+    diagnostics) and the selected component indices.
     """
     loglikes = log_likelihoods(feats, weights, means, inv_vars)
-    tot = jnp.sum(jax.scipy.special.logsumexp(loglikes, axis=1))
+    per_frame = jax.scipy.special.logsumexp(loglikes, axis=1)
     _, indices = jax.lax.top_k(loglikes, num_gselect)
-    return tot, indices.astype(jnp.int32)
+    return per_frame, indices.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=('num_gselect',))
+def gaussian_selection_preselect(feats, preselect, weights, means,
+                                 inv_vars, num_gselect):
+    """Top-k restricted to each frame's preselected components.
+
+    Kaldi gmm-gselect with --gselect (DiagGmm
+    gaussian_selection_preselect, reference call site
+    shennong/processor/ubm.py:474-480): the refined selection is the
+    best ``num_gselect`` of the previous per-frame subset
+    ``preselect`` [N, k_prev]. Returns (loglike [N] over the
+    preselected components, indices [N, num_gselect] best first).
+    """
+    consts = gconsts(weights, means, inv_vars)
+    sel_means = means[preselect]         # [N, k_prev, D]
+    sel_inv = inv_vars[preselect]
+    sel_consts = consts[preselect]
+    linear = jnp.einsum(
+        'nd,nkd->nk', feats, sel_means * sel_inv,
+        precision=jax.lax.Precision.HIGHEST)
+    quadratic = jnp.einsum(
+        'nd,nkd->nk', feats * feats, sel_inv,
+        precision=jax.lax.Precision.HIGHEST)
+    loglikes = sel_consts + linear - 0.5 * quadratic
+    per_frame = jax.scipy.special.logsumexp(loglikes, axis=1)
+    _, pos = jax.lax.top_k(loglikes, num_gselect)
+    indices = jnp.take_along_axis(preselect, pos, axis=1)
+    return per_frame, indices.astype(jnp.int32)
 
 
 @jax.jit

@@ -179,10 +179,19 @@ def extract_features_warp(configuration, utterances, warp, log, njobs=1):
         features = BatchExecutor(proc).process_all(
             utterances, vtln_warp=warps, njobs=njobs)
         if 'delta' in config:
+            # batched (this path runs once per warp class in the
+            # LVTLN fallback — a per-utterance loop would pay one
+            # device dispatch per utterance per class)
             delta = manager.make('delta')
+            names = list(features.keys())
+            outputs = _batched_deltas(
+                [features[name].data for name in names], delta)
             features = FeaturesCollection({
-                name: delta.process(feats)
-                for name, feats in features.items()})
+                name: Features(
+                    out.astype(features[name].dtype),
+                    features[name].times,
+                    delta.get_properties(features[name]))
+                for name, out in zip(names, outputs)})
         return features
 
     features = FeaturesCollection()
@@ -332,8 +341,24 @@ def init_config(config, log=get_logger('pipeline', 'warning')):
         if 'with_vad' not in config['cmvn']:
             config['cmvn']['with_vad'] = True
 
-    if 'pitch' in config and 'postprocessing' not in config['pitch']:
-        config['pitch']['postprocessing'] = {}
+    if 'pitch' in config:
+        if 'processor' not in config['pitch']:
+            # the reference dies with a bare KeyError here; an
+            # explicit message beats that (the key is genuinely
+            # ambiguous: kaldi or crepe)
+            raise ValueError(
+                "the pitch configuration must declare its processor "
+                "('kaldi' or 'crepe')")
+        if 'postprocessing' not in config['pitch']:
+            config['pitch']['postprocessing'] = {}
+
+    if 'vtln' in config and 'by_speaker' not in config['vtln']:
+        # default to the VtlnProcessor default (the reference dies
+        # with a bare KeyError on this valid minimal section)
+        log.warning(
+            'by_speaker option not specified for vtln, '
+            'assuming it is true and computing warps by speaker')
+        config['vtln']['by_speaker'] = True
 
     steps = []
     if 'pitch' in config:

@@ -307,7 +307,7 @@ class DiagUbmProcessor(BaseProcessor):
 
         cur_num_gauss = num_gauss_init
         gauss_inc = int((self.num_gauss - num_gauss_init)
-                        / (self.num_iters_init / 2))
+                        / (max(self.num_iters_init, 1) / 2))
         if gauss_inc == 0:
             self.log.warning(
                 'Number of gaussians %s is too low', self.num_gauss)
@@ -442,9 +442,29 @@ class DiagUbmProcessor(BaseProcessor):
 
         weights, means, inv_vars = self.gmm.as_jax()
         names, counts, flat, nrows = self._flat_frames(feats_collection)
-        like, indices = gmm_ops.gaussian_selection(
-            jnp.asarray(flat), weights, means, inv_vars,
-            self.num_gselect)
+        if already:
+            # refine within the previous per-frame subset (Kaldi
+            # gmm-gselect --gselect semantics, reference
+            # shennong/processor/ubm.py:472-480)
+            prev = []
+            for name, count in zip(names, counts):
+                sel = np.asarray(self.selection[name])
+                if sel.shape[0] != count:
+                    raise ValueError(
+                        f'Input gselect utterance {name} has wrong '
+                        f'size')
+                prev.append(sel)
+            prev = np.concatenate(prev) if prev else np.zeros(
+                (0, self.num_gselect), np.int32)
+            prev = np.pad(
+                prev, ((0, flat.shape[0] - nrows), (0, 0)))
+            like, indices = gmm_ops.gaussian_selection_preselect(
+                jnp.asarray(flat), jnp.asarray(prev), weights, means,
+                inv_vars, min(self.num_gselect, prev.shape[1]))
+        else:
+            like, indices = gmm_ops.gaussian_selection(
+                jnp.asarray(flat), weights, means, inv_vars,
+                self.num_gselect)
         indices = np.asarray(indices[:nrows])
         offset = 0
         for name, count in zip(names, counts):
@@ -452,10 +472,13 @@ class DiagUbmProcessor(BaseProcessor):
             offset += count
 
         if self.log.isEnabledFor(10):  # logging.DEBUG
+            # per-frame likelihoods so bucket-padding rows do not
+            # bias the diagnostic
+            total = float(np.asarray(like[:nrows]).sum())
             self.log.debug(
                 'Done %s utterances, mean UBM log-likelihood is %s over '
                 '%s frames', len(feats_collection),
-                float(like) / max(nrows, 1), nrows)
+                total / max(nrows, 1), nrows)
 
     def gaussian_selection_to_post(self, feats_collection,
                                    min_post=None):
@@ -601,10 +624,18 @@ class DiagUbmProcessor(BaseProcessor):
         CMVN), trims them with energy VAD, initializes the model and
         runs ``num_iters`` EM iterations.
         """
+        # extraction must run without the sliding CMVN; restore the
+        # configuration even when a stage raises so a retried
+        # processor keeps the parameters the user set
         cmvn_config = self.features.pop('sliding_window_cmvn', None)
-        self.log.info('Training UBM using %s jobs', njobs)
-        raw_features = pipeline.extract_features(
-            self.features, utterances, njobs=njobs, log=null_logger())
+        try:
+            self.log.info('Training UBM using %s jobs', njobs)
+            raw_features = pipeline.extract_features(
+                self.features, utterances, njobs=njobs,
+                log=null_logger())
+        finally:
+            if cmvn_config is not None:
+                self.features['sliding_window_cmvn'] = cmvn_config
 
         # batched VAD decisions (O(buckets) device programs)
         vad = {
@@ -616,7 +647,6 @@ class DiagUbmProcessor(BaseProcessor):
         if cmvn_config is not None:
             features = SlidingWindowCmvnPostProcessor(
                 **cmvn_config).process_all(raw_features)
-            self.features['sliding_window_cmvn'] = cmvn_config
         else:
             features = raw_features
 

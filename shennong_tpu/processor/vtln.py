@@ -317,6 +317,10 @@ class VtlnProcessor(BaseProcessor):
         nspeakers = len(group_names)
         out = {
             name: FmllrStats(dim) for name in group_names}
+        # the model is constant across the chunk loop: convert and
+        # upload it once
+        means_dev = jnp.asarray(ubm.gmm.means, dtype=jnp.float32)
+        inv_vars_dev = jnp.asarray(ubm.gmm.inv_vars, dtype=jnp.float32)
         for start in range(0, feats_all.shape[0], chunk_frames):
             stop = min(start + chunk_frames, feats_all.shape[0])
             rows = stop - start
@@ -333,9 +337,7 @@ class VtlnProcessor(BaseProcessor):
             beta, K, G = fmllr_stats_groups(
                 jnp.asarray(feats), jnp.asarray(idx),
                 jnp.asarray(val), jnp.asarray(gid),
-                jnp.asarray(ubm.gmm.means, dtype=jnp.float32),
-                jnp.asarray(ubm.gmm.inv_vars, dtype=jnp.float32),
-                nspeakers)
+                means_dev, inv_vars_dev, nspeakers)
             beta = np.asarray(beta, dtype=np.float64)
             K = np.asarray(K, dtype=np.float64)
             G = np.asarray(G, dtype=np.float64)
@@ -440,8 +442,20 @@ class VtlnProcessor(BaseProcessor):
         default_class = int(0.5 + (1 - self.min_warp) / self.warp_step)
         self.lvtln = LinearVtln(dim, num_classes, default_class)
 
+        # extraction must run without the sliding CMVN; restore the
+        # configuration even when a stage raises so a retried
+        # processor keeps the parameters the user set
         cmvn_config = self.features.pop('sliding_window_cmvn', None)
+        try:
+            return self._process_body(
+                utterances, ubm, njobs, group_by, utt2speak,
+                cmvn_config, num_classes)
+        finally:
+            if cmvn_config is not None:
+                self.features['sliding_window_cmvn'] = cmvn_config
 
+    def _process_body(self, utterances, ubm, njobs, group_by,
+                      utt2speak, cmvn_config, num_classes):
         raw_mfcc = pipeline.extract_features(
             self.features, utterances, njobs=njobs, log=null_logger())
 
@@ -511,9 +525,6 @@ class VtlnProcessor(BaseProcessor):
             del featsub_warped, featsub_unwarped
 
         del vad
-
-        if cmvn_config is not None:
-            self.features['sliding_window_cmvn'] = cmvn_config
 
         self.log.debug('Computing Gaussian selection info')
         ubm.gaussian_selection(orig_features)

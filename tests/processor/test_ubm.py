@@ -184,3 +184,43 @@ def test_em_steps_matches_repeated_em_step(gmm_data):
     assert np.allclose(float(like_loop), float(like_fused), rtol=1e-6)
     for a, b in zip(params_loop, params_fused):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_gaussian_selection_refines_within_previous(utterances):
+    # a second selection pass restricts to the first pass's subset
+    # (Kaldi gmm-gselect --gselect, reference ubm.py:472-480)
+    ubm = DiagUbmProcessor(
+        4, num_iters=1, num_iters_init=2, num_frames=1000,
+        num_gselect=3)
+    ubm.process(utterances)
+
+    rng = np.random.RandomState(7)
+    fc = FeaturesCollection(
+        u1=Features(
+            rng.randn(40, 39).astype(np.float32), np.arange(40.0)))
+
+    ubm.selection = None
+    ubm.gaussian_selection(fc)
+    first = np.array(ubm.selection['u1'])
+
+    # refine with a smaller k: every refined index must come from the
+    # first pass's per-frame subset
+    ubm.num_gselect = 2
+    ubm.gaussian_selection(fc)
+    second = np.array(ubm.selection['u1'])
+    assert second.shape == (40, 2)
+    for row in range(40):
+        assert set(second[row]).issubset(set(first[row]))
+
+    # wrong-size preselect raises (reference error message)
+    ubm.selection = {'u1': first[:10]}
+    with pytest.raises(ValueError, match='wrong size'):
+        ubm.gaussian_selection(fc)
+
+
+def test_num_iters_init_zero(utterances):
+    # skipping the init EM entirely must not divide by zero
+    ubm = DiagUbmProcessor(
+        4, num_iters=1, num_iters_init=0, num_frames=1000)
+    ubm.process(utterances)
+    assert ubm.gmm is not None
