@@ -79,18 +79,24 @@ def main():
     # remote dispatch carries a fixed per-program cost (~8 ms through
     # the relay), so one program per iteration instead of
     # perturb-then-pipeline measures the same work at half the
-    # dispatch overhead
+    # dispatch overhead. A per-step PRNG key keeps the default
+    # dithering (dither=1.0, like the reference pipeline) in the
+    # measured program.
+    base_key = jax.random.PRNGKey(0)
+
     @functools.partial(jax.jit, donate_argnums=())
-    def pipeline_step(s, eps):
+    def pipeline_step(s, eps, step):
         return mfcc_pitch_pipeline(
             s + eps, lengths, mel_weights, mfcc_opts, pitch_opts,
-            post_opts, nframes_max, pitch_frames_max)
+            post_opts, nframes_max, pitch_frames_max,
+            key=jax.random.fold_in(base_key, step))
 
     def dispatch(step):
         # perturb the input per iteration: executions of bit-identical
         # programs on identical buffers may be deduplicated by remote
         # device transports, which would fake the throughput
-        out, nframes = pipeline_step(signals, jnp.float32(step * 1e-4))
+        out, nframes = pipeline_step(
+            signals, jnp.float32(step * 1e-4), jnp.int32(step))
         return out
 
     def sync(outputs):

@@ -77,7 +77,8 @@ def main():
     with timer.stage('compile + first batch'):
         out, _ = mfcc_pitch_pipeline(
             new_batch(0), lengths, mel_weights, mfcc_opts,
-            pitch_opts, post_opts, nframes_max, pitch_max)
+            pitch_opts, post_opts, nframes_max, pitch_max,
+            key=jax.random.PRNGKey(0))
         np.asarray(out[0, 0])
 
     # jitted probes: eager stacking ops synchronize with remote
@@ -93,12 +94,16 @@ def main():
         # make sure the host->device staging is complete: the window
         # measures extraction throughput, not the input link
         np.asarray(stage_probe(batches))
+        keys = [
+            jax.random.PRNGKey(window * args.iterations + i)
+            for i in range(len(batches))]
         start = time.perf_counter()
         outs = [
             mfcc_pitch_pipeline(
                 signals, lengths, mel_weights, mfcc_opts,
-                pitch_opts, post_opts, nframes_max, pitch_max)[0]
-            for signals in batches]
+                pitch_opts, post_opts, nframes_max, pitch_max,
+                key=key)[0]
+            for signals, key in zip(batches, keys)]
         # synchronize through a host fetch depending on every output
         np.asarray(out_probe(outs))
         elapsed = time.perf_counter() - start

@@ -79,6 +79,8 @@ class Audio:
             raise ValueError(f'invalid audio data for type {self.dtype}')
 
     def __eq__(self, other):
+        if not isinstance(other, Audio):
+            return NotImplemented
         return (
             self.sample_rate == other.sample_rate
             and np.array_equal(self.data, other.data))

@@ -80,6 +80,8 @@ class Features:
     def __eq__(self, other):
         if self is other:
             return True
+        if not isinstance(other, Features):
+            return NotImplemented
         return (
             self.shape == other.shape
             and self.dtype == other.dtype

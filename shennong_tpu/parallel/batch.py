@@ -62,8 +62,15 @@ def load_signals(utterances, njobs=4):
             return items
 
     def load_one(utt):
-        audio = utt.load_audio().astype(np.int16)
-        return utt.name, audio.data.astype(np.float32)
+        audio = utt.load_audio()
+        if audio.nchannels != 1:
+            # the native loader rejects multichannel files the same
+            # way; without this the 2-D samples crash batch assembly
+            # with an opaque broadcast error
+            raise ValueError(
+                'audio signal must have one channel, but it has {}'
+                .format(audio.nchannels))
+        return utt.name, audio.astype(np.int16).data.astype(np.float32)
 
     with concurrent.futures.ThreadPoolExecutor(
             max_workers=max(1, njobs)) as pool:

@@ -74,21 +74,16 @@ class BatchExecutor:
             raise ValueError(
                 f'processor {name} does not accept VTLN warps')
 
-        # the whole batch shares the processor's sample rate
-        from shennong_tpu.audio import Audio
-        for utt in utterances:
-            rate = Audio.scan(utt.audio_file).sample_rate
-            if float(proc.sample_rate) != float(rate):
-                raise ValueError(
-                    'processor and signal mismatch in sample rates: '
-                    '{} != {}'.format(proc.sample_rate, rate))
+        # materialize first (a generator would be exhausted by the
+        # rate check below and silently yield zero utterances)
+        utterances = list(utterances)
+        self._check_sample_rates(utterances)
 
         collection = FeaturesCollection()
 
         # hour-scale utterances would force one giant padded bucket;
         # route them through chunked single-utterance extraction and
         # batch only the rest (see FramesProcessor.process_chunked)
-        utterances = list(utterances)
         limit = getattr(proc, 'AUTO_CHUNK_FRAMES', None)
         if limit and hasattr(proc, 'process_chunked'):
             regular = []
@@ -131,6 +126,17 @@ class BatchExecutor:
                     properties=properties)
         return collection
 
+    def _check_sample_rates(self, utterances):
+        """The whole batch must share the processor's sample rate."""
+        from shennong_tpu.audio import Audio
+        proc = self.processor
+        for utt in utterances:
+            rate = Audio.scan(utt.audio_file).sample_rate
+            if float(proc.sample_rate) != float(rate):
+                raise ValueError(
+                    'processor and signal mismatch in sample rates: '
+                    '{} != {}'.format(proc.sample_rate, rate))
+
     def process_all_classes(self, utterances, class_warps, njobs=4):
         """Extract MFCCs for every VTLN warp class in one pass.
 
@@ -144,12 +150,34 @@ class BatchExecutor:
                 'multi-class warping requires an MFCC processor, '
                 f'got {proc.name}')
 
-        items = batching.load_signals(utterances, njobs=njobs)
-        mel_weights = np.stack(
-            [proc.mel_weights(w) for w in class_warps])
+        utterances = list(utterances)
+        self._check_sample_rates(utterances)
 
         collections = [
             FeaturesCollection() for _ in class_warps]
+
+        # hour-scale utterances: chunked per-class extraction instead
+        # of a giant padded bucket fanned out over every warp class
+        limit = proc.AUTO_CHUNK_FRAMES
+        if limit:
+            regular = []
+            for utt in utterances:
+                frames = proc.output_frames(
+                    int(utt.duration * float(proc.sample_rate)))
+                if frames > limit:
+                    audio = utt.load_audio()
+                    for c, warp in enumerate(class_warps):
+                        collections[c][utt.name] = proc.process_chunked(
+                            audio, vtln_warp=warp)
+                else:
+                    regular.append(utt)
+            utterances = regular
+        if not utterances:
+            return collections
+
+        items = batching.load_signals(utterances, njobs=njobs)
+        mel_weights = np.stack(
+            [proc.mel_weights(w) for w in class_warps])
         for names, signals, nsamples, nvalid in batching.make_batches(
                 items, self.batch_size, self._pad_multiple()):
             signals, nsamples_dev = self._device_put(signals, nsamples)
@@ -196,6 +224,9 @@ class BatchExecutor:
             raise ValueError(
                 'LVTLN statistics require an MFCC processor, '
                 f'got {proc.name}')
+
+        utterances = list(utterances)
+        self._check_sample_rates(utterances)
 
         mel_weights = np.stack(
             [proc.mel_weights(w) for w in class_warps]

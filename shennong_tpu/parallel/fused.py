@@ -24,7 +24,7 @@ from shennong_tpu.ops import postops, spectral
 def mfcc_pitch_pipeline(signals, nsamples, mel_weights, mfcc_opts,
                         pitch_opts, post_opts, nframes_max,
                         pitch_frames_max, delta_order=2,
-                        delta_window=2):
+                        delta_window=2, key=None):
     """MFCC + per-utterance CMVN + deltas + Kaldi pitch, fused.
 
     [B, T] padded signals -> [B, F, 13*(delta_order+1) + pitch_dims]
@@ -34,15 +34,21 @@ def mfcc_pitch_pipeline(signals, nsamples, mel_weights, mfcc_opts,
     reference pipeline's pass-2 behavior (CmvnPostProcessor.process
     defaults to norm_vars=True and the reference's own test asserts
     unit output std, test/test_pipeline.py:403-408); every stage is
-    fused into one XLA program.
+    fused into one XLA program. Pass ``key`` to enable dithering
+    when ``mfcc_opts.frame.dither`` is nonzero (without a key the
+    dither is skipped, as in deterministic test runs).
     """
     feats = spectral.mfcc_batch(
-        signals, nsamples, mel_weights, mfcc_opts, nframes_max)
+        signals, nsamples, mel_weights, mfcc_opts, nframes_max,
+        key=key)
 
-    # per-utterance frame counts, traced
+    # per-utterance frame counts, traced (both snip_edges settings)
     shift = mfcc_opts.frame.window_shift
     length = mfcc_opts.frame.window_size
-    nframes = jnp.maximum((nsamples - length) // shift + 1, 0)
+    if mfcc_opts.frame.snip_edges:
+        nframes = jnp.maximum((nsamples - length) // shift + 1, 0)
+    else:
+        nframes = (nsamples + shift // 2) // shift
 
     # masked per-utterance CMVN (mean + variance)
     t = jnp.arange(feats.shape[1])[None, :, None]
@@ -69,13 +75,16 @@ def mfcc_pitch_pipeline(signals, nsamples, mel_weights, mfcc_opts,
             _resampled_len(nsamples, pitch_opts), pitch_opts),
         post_opts)
 
-    # concatenate on the common frame grid (the reference trims to
-    # the shortest within a 2-frame tolerance; here both live on the
-    # same padded grid, valid lengths may differ per utterance)
+    # concatenate on the common frame grid; like the reference's
+    # trim-to-shortest (2-frame tolerance), the per-utterance valid
+    # count is the minimum of the MFCC and pitch frame counts so no
+    # row carries padding-derived pitch values
+    pitch_frames = pitch_ops.pitch_num_frames_device(
+        _resampled_len(nsamples, pitch_opts), pitch_opts)
     common = min(feats.shape[1], pitch_feats.shape[1])
     out = jnp.concatenate(
         [feats[:, :common], pitch_feats[:, :common]], axis=-1)
-    out_frames = jnp.minimum(nframes, common)
+    out_frames = jnp.minimum(jnp.minimum(nframes, pitch_frames), common)
     return out, out_frames
 
 

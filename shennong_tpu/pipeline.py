@@ -278,6 +278,17 @@ def accumulate_warp_mapping_stats(
         return None
 
     proc = manager.make('features', utterances[0])
+
+    # hour-scale utterances would blow the fused [classes, B, T, D]
+    # program; fall back to the per-collection path, whose executor
+    # routes them through chunked extraction
+    limit = proc.AUTO_CHUNK_FRAMES
+    if limit and any(
+            proc.output_frames(
+                int(utt.duration * float(proc.sample_rate))) > limit
+            for utt in utterances):
+        return None
+
     delta_order = delta_window = None
     if 'delta' in config:
         delta_proc = manager.make('delta')

@@ -73,6 +73,8 @@ class Utterance:
             self._duration = self._tstop - self._tstart
 
     def __eq__(self, other):
+        if not isinstance(other, Utterance):
+            return NotImplemented
         return str(self) == str(other)
 
     def __str__(self):
@@ -175,6 +177,8 @@ class Utterances:
         return self._utterances[name]
 
     def __eq__(self, other):
+        if not isinstance(other, Utterances):
+            return NotImplemented
         return self._utterances == other._utterances
 
     @classmethod
