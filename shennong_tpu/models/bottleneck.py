@@ -58,9 +58,9 @@ def mel_filterbank_htk(window_length, sample_rate, num_chans=20,
         bank[mid:hi, chan] = (
             (edges_mel[chan + 2] - fft_mels[mid:hi])
             / (edges_mel[chan + 2] - edges_mel[chan + 1]))
-        if low_freq > 0.0 and low_freq / sample_rate * nfft + 0.5 > \
-                edge_bins[0]:
-            bank[edge_bins[0], :] = 0.0  # HTK compatibility
+    if low_freq > 0.0 and low_freq / sample_rate * nfft + 0.5 > \
+            edge_bins[0]:
+        bank[edge_bins[0], :] = 0.0  # HTK compatibility
     return bank.astype(np.float32)
 
 

@@ -167,6 +167,10 @@ def plp_batch(signals, nsamples, mel_weights, equal_loudness, opts,
         preferred_element_type=jnp.float32)
 
     lpc, residual = durbin(autocorr, opts.lpc_order)
+    # the floor applies to the LOG energy, not the energy — matching
+    # the reference verbatim (shennong/processor/plp.py:601-603
+    # floors compute_lpc's log-domain return value with eps), which
+    # itself mirrors Kaldi feature-plp.cc
     residual_log_energy = jnp.maximum(jnp.log(residual), DBL_EPSILON)
 
     cepstrum = lpc_to_cepstrum(lpc, opts.lpc_order)
@@ -188,6 +192,9 @@ def plp_batch(signals, nsamples, mel_weights, equal_loudness, opts,
         feats = feats.at[..., 0].set(log_energy)
 
     if opts.htk_compat:
+        # plain rotation with NO sqrt(2) energy scaling: PLP differs
+        # from MFCC here, in the reference
+        # (shennong/processor/plp.py:622-626) as in Kaldi
         feats = jnp.concatenate(
             [feats[..., 1:], feats[..., :1]], axis=-1)
 

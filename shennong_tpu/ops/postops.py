@@ -282,6 +282,9 @@ def compute_vad_energy(log_energy, nframes, energy_threshold=5.0,
         den = den + jnp.roll(in_range, -offset, axis=1) * _shift_mask(
             t, n, offset)
 
+    # the threshold comparison stays in float32 on purpose: Kaldi's
+    # ComputeVadEnergy does num >= den * proportion in BaseFloat
+    # (f32), so boundary frames round the same way here
     return (num >= den * proportion_threshold).astype(jnp.uint8)
 
 

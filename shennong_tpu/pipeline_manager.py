@@ -324,7 +324,9 @@ class PipelineManager:
 
     def cmvn_key(self, utterance):
         """The CMVN statistics group of an utterance"""
-        if self.config['cmvn']['by_speaker']:
+        # same default as __init__ tolerates, so a minimal cmvn
+        # config section works through the direct manager API too
+        if self.config['cmvn'].get('by_speaker', False):
             return utterance.speaker
         return utterance.name
 

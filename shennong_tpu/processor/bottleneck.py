@@ -235,11 +235,19 @@ class BottleneckProcessor(FeaturesProcessor):
         """
         nn_input = self._prepare(signal)
 
+        # the stagger stacking consumes 20 rows of context; shorter
+        # audio has no output frames (the reference's unpadded slices
+        # come out empty) — without this check, bucket padding would
+        # emit padding-derived garbage rows instead
+        true_rows = nn_input.shape[0]
+        if true_rows <= 20:
+            return self._emit(
+                np.zeros((0, 80), dtype=np.float32))
+
         # pad the frame count to a bucket (single compile per bucket);
         # the stagger stacking is causal-bounded so rows beyond the
         # true count never contaminate the sliced output
         from shennong_tpu.ops.framing import bucket_size
-        true_rows = nn_input.shape[0]
         bucket = bucket_size(true_rows, minimum=128)
         if bucket > true_rows:
             nn_input = np.pad(
@@ -283,7 +291,9 @@ class BottleneckProcessor(FeaturesProcessor):
                 stacked[row, :inp.shape[0]] = inp
             outputs = np.asarray(forward(params, jnp.asarray(stacked)))
             for row, name in enumerate(names):
-                true_rows = prepared[name].shape[0]
-                collection[name] = self._emit(
-                    outputs[row, :true_rows - 20])
+                # <= 20 rows: no output frames (the stagger stacking
+                # consumes 20 rows of context), never padding-derived
+                # garbage
+                count = max(prepared[name].shape[0] - 20, 0)
+                collection[name] = self._emit(outputs[row, :count])
         return collection

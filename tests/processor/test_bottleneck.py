@@ -226,3 +226,17 @@ def test_process_all_batched(wav_file, synthetic_weights):
         assert batched[utt.name].shape == single.shape
         assert np.allclose(
             batched[utt.name].data, single.data, atol=1e-5), utt.name
+
+
+def test_too_short_audio_yields_empty():
+    # fewer network-input rows than the 20-row stagger context (real
+    # BUT nets have context 15, where a <0.4 s signal lands here)
+    # produce zero output frames, never padding-derived garbage (the
+    # reference's unpadded stagger slices come out empty)
+    from shennong_tpu.audio import Audio
+    proc = BottleneckProcessor(weights='FisherMono')
+    proc._prepare = lambda signal: np.zeros((15, 144), np.float32)
+    audio = Audio(np.zeros(16000, np.float32), 16000)
+    feats = proc.process(audio)
+    assert feats.shape == (0, 80)
+    assert feats.times.shape == (0, 2)
