@@ -111,3 +111,47 @@ def test_torch_cross_forward_real(real_audio):
     # and the processor's padded-bucket path returns the same thing
     via_proc = proc._forward(frames)
     assert np.max(np.abs(via_proc - ours)) < 1e-6
+
+
+def test_convert_other_capacity_synthetic(tmp_path):
+    # the converter + forward plumbing works for every capacity, not
+    # just the shipped 'tiny': build a keras-layout checkpoint for
+    # 'small' (multiplier 8) with random tensors, convert it, and run
+    # the CNN forward at the expected widths
+    import h5py
+    import jax.numpy as jnp
+    from shennong_tpu.models import crepe
+
+    mult = crepe.CAPACITY_MULTIPLIER['small']
+    filters = [f * mult for f in crepe._LAYER_FILTERS]
+    widths = crepe._LAYER_WIDTHS
+    rng = np.random.RandomState(0)
+
+    path = str(tmp_path / 'model-small.h5')
+    with h5py.File(path, 'w') as fh:
+        cin = 1
+        for i in range(1, 7):
+            cout = filters[i - 1]
+            conv = fh.create_group(f'conv{i}').create_group('layer')
+            conv['kernel:0'] = (
+                rng.randn(widths[i - 1], 1, cin, cout) * 0.05)
+            conv['bias:0'] = rng.randn(cout) * 0.01
+            bn = fh.create_group(f'conv{i}-BN').create_group('layer')
+            bn['gamma:0'] = np.ones(cout)
+            bn['beta:0'] = np.zeros(cout)
+            bn['moving_mean:0'] = rng.randn(cout) * 0.01
+            bn['moving_variance:0'] = np.ones(cout)
+            cin = cout
+        clf = fh.create_group('classifier').create_group('layer')
+        clf['kernel:0'] = rng.randn(4 * filters[-1], 360) * 0.01
+        clf['bias:0'] = np.zeros(360)
+
+    params = crepe.convert_keras_h5(path)
+    assert crepe.capacity_of(params) == 'small'
+    assert params['conv1/kernel'].shape == (512, 1, filters[0])
+
+    frames = rng.randn(3, 1024).astype(np.float32)
+    out = np.asarray(crepe.forward(
+        {k: jnp.asarray(v) for k, v in params.items()}, frames))
+    assert out.shape == (3, 360)
+    assert np.all((out >= 0) & (out <= 1))
