@@ -83,6 +83,8 @@ class Alignment:
         return True
 
     def __eq__(self, other):
+        if not isinstance(other, Alignment):
+            return NotImplemented
         return (np.array_equal(self._times, other._times)
                 and np.array_equal(self.tokens, other.tokens))
 
@@ -99,7 +101,10 @@ class Alignment:
         tstop = tmax if time.stop is None else min(time.stop, tmax)
 
         if tstart >= tstop or tstart >= tmax or tstop <= tmin:
-            return Alignment(np.array([]), np.array([]), validate=False)
+            # [0, 2] times so onsets/offsets/to_list work on the
+            # empty result
+            return Alignment(
+                np.empty((0, 2)), np.array([]), validate=False)
         if tstart == tmin and tstop == tmax:
             return self
 

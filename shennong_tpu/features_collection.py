@@ -61,9 +61,12 @@ class FeaturesCollection(dict):
                 'following items are not defined in the partition index: {}'
                 .format(', '.join(sorted(missing))))
 
+        # iterate the collection (not the index) so a superset index
+        # -- e.g. a full-corpus speaker map against a sub-collection
+        # -- partitions cleanly, as in the reference
         groups = collections.defaultdict(list)
-        for key, label in index.items():
-            groups[label].append(key)
+        for key in self.keys():
+            groups[index[key]].append(key)
 
         return {
             label: FeaturesCollection({k: self[k] for k in keys})

@@ -19,6 +19,7 @@ class Frames(BaseProcessor):
     def __init__(self, sample_rate=16000,
                  frame_shift=0.01, frame_length=0.025,
                  snip_edges=True):
+        super().__init__()
         self.sample_rate = sample_rate
         self.frame_shift = frame_shift
         self.frame_length = frame_length
@@ -136,10 +137,18 @@ class Frames(BaseProcessor):
         nframes = self.nframes(array.shape[0])
 
         if not self.snip_edges:
-            # mirror the signal end into the last frames
+            # mirror the signal end into the last frames; np.pad
+            # 'reflect' equals the reference's array[-n-1:-1][::-1]
+            # concatenation but stays correct (repeated reflection)
+            # when the signal is shorter than the overhang — the
+            # single-mirror form reads out of bounds through the
+            # strided view there
             missing = self.last_sample_of_frame(nframes - 1) - array.shape[0]
-            array = np.concatenate(
-                (array, array[-missing - 1:-1][::-1]))
+            if missing > 0:
+                array = np.pad(
+                    array,
+                    ((0, missing),) + ((0, 0),) * (array.ndim - 1),
+                    mode='reflect')
 
         if writeable:
             out = np.empty(

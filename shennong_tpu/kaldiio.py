@@ -58,7 +58,10 @@ def expect_token(fp, expected):
 def read_basic(fp, fmt='<i'):
     """A WriteBasicType value: size byte + little-endian payload."""
     size = struct.calcsize(fmt)
-    actual = fp.read(1)[0]
+    head = fp.read(1)
+    if not head:
+        raise ValueError('unexpected end of stream')
+    actual = head[0]
     if actual != size:
         raise ValueError(
             f'basic type of size {actual}, expected {size}')

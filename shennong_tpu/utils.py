@@ -63,7 +63,7 @@ def dict_equal(dict1, dict2):
 def list_files_with_extension(
         directory, extension, abspath=False, realpath=True, recursive=True):
     """Return the sorted files below ``directory`` ending in ``extension``."""
-    expr = r'(.*)' + extension + '$'
+    expr = r'(.*)' + re.escape(extension) + '$'
 
     if recursive:
         matched = []

@@ -35,4 +35,8 @@ def window(length, type='povey', blackman_coeff=0.42):
     if length == 2 and type in ('povey', 'blackman', 'hanning'):
         return np.ones((2,))
 
-    return window_function(type, int(length), float(blackman_coeff))
+    # copy: window_function's return value is lru_cached and shared
+    # with the TPU compute path — in-place mutation by a caller must
+    # not poison it
+    return window_function(
+        type, int(length), float(blackman_coeff)).copy()

@@ -71,3 +71,22 @@ def test_frames_nframes_anchor():
 
     with pytest.raises(ValueError, match='sample rate too low'):
         Frames(sample_rate=1).nframes(100)
+
+
+def test_make_frames_short_signal_no_snip():
+    # signal shorter than the frame overhang: the reflect padding
+    # must cycle instead of reading out of bounds through the view
+    frames = Frames(snip_edges=False)
+    out = frames.make_frames(np.arange(250.0))
+    assert out.shape == (frames.nframes(250), frames.samples_per_frame)
+    assert np.all(np.isfinite(out))
+    assert np.abs(out).max() < 250
+    copied = frames.make_frames(np.arange(250.0), writeable=True)
+    np.testing.assert_array_equal(np.asarray(out), copied)
+
+
+def test_window_returns_fresh_array():
+    w1 = window(64)
+    w1 *= 0.0
+    w2 = window(64)
+    assert w2.max() > 0  # the cached window must not be poisoned
