@@ -213,3 +213,21 @@ def test_chunked_resample_exact():
             np.testing.assert_array_equal(chunked, whole)
         else:
             np.testing.assert_allclose(chunked, whole, atol=atol)
+
+
+@pytest.mark.parametrize('options', [
+    dict(min_f0=60, max_f0=300),
+    dict(resample_freq=3000, lowpass_cutoff=800),
+    dict(frame_shift=0.02, frame_length=0.04),
+])
+def test_chunked_equals_whole_options(options):
+    # the chunked path must reproduce the whole-utterance program for
+    # non-default geometries too (different lag grids, analysis rates
+    # and frame shapes)
+    audio = _long_audio(12)
+    proc = KaldiPitchProcessor(**options)
+    whole = proc.process(audio)
+    chunked = proc.process_chunked(
+        audio, chunk_frames=300, halo_frames=150)
+    assert chunked.shape == whole.shape
+    np.testing.assert_array_equal(chunked.data, whole.data)
