@@ -69,9 +69,22 @@ def main():
     nframes_max = num_frames(nsamples, mfcc_opts.frame)
     pitch_frames_max = num_pitch_frames(nsamples, pitch_opts)
 
-    signals = jax.device_put(signals)
-    lengths = jax.device_put(lengths)
-    mel_weights = jax.device_put(mel_weights)
+    if len(jax.devices()) > 1:
+        # shard the batch axis over every available device — the
+        # pipeline is SPMD over utterances, so multi-chip hosts
+        # measure aggregate throughput with no code change
+        from shennong_tpu.parallel import mesh as meshmod
+        mesh = meshmod.data_mesh()
+        signals = jax.device_put(
+            signals, meshmod.batch_sharding(mesh))
+        lengths = jax.device_put(
+            lengths, meshmod.batch_sharding(mesh))
+        mel_weights = jax.device_put(
+            mel_weights, meshmod.replicated(mesh))
+    else:
+        signals = jax.device_put(signals)
+        lengths = jax.device_put(lengths)
+        mel_weights = jax.device_put(mel_weights)
 
     import jax.numpy as jnp
 
