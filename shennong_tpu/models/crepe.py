@@ -149,7 +149,12 @@ def cents_mapping():
 
 
 def frame_count(nsamples_padded, hop):
-    """Model frames of a (center-padded) signal at the given hop."""
+    """Model frames of a (center-padded) signal at the given hop.
+
+    Mirrors the reference formula verbatim, including its
+    truncation-toward-zero: signals within one hop below 1024
+    samples count one (zero-padded) frame.
+    """
     return max(0, 1 + int((nsamples_padded - 1024) / hop))
 
 

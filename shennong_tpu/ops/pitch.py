@@ -306,14 +306,17 @@ def compute_pitch(signals, nsamples, opts, nframes_max):
 
     # per-utterance resampled lengths: Kaldi's tick arithmetic
     # reduces to last = floor(n * out_rate / in_rate), decremented
-    # when the product divides exactly, plus one (reduced fraction to
-    # avoid integer overflow without x64)
+    # when the product divides exactly, plus one. Computed through
+    # the division decomposition n = q*in_r + r so no intermediate
+    # exceeds int32 even for hour-scale non-16k-rate signals
+    # (n * out_r would wrap past ~54M samples at 44.1 kHz)
     gcd = math.gcd(int(opts.sample_rate), int(opts.resample_freq))
     out_r = int(opts.resample_freq) // gcd
     in_r = int(opts.sample_rate) // gcd
-    prod = nsamples.astype(jnp.int32) * out_r
-    last = prod // in_r
-    exact = (last * in_r == prod)
+    n32 = nsamples.astype(jnp.int32)
+    quot, rem = n32 // in_r, n32 % in_r
+    last = quot * out_r + rem * out_r // in_r
+    exact = (rem * out_r) % in_r == 0
     num_rs = (last - exact.astype(jnp.int32) + 1).astype(jnp.int32)
 
     # zero out the padding of the resampled signal
@@ -546,9 +549,11 @@ def process_pitch(raw_pitch, nframes, opts, noise=None):
     n = nframes[:, None].astype(jnp.int32)
     valid = t < n
 
-    # apply the frame delay (clamped at zero)
+    # apply the frame delay (clamped to the valid frame range so a
+    # negative delay repeats the last real frame instead of reading
+    # padded garbage past it)
     if opts.delay != 0:
-        delayed = jnp.maximum(t - opts.delay, 0)
+        delayed = jnp.clip(t - opts.delay, 0, jnp.maximum(n - 1, 0))
         nccf = jnp.take_along_axis(nccf, delayed, axis=1)
         pitch = jnp.take_along_axis(pitch, delayed, axis=1)
 

@@ -101,11 +101,12 @@ def viterbi_host_banded(log_start, log_trans, log_obs, halfwidth):
         if path is not None:
             return path
 
+    j = np.arange(nstates)
     score = np.asarray(log_start, dtype=np.float64) + log_obs[0]
     backptr = np.zeros((nframes, nstates), dtype=np.int8)
     padded = np.full(nstates + 2 * halfwidth, -np.inf)
     window = np.lib.stride_tricks.as_strided(
-        padded, shape=(nstates, width),
+        padded, shape=(nstates, 2 * halfwidth + 1),
         strides=(padded.itemsize, padded.itemsize))
     for t in range(1, nframes):
         padded[halfwidth:halfwidth + nstates] = score

@@ -223,3 +223,42 @@ def test_chunked_device_matches_host_small_hop(audio):
     assert device.shape == host.shape
     np.testing.assert_allclose(
         device.data, host.data, rtol=1e-4, atol=1e-3)
+
+
+def test_banded_viterbi_numpy_fallback(monkeypatch):
+    # the pure-python fallback (no g++ toolchain) must match the
+    # native kernel; force it by making the native wrappers return None
+    from shennong_tpu import native
+    from shennong_tpu.ops.viterbi import (
+        viterbi_host_banded, viterbi_host_banded_obs)
+    from shennong_tpu.processor.pitch_crepe import _crepe_prior
+
+    nstates = 60
+    start, transition, emission = _crepe_prior(nstates)
+    rng = np.random.RandomState(2)
+    obs = rng.randint(0, nstates, size=200)
+    with np.errstate(divide='ignore'):
+        log_obs = np.log(emission[:, obs].T)
+        native_path = viterbi_host_banded(
+            np.log(start), np.log(transition), log_obs, 11)
+
+        monkeypatch.setattr(
+            native, 'viterbi_banded', lambda *a, **k: None)
+        monkeypatch.setattr(
+            native, 'viterbi_banded_two', lambda *a, **k: None)
+        numpy_path = viterbi_host_banded(
+            np.log(start), np.log(transition), log_obs, 11)
+        numpy_obs_path = viterbi_host_banded_obs(
+            np.log(start), np.log(transition), obs,
+            np.log(emission[1, 0]), np.log(emission[0, 0]), 11)
+    np.testing.assert_array_equal(numpy_path, native_path)
+    np.testing.assert_array_equal(numpy_obs_path, native_path)
+
+
+def test_single_frame_decodes():
+    # one-frame inputs take the numpy path (native gated on
+    # nframes > 1) and must not crash
+    from shennong_tpu.processor.pitch_crepe import (
+        _viterbi_bin_path, predict_voicing)
+    assert _viterbi_bin_path(np.array([7]), 360).tolist() == [7]
+    assert predict_voicing(np.array([0.9])).tolist() == [1]
