@@ -77,7 +77,10 @@ class CmvnPostProcessor(FeaturesPostProcessor):
 
     def get_properties(self, features):
         properties = super().get_properties(features)
-        properties[self.name]['stats'] = self.stats
+        # a copy: later accumulate() calls update self._stats in
+        # place and must not retroactively rewrite the provenance of
+        # already-returned Features
+        properties[self.name]['stats'] = np.array(self.stats)
         return properties
 
     def accumulate(self, features, weights=None):
@@ -113,12 +116,17 @@ class CmvnPostProcessor(FeaturesPostProcessor):
                 'insufficient accumulation of stats for CMVN, '
                 'must be >= 1.0 but is {}'.format(self.count))
 
+        if features.ndims != self.dim:
+            raise ValueError(
+                'features have {} dimensions but the accumulated '
+                'statistics have {}'.format(features.ndims, self.dim))
+
         if skip_dims:
             dmin, dmax = min(skip_dims), max(skip_dims)
-            if dmin < 0 or dmax >= features.ndims:
+            if dmin < 0 or dmax >= self.dim:
                 raise ValueError(
                     'skipped dimensions must be in [0, {}[ but are in '
-                    '[{}, {}['.format(features.ndims, dmin, dmax))
+                    '[{}, {}['.format(self.dim, dmin, dmax))
 
         data = postops.apply_cmvn(
             features.data, self._stats, norm_vars=norm_vars,

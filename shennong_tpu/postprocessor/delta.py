@@ -46,10 +46,11 @@ class DeltaPostProcessor(FeaturesPostProcessor):
 
     @window.setter
     def window(self, value):
+        value = int(value)
         if not 0 < value < 1000:
             raise ValueError(
                 'window must be in [1, 999], it is {}'.format(value))
-        self._window = int(value)
+        self._window = value
 
     @property
     def ndims(self):
@@ -79,3 +80,26 @@ class DeltaPostProcessor(FeaturesPostProcessor):
             np.asarray(out[0, :features.nframes]).astype(features.dtype),
             features.times,
             self.get_properties(features))
+
+    def process_all(self, features_collection, njobs=None):
+        """Deltas for a whole collection.
+
+        Utterances group into padded masked batches by (frame bucket,
+        dim): O(buckets) device programs instead of one per
+        utterance. Returns a FeaturesCollection keyed like the input.
+        """
+        from shennong_tpu import FeaturesCollection
+
+        names = list(features_collection.keys())
+        arrays = [features_collection[n].data for n in names]
+        out = FeaturesCollection()
+        for chunk, stacked, nframes in postops.batch_ragged(arrays):
+            deltas = np.asarray(postops.compute_deltas(
+                stacked, nframes, order=self._order,
+                window=self._window))
+            for row, index in enumerate(chunk):
+                feats = features_collection[names[index]]
+                out[names[index]] = Features(
+                    deltas[row, :feats.nframes].astype(feats.dtype),
+                    feats.times, self.get_properties(feats))
+        return out

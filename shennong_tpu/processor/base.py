@@ -284,7 +284,8 @@ class FramesProcessor(FeaturesProcessor, metaclass=abc.ABCMeta):
         signal is symmetric-padded once on the host so every chunk is
         a plain strided slice).
         """
-        if int(chunk_frames) < 1:
+        chunk_frames = int(chunk_frames)
+        if chunk_frames < 1:
             raise ValueError(
                 f'chunk_frames must be >= 1, it is {chunk_frames}')
         if int(halo_frames) < 0:

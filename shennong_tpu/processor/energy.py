@@ -91,15 +91,7 @@ class EnergyProcessor(FramesProcessor):
         if chunked is not None:
             return chunked
 
-        frame = self.frame_options()
-        if self.raw_energy:
-            # raw energy = energy of the unprocessed frame
-            import dataclasses
-            frame = dataclasses.replace(
-                frame, preemph_coeff=0.0, window_type='rectangular')
-        opts = EnergyOpts(
-            frame=frame, raw_energy=self._raw_energy,
-            compression=self._compression)
+        opts = self.options()
 
         signals, nsamples, nframes, nframes_max, key = (
             self._signal_batch(signal))

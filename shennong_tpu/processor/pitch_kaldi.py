@@ -291,7 +291,8 @@ class KaldiPitchProcessor(FeaturesProcessor):
         inside a 2 s halo; see :func:`ops.pitch.compute_pitch_long`).
         All chunks share one compiled program.
         """
-        if int(chunk_frames) < 1:
+        chunk_frames = int(chunk_frames)
+        if chunk_frames < 1:
             raise ValueError(
                 f'chunk_frames must be >= 1, it is {chunk_frames}')
         if int(halo_frames) < 0:

@@ -232,6 +232,13 @@ class PlpProcessor(MelFeaturesProcessor):
 
     def options(self):
         """All parameters bundled as a static PlpOpts"""
+        # re-check here because the params can be set independently
+        # in any order (the num_ceps setter alone cannot see a later
+        # lpc_order change)
+        if self._num_ceps > self._lpc_order + 1:
+            raise ValueError(
+                'We must have num_ceps <= lpc_order+1, but {} > {}+1'
+                .format(self._num_ceps, self._lpc_order))
         return PlpOpts(
             frame=self.frame_options(), mel=self.mel_options(),
             rasta=self._rasta, lpc_order=self._lpc_order,

@@ -207,3 +207,35 @@ def test_vad_param_validation():
         VadPostProcessor(frames_context=-1)
     with pytest.raises(ValueError, match='proportion_threshold'):
         VadPostProcessor(proportion_threshold=1.5)
+
+
+def test_cmvn_dim_mismatch_raises(mfcc):
+    proc = CmvnPostProcessor(1)
+    proc.accumulate(Features(np.ones((5, 1)), np.arange(5.0)))
+    with pytest.raises(ValueError, match='dimensions'):
+        proc.process(mfcc)
+
+
+def test_cmvn_properties_stats_snapshot(mfcc):
+    # properties carry a snapshot of the statistics, not the live
+    # accumulator
+    proc = CmvnPostProcessor(mfcc.ndims)
+    proc.accumulate(mfcc)
+    out = proc.process(mfcc)
+    before = np.array(out.properties['cmvn']['stats'])
+    proc.accumulate(mfcc)
+    np.testing.assert_array_equal(
+        out.properties['cmvn']['stats'], before)
+
+
+def test_delta_window_validation_coerces():
+    with pytest.raises(ValueError, match='window must be'):
+        DeltaPostProcessor(window=0.5)
+
+
+def test_delta_process_all_collection(mfcc):
+    fc = FeaturesCollection(a=mfcc, b=mfcc.copy(subsample=2))
+    out = DeltaPostProcessor().process_all(fc)
+    assert out.keys() == fc.keys()
+    single = DeltaPostProcessor().process(mfcc)
+    np.testing.assert_allclose(out['a'].data, single.data, atol=1e-5)
