@@ -175,11 +175,12 @@ class Audio:
             nchannels, rate, nsamples = meta
             if nsamples <= 0:
                 decoded = native.codec_decode(filename)
-                if decoded is None:
-                    raise ValueError(f'cannot scan audio file {filename}')
-                nsamples = decoded[0].shape[0]
-            return cls._metadata(
-                nchannels, rate, nsamples, nsamples / rate)
+                nsamples = 0 if decoded is None else decoded[0].shape[0]
+            if nsamples > 0:
+                return cls._metadata(
+                    nchannels, rate, nsamples, nsamples / rate)
+            # duration-less container the codec cannot decode either:
+            # fall through to the ffmpeg probe, mirroring load()
 
         # other formats: probe with ffmpeg if available
         if _ffmpeg_binary():

@@ -187,8 +187,27 @@ int16_t* shennong_codec_decode(
                 input_done = true;
                 avcodec_send_packet(ctx.dec, nullptr);  // enter flush
             } else {
-                if (ctx.pkt->stream_index == ctx.stream_index)
-                    avcodec_send_packet(ctx.dec, ctx.pkt);
+                if (ctx.pkt->stream_index == ctx.stream_index) {
+                    int sent = avcodec_send_packet(ctx.dec, ctx.pkt);
+                    if (sent == AVERROR(EAGAIN)) {
+                        // decoder full: drain then retry so the
+                        // packet's audio is never silently dropped
+                        int rcv;
+                        while ((rcv = avcodec_receive_frame(
+                                    ctx.dec, ctx.frame)) == 0) {
+                            if (drain_frame() != 0) {
+                                av_packet_unref(ctx.pkt);
+                                return nullptr;
+                            }
+                            av_frame_unref(ctx.frame);
+                        }
+                        sent = avcodec_send_packet(ctx.dec, ctx.pkt);
+                    }
+                    if (sent < 0) {
+                        av_packet_unref(ctx.pkt);
+                        return nullptr;
+                    }
+                }
                 av_packet_unref(ctx.pkt);
             }
         }

@@ -484,6 +484,7 @@ def read_ark(filename, dtypes=None):
     """
     from shennong_tpu import native
     dtypes = dtypes or {}
+    yielded = set()
     if native.available():
         index = native.ark_index(filename)
         if index is not None:
@@ -496,6 +497,7 @@ def read_ark(filename, dtypes=None):
                 if matrix is None:  # pragma: nocover
                     done = False
                     break
+                yielded.add(key)
                 yield key, matrix
             if done:
                 return
@@ -518,6 +520,10 @@ def read_ark(filename, dtypes=None):
             cols = _read_basic_int(fp)
             data = np.frombuffer(
                 fp.read(rows * cols * np.dtype(dtype).itemsize), dtype=dtype)
+            if key in yielded:
+                # the native bulk reader already produced this record
+                # before failing mid-iteration; skip the duplicate
+                continue
             yield key, data.reshape(rows, cols).copy()
 
 
