@@ -2,11 +2,13 @@
 
 One :class:`BatchExecutor` drives a frame-based processor (MFCC,
 filterbank, spectrogram, PLP, energy, Kaldi pitch) over a whole
-utterance collection: signals are loaded host-side, sorted into padded
-length buckets, and each bucket runs as one jitted XLA program — on a
-multi-device mesh, sharded over the utterance axis. This replaces the
-reference's joblib thread pools (``shennong/processor/base.py:104``,
-``shennong/pipeline.py:545-565``).
+utterance collection: utterances are planned into padded length
+buckets from scanned metadata, decoded by the streaming host data
+plane (:mod:`shennong_tpu.parallel.stream` — at most ``depth`` batches
+in host RAM, decode overlapping device compute), and each bucket runs
+as one jitted XLA program — on a multi-device mesh, sharded over the
+utterance axis. This replaces the reference's joblib thread pools
+(``shennong/processor/base.py:104``, ``shennong/pipeline.py:545-565``).
 """
 
 import numpy as np
@@ -18,8 +20,8 @@ from shennong_tpu.ops import pitch as pitch_ops
 from shennong_tpu.ops import plp as plp_ops
 from shennong_tpu.ops import spectral
 from shennong_tpu.ops.framing import num_frames
-from shennong_tpu.parallel import batch as batching
 from shennong_tpu.parallel import mesh as meshing
+from shennong_tpu.parallel import stream as streaming
 
 
 class BatchExecutor:
@@ -102,10 +104,9 @@ class BatchExecutor:
         if not utterances:
             return collection
 
-        items = batching.load_signals(utterances, njobs=njobs)
-
-        for names, signals, nsamples, nvalid in batching.make_batches(
-                items, self.batch_size, self._pad_multiple()):
+        for names, signals, nsamples, nvalid in streaming.stream_batches(
+                utterances, self.batch_size, self._pad_multiple(),
+                njobs=njobs):
             # one host fetch for the whole batch: per-row slicing
             # would pay one relay round trip per utterance
             feats = np.asarray(self._run_batch(
@@ -175,11 +176,11 @@ class BatchExecutor:
         if not utterances:
             return collections
 
-        items = batching.load_signals(utterances, njobs=njobs)
         mel_weights = np.stack(
             [proc.mel_weights(w) for w in class_warps])
-        for names, signals, nsamples, nvalid in batching.make_batches(
-                items, self.batch_size, self._pad_multiple()):
+        for names, signals, nsamples, nvalid in streaming.stream_batches(
+                utterances, self.batch_size, self._pad_multiple(),
+                njobs=njobs):
             signals, nsamples_dev = self._device_put(signals, nsamples)
             frame_opts = proc.frame_options()
             nframes_max = num_frames(signals.shape[1], frame_opts)
@@ -233,9 +234,9 @@ class BatchExecutor:
             + [proc.mel_weights(1.0)])
 
         moments = []
-        items = batching.load_signals(utterances, njobs=njobs)
-        for names, signals, nsamples, nvalid in batching.make_batches(
-                items, self.batch_size, self._pad_multiple()):
+        for names, signals, nsamples, nvalid in streaming.stream_batches(
+                utterances, self.batch_size, self._pad_multiple(),
+                njobs=njobs):
             frame_opts = proc.frame_options()
             nframes_max = num_frames(signals.shape[1], frame_opts)
             nframes = np.ones(signals.shape[0], dtype=np.int32)

@@ -484,9 +484,16 @@ def _batched_pass_one(manager, utterances, log, njobs):
             pitch_raw = BatchExecutor(pitch_proc).process_all(
                 utterances, njobs=njobs)
         pitch_post = manager.make('pitch_post')
-        pitches = {
-            name: pitch_post.process(raw)
-            for name, raw in pitch_raw.items()}
+        if config['pitch']['processor'] == 'kaldi':
+            # batched: O(frame buckets) device programs instead of one
+            # dispatch per utterance (each pays the fixed relay floor)
+            pitches = pitch_post.process_collection(pitch_raw)
+        else:
+            # crepe post runs voicing/interpolation host-side per
+            # utterance before delegating to the kaldi post kernel
+            pitches = {
+                name: pitch_post.process(raw)
+                for name, raw in pitch_raw.items()}
     else:
         pitches = None
 

@@ -516,12 +516,7 @@ class KaldiPitchPostProcessor(FeaturesPostProcessor):
         delta_pitch, raw_log_pitch) in that order, filtered by the
         ``add_*`` flags (at least one must be set).
         """
-        if not (self.add_pov_feature or self.add_normalized_log_pitch
-                or self.add_delta_pitch or self.add_raw_log_pitch):
-            raise ValueError(
-                'at least one of the following options must be True: '
-                'add_pov_feature, add_normalized_log_pitch, '
-                'add_delta_pitch, add_raw_log_pitch')
+        self._validate_flags()
 
         if raw_pitch.shape[1] != 2:
             raise ValueError(
@@ -540,3 +535,59 @@ class KaldiPitchPostProcessor(FeaturesPostProcessor):
         return Features(
             np.asarray(data[0, :raw_pitch.nframes]), raw_pitch.times,
             properties=self.get_properties(raw_pitch))
+
+    def process_collection(self, collection, batch_rows=16):
+        """Post-process a whole collection of raw (NCCF, pitch) pairs.
+
+        The kernel (:func:`shennong_tpu.ops.pitch.process_pitch`) is
+        batched over utterances: matrices are grouped into padded
+        frame buckets and each bucket runs as one device program —
+        O(buckets) dispatches where a per-utterance loop pays the
+        fixed dispatch floor once per utterance (the reference calls
+        the C++ ``process_pitch`` once per utterance,
+        ``shennong/processor/pitch_kaldi.py:536``).
+
+        Returns a :class:`FeaturesCollection` keyed like the input.
+        """
+        from shennong_tpu import FeaturesCollection
+        from shennong_tpu.ops.postops import batch_ragged
+
+        self._validate_flags()
+        names = list(collection.keys())
+        arrays = []
+        for name in names:
+            feats = collection[name]
+            if feats.shape[1] != 2:
+                raise ValueError(
+                    'data shape must be (_, 2), but it is (_, {})'
+                    .format(feats.shape[1]))
+            arrays.append(feats.data)
+
+        opts = self.options()
+        with_noise = (
+            self.add_delta_pitch and self._delta_pitch_noise_stddev != 0)
+        outputs = [None] * len(arrays)
+        for chunk, stacked, nframes in batch_ragged(
+                arrays, batch_rows=batch_rows):
+            noise = None
+            if with_noise:
+                noise = jax.random.normal(
+                    _fresh_key(), stacked.shape[:2], dtype=np.float32)
+            out = np.asarray(
+                process_pitch(stacked, nframes, opts, noise=noise))
+            for row, index in enumerate(chunk):
+                outputs[index] = out[row, :arrays[index].shape[0]]
+
+        return FeaturesCollection({
+            name: Features(
+                out, collection[name].times,
+                properties=self.get_properties(collection[name]))
+            for name, out in zip(names, outputs)})
+
+    def _validate_flags(self):
+        if not (self.add_pov_feature or self.add_normalized_log_pitch
+                or self.add_delta_pitch or self.add_raw_log_pitch):
+            raise ValueError(
+                'at least one of the following options must be True: '
+                'add_pov_feature, add_normalized_log_pitch, '
+                'add_delta_pitch, add_raw_log_pitch')

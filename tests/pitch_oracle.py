@@ -190,3 +190,36 @@ def process_pitch(raw, pitch_scale=2.0, pov_scale=2.0, pov_offset=0.0,
     if add_raw:
         cols.append(log_pitch)
     return np.stack(cols, axis=1)
+
+
+def assert_lag_decisions(signal, ours, ref, margin=1e-4, **kwargs):
+    """Assert every lag decision matches the oracle or is a proven tie.
+
+    ``ours`` and ``ref`` are [F, 2] (nccf, pitch) matrices. Frames
+    whose pitch disagrees beyond 1e-4 relative must be numerical ties:
+    the best complete float64 Viterbi path forced through our lag must
+    cost within ``margin`` of the optimum. No unexplained disagreement
+    is accepted (the contract of ``tests/test_fuzz_parity.py``).
+    """
+    assert ours.shape == ref.shape, (ours.shape, ref.shape)
+    same = np.isclose(ours[:, 1], ref[:, 1], rtol=1e-4)
+    if not same.all():
+        local, trans, lags, _ = viterbi_terms(signal, **kwargs)
+        nframes = local.shape[0]
+        fwd = np.zeros_like(local)
+        fwd[0] = local[0]
+        for f in range(1, nframes):
+            fwd[f] = local[f] + (fwd[f - 1][:, None] + trans).min(0)
+        bwd = np.zeros_like(local)
+        for f in range(nframes - 2, -1, -1):
+            bwd[f] = (trans + local[f + 1] + bwd[f + 1]).min(1)
+        path_cost = fwd + bwd
+        best_cost = path_cost.min(axis=1)
+        our_idx = np.abs(
+            lags[None, :] - 1.0 / ours[:, 1][:, None]).argmin(1)
+        margins = (path_cost[np.arange(nframes), our_idx]
+                   - best_cost)[~same]
+        assert np.max(margins) < margin, (kwargs, same.mean(), margins)
+    # NCCF column agrees wherever the lag decision agrees
+    assert np.abs(ours[same, 0] - ref[same, 0]).max() < 1e-3, kwargs
+    return same

@@ -40,30 +40,24 @@ def test_tracks_f0(audio, raw_pitch):
 
 
 def test_oracle_parity(audio):
+    """Every lag decision matches the float64 oracle or is a proven
+    numerical tie — no unexplained disagreement allowed (same contract
+    as tests/test_fuzz_parity.py)."""
+    signal = audio.data.astype(np.float64)
     ours = KaldiPitchProcessor().process(audio).data
-    ref = pitch_oracle.compute_pitch(audio.data.astype(np.float64))
-    assert ours.shape == ref.shape
-    # lag decisions must agree except at frames where the Viterbi
-    # costs tie within float32 (unvoiced regions); there the choice
-    # may differ by one geometric lag step
-    same_lag = np.isclose(ours[:, 1], ref[:, 1], rtol=1e-3)
-    assert same_lag.mean() > 0.94
-    one_step = np.log(1.005) * 1.5
-    assert np.max(np.abs(np.log(ours[:, 1] / ref[:, 1]))) < one_step
-    assert np.max(np.abs(ours[same_lag, 0] - ref[same_lag, 0])) < 1e-3
-    assert np.max(np.abs(ours[same_lag, 1] - ref[same_lag, 1])
-                  / ref[same_lag, 1]) < 1e-3
+    ref = pitch_oracle.compute_pitch(signal)
+    same = pitch_oracle.assert_lag_decisions(signal, ours, ref)
+    assert np.max(np.abs(ours[same, 1] - ref[same, 1])
+                  / ref[same, 1]) < 1e-3
 
 
 def test_oracle_parity_options(audio):
     kwargs = dict(min_f0=60, max_f0=300, penalty_factor=0.3,
                   nccf_ballast=1000)
+    signal = audio.data.astype(np.float64)
     ours = KaldiPitchProcessor(**kwargs).process(audio).data
-    ref = pitch_oracle.compute_pitch(
-        audio.data.astype(np.float64), **kwargs)
-    assert ours.shape == ref.shape
-    same_lag = np.isclose(ours[:, 1], ref[:, 1], rtol=1e-3)
-    assert same_lag.mean() > 0.94
+    ref = pitch_oracle.compute_pitch(signal, **kwargs)
+    pitch_oracle.assert_lag_decisions(signal, ours, ref, **kwargs)
 
 
 def test_signal_checks(audio):
@@ -126,6 +120,52 @@ def test_post_oracle_delay(raw_pitch):
     ref = pitch_oracle.process_pitch(
         raw_pitch.data.astype(np.float64), delay=3)
     assert np.max(np.abs(ours - ref)) < 1e-3
+
+
+def test_post_collection_equals_single(audio, raw_pitch):
+    """The bucket-batched collection path reproduces the per-utterance
+    post-processor output exactly (noise disabled)."""
+    from shennong_tpu import FeaturesCollection
+    from shennong_tpu.processor.pitch_kaldi import KaldiPitchProcessor
+
+    # a second utterance with a different frame count exercises the
+    # ragged bucketing
+    short = Audio(audio.data[:12000], audio.sample_rate)
+    raw_short = KaldiPitchProcessor().process(short)
+    collection = FeaturesCollection(utt1=raw_pitch, utt2=raw_short)
+
+    post = KaldiPitchPostProcessor(
+        delta_pitch_noise_stddev=0, add_raw_log_pitch=True)
+    batched = post.process_collection(collection)
+    for name, raw in collection.items():
+        single = post.process(raw)
+        assert batched[name].shape == single.shape
+        np.testing.assert_array_equal(batched[name].data, single.data)
+        np.testing.assert_array_equal(batched[name].times, single.times)
+        assert batched[name].properties == single.properties
+
+
+def test_post_collection_validation(raw_pitch, mfcc):
+    from shennong_tpu import FeaturesCollection
+    post = KaldiPitchPostProcessor(
+        add_pov_feature=False, add_normalized_log_pitch=False,
+        add_delta_pitch=False, add_raw_log_pitch=False)
+    with pytest.raises(ValueError, match='at least one'):
+        post.process_collection(FeaturesCollection(utt=raw_pitch))
+    with pytest.raises(ValueError, match='shape must be'):
+        KaldiPitchPostProcessor().process_collection(
+            FeaturesCollection(utt=mfcc))
+
+
+def test_post_collection_noise(raw_pitch):
+    """The batched path still draws fresh delta noise per run."""
+    from shennong_tpu import FeaturesCollection
+    collection = FeaturesCollection(utt=raw_pitch)
+    post = KaldiPitchPostProcessor()
+    out1 = post.process_collection(collection)['utt'].data
+    out2 = post.process_collection(collection)['utt'].data
+    assert not np.array_equal(out1[:, 2], out2[:, 2])
+    assert np.array_equal(out1[:, :2], out2[:, :2])
 
 
 def test_post_noise(raw_pitch):
