@@ -401,3 +401,157 @@ def compute_mapping_transform(feats_pairs, dim, weights=None):
         scale = np.sqrt(x_var / y_var)
         A[d] = w_d[:dim] * scale
     return A
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        'num_groups', 'num_iters', 'norm_type', 'default_class',
+        'min_gaussian_weight'))
+def lvtln_rounds(feats, fweights, gid, gsel, base, warps,
+                 gmm_weights, gmm_means, gmm_inv_vars,
+                 num_groups, num_iters, norm_type='offset',
+                 logdet_scale=0.0, default_class=0,
+                 min_gaussian_weight=1e-4):
+    """The whole LVTLN estimation loop as ONE device program.
+
+    Fuses the reference's per-iteration sequence (apply transforms ->
+    re-estimate UBM -> posteriors -> per-speaker fMLLR stats ->
+    per-class objective maximization,
+    ``shennong/processor/vtln.py:643-664``) into a ``lax.fori_loop``:
+    the features, the gaussian selection, the GMM and the transforms
+    stay device-resident across all ``num_iters`` rounds, and the per
+    -(speaker, class) objective evaluation contracts to a handful of
+    einsums (the offset/diag secondary solves only need five scalar
+    entries of the transformed stats per (s, c, d), never the full
+    congruence-transformed G).
+
+    Parameters: ``feats`` [N, D] concatenated *original* frames
+    (padded; ``fweights`` [N] zero on padding), ``gid`` [N] speaker
+    index per frame, ``gsel`` [N, k] fixed gaussian-selection indices,
+    ``base`` [C, D, D] warp-class base transforms, ``warps`` [C].
+
+    Returns (weights, means, inv_vars, transforms [S, D, D+1],
+    warps_out [S], best_class [S], objf_impr [S], beta [S]): the
+    updated GMM and, per speaker group, the selected combined
+    transform, its warp, the class index, the objective improvement
+    over the default class and the stat mass.
+    """
+    from shennong_tpu.ops import gmm as gmm_ops
+
+    n, dim = feats.shape
+    kwargs = dict(
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+    onehot = jax.nn.one_hot(gid, num_groups, dtype=feats.dtype)
+    xplus = jnp.concatenate(
+        [feats, jnp.ones((n, 1), feats.dtype)], axis=1)
+    xx = jnp.einsum('ne,nf->nef', xplus, xplus).reshape(n, -1)
+
+    sign_b, logdet_base = jnp.linalg.slogdet(base)
+    logdet_base = jnp.where(sign_b > 0, logdet_base, -jnp.inf)
+
+    def estimate_transforms(params, x_for_post):
+        w_, m_, iv_ = params
+        # posteriors over the preselected components, computed on the
+        # *transformed* features with the current model (Kaldi
+        # gmm-global-gselect-to-post)
+        consts = gmm_ops.gconsts(w_, m_, iv_)
+        sel_m = m_[gsel]
+        sel_iv = iv_[gsel]
+        lin = jnp.einsum('nd,nkd->nk', x_for_post, sel_m * sel_iv,
+                         **kwargs)
+        quad = jnp.einsum(
+            'nd,nkd->nk', x_for_post * x_for_post, sel_iv, **kwargs)
+        loglikes = consts[gsel] + lin - 0.5 * quad
+        post = jax.nn.softmax(loglikes, axis=1) * fweights[:, None]
+
+        # fMLLR stats against the ORIGINAL features
+        wm = jnp.einsum('nk,nkd->nd', post, sel_iv * sel_m, **kwargs)
+        wi = jnp.einsum('nk,nkd->nd', post, sel_iv, **kwargs)
+        beta = jnp.einsum('ns,nk->s', onehot, post, **kwargs)
+        K = jnp.einsum('ns,nd,ne->sde', onehot, wm, xplus, **kwargs)
+        G = jnp.einsum(
+            'nq,ng->qg',
+            (onehot[:, :, None] * wi[:, None, :]).reshape(n, -1),
+            xx, **kwargs).reshape(num_groups, dim, dim + 1, dim + 1)
+
+        # per-(speaker, class) objective: transform the stats through
+        # aplus_c = [[A_c, 0], [0, 1]] and solve the secondary
+        # offset/diag problem in closed form. Only five entries of the
+        # transformed stats are needed per (s, c, d):
+        #   K'[d, d]    = K[s, d, :D] . A_c[d]
+        #   K'[d, D]    = K[s, d, D]
+        #   G'[d, d, d] = A_c[d] G[s, d, :D, :D] A_c[d]
+        #   G'[d, d, D] = A_c[d] G[s, d, :D, D]
+        #   G'[d, D, D] = G[s, d, D, D]
+        Kdd = jnp.einsum('sde,cde->scd', K[..., :dim], base, **kwargs)
+        KdD = K[:, :, dim][:, None, :]
+        Gddd = jnp.einsum(
+            'cde,sdef,cdf->scd', base, G[:, :, :dim, :dim], base,
+            **kwargs)
+        GddD = jnp.einsum(
+            'cde,sde->scd', base, G[:, :, :dim, dim], **kwargs)
+        GdDD = G[:, :, dim, dim][:, None, :]
+
+        safe_g = jnp.where(GdDD > 0, GdDD, 1.0)
+        if norm_type == 'offset':
+            a = jnp.ones_like(Kdd)
+            b = jnp.where(GdDD > 0, (KdD - GddD) / safe_g, 0.0)
+            sec_logdet = jnp.zeros(
+                (num_groups, base.shape[0]), feats.dtype)
+        elif norm_type == 'none':
+            a = jnp.ones_like(Kdd)
+            b = jnp.zeros_like(Kdd)
+            sec_logdet = jnp.zeros(
+                (num_groups, base.shape[0]), feats.dtype)
+        else:  # diag
+            p = Gddd - GddD * GddD / safe_g
+            q = Kdd - GddD * KdD / safe_g
+            safe_p = jnp.where(p > 0, p, 1.0)
+            a = (q + jnp.sqrt(
+                q * q + 4.0 * safe_p * beta[:, None, None])) \
+                / (2.0 * safe_p)
+            b = (KdD - a * GddD) / safe_g
+            sec_logdet = jnp.sum(
+                jnp.log(jnp.maximum(a, 1e-20)), axis=-1)
+
+        quadterm = (a * Kdd + b * KdD
+                    - 0.5 * (a * a * Gddd + 2.0 * a * b * GddD
+                             + b * b * GdDD))
+        objf = jnp.sum(quadterm, axis=-1)
+        objf = objf + beta[:, None] * sec_logdet
+        objf = objf + (
+            logdet_scale * beta[:, None] * logdet_base[None, :])
+
+        best = jnp.argmax(objf, axis=1)
+        rows = jnp.arange(num_groups)
+        impr = objf[rows, best] - objf[:, default_class]
+        a_best = a[rows, best]                       # [S, D]
+        b_best = b[rows, best]                       # [S, D]
+        linear = a_best[:, :, None] * base[best]     # [S, D, D]
+        transforms = jnp.concatenate(
+            [linear, b_best[..., None]], axis=2)
+        return transforms, warps[best], best, impr, beta
+
+    def apply_transforms(transforms):
+        z = jnp.einsum(
+            'nd,sed->nse', feats, transforms[:, :, :dim], **kwargs)
+        z = z + transforms[:, :, dim][None]
+        return jnp.einsum('ns,nse->ne', onehot, z, **kwargs)
+
+    init_gmm = (gmm_weights, gmm_means, gmm_inv_vars)
+    init_est = estimate_transforms(init_gmm, feats)
+
+    def body(_, carry):
+        w_, m_, iv_, transforms, *_rest = carry
+        x = apply_transforms(transforms)
+        _, w2, m2, iv2 = gmm_ops.em_step(
+            x, fweights, w_, m_, iv_,
+            min_gaussian_weight=min_gaussian_weight)
+        est = estimate_transforms((w2, m2, iv2), x)
+        return (w2, m2, iv2) + est
+
+    carry = init_gmm + init_est
+    return jax.lax.fori_loop(0, num_iters, body, carry)

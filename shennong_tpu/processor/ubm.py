@@ -315,15 +315,31 @@ class DiagUbmProcessor(BaseProcessor):
 
         # the data and the model stay device-resident across the EM
         # iterations: one em_step program per iteration, host fetches
-        # only around the shape-changing splits
+        # only around the splits. The model is padded to the FINAL
+        # component count from the start — weight-zero components are
+        # numerically inert (log 0 = -inf kills their posteriors) and
+        # keep every program at one compiled shape instead of
+        # recompiling on each of the ~4 splits
+        def pad_params(weights, means, inv_vars):
+            short = self.num_gauss - weights.shape[0]
+            if short <= 0:
+                return DiagGmm(weights, means, inv_vars).as_jax()
+            dim = means.shape[1]
+            return DiagGmm(
+                np.concatenate([weights, np.zeros(short)]),
+                np.concatenate([means, np.zeros((short, dim))]),
+                np.concatenate([inv_vars, np.ones((short, dim))]),
+            ).as_jax()
+
         feats_dev = jnp.asarray(feats, dtype=jnp.float32)
         ones_dev = jnp.ones(feats.shape[0], dtype=jnp.float32)
-        params = self.gmm.as_jax()
+        params = pad_params(
+            self.gmm.weights, self.gmm.means, self.gmm.inv_vars)
         i = 0
         while i < self.num_iters_init:
             if cur_num_gauss >= self.num_gauss:
-                # no more shape-changing splits ahead: fuse every
-                # remaining iteration into one device program
+                # no more splits ahead: fuse every remaining iteration
+                # into one device program
                 run = self.num_iters_init - i
                 if self.log.isEnabledFor(10):  # logging.DEBUG
                     self.log.debug('Iterations %s..%s (fused)',
@@ -346,20 +362,23 @@ class DiagUbmProcessor(BaseProcessor):
 
             next_num_gauss = min(
                 self.num_gauss, cur_num_gauss + gauss_inc)
-            if next_num_gauss > params[0].shape[0]:
+            if next_num_gauss > cur_num_gauss:
                 self.log.debug(
                     'Splitting to %s Gaussians', next_num_gauss)
                 split = gmm_ops.split_gmm(
-                    np.asarray(params[0], dtype=np.float64),
-                    np.asarray(params[1], dtype=np.float64),
-                    np.asarray(params[2], dtype=np.float64),
+                    np.asarray(params[0],
+                               dtype=np.float64)[:cur_num_gauss],
+                    np.asarray(params[1],
+                               dtype=np.float64)[:cur_num_gauss],
+                    np.asarray(params[2],
+                               dtype=np.float64)[:cur_num_gauss],
                     next_num_gauss, 0.1, self._rng)
-                params = list(DiagGmm(*split).as_jax())
+                params = pad_params(*split)
                 cur_num_gauss = next_num_gauss
         self.gmm = DiagGmm(
-            np.asarray(params[0], dtype=np.float64),
-            np.asarray(params[1], dtype=np.float64),
-            np.asarray(params[2], dtype=np.float64))
+            np.asarray(params[0], dtype=np.float64)[:cur_num_gauss],
+            np.asarray(params[1], dtype=np.float64)[:cur_num_gauss],
+            np.asarray(params[2], dtype=np.float64)[:cur_num_gauss])
 
     def _reservoir_indices(self, num_read):
         """Frame indices kept by the reference's reservoir sampling."""

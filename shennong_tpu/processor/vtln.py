@@ -531,6 +531,119 @@ class VtlnProcessor(BaseProcessor):
 
         self.log.info(
             'Computing LVTLN transforms (%s iterations)', self.num_iters)
+
+        if not ubm.remove_low_count_gaussians:
+            # the whole estimation loop runs as one device program
+            # (ops.fmllr.lvtln_rounds): features, selection, GMM and
+            # transforms stay device-resident across all rounds
+            self._train_rounds_fused(ubm, orig_features, utt2speak)
+        else:
+            # component removal changes model shapes mid-loop: keep
+            # the host-orchestrated rounds
+            self._train_rounds_host(ubm, orig_features, utt2speak)
+
+        if self.by_speaker:
+            self.transforms = {
+                utt: self.transforms[spk]
+                for utt, spk in utt2speak.items()}
+            self.warps = {
+                utt: self.warps[spk]
+                for utt, spk in utt2speak.items()}
+
+        self.log.info('Done training LVTLN model')
+        if group_by == 'utterance':
+            return self.warps
+        return {
+            spk: self.warps[utts[0].name]
+            for spk, utts in utterances.by_speaker().items()}
+
+    def _train_rounds_fused(self, ubm, orig_features, utt2speak):
+        """All ``num_iters`` LVTLN rounds in one device program.
+
+        Equivalent to :meth:`_train_rounds_host` when the UBM keeps
+        its component count (``remove_low_count_gaussians=False``, the
+        default): posteriors, model updates and per-class objective
+        maximization fuse into a ``lax.fori_loop``
+        (:func:`shennong_tpu.ops.fmllr.lvtln_rounds`).
+        """
+        import jax.numpy as jnp
+
+        from shennong_tpu.ops.fmllr import lvtln_rounds
+        from shennong_tpu.ops.framing import bucket_size
+        from shennong_tpu.processor.ubm import DiagGmm
+
+        if utt2speak is not None:
+            groups = {}
+            for utt, spk in utt2speak.items():
+                groups.setdefault(spk, []).append(utt)
+        else:
+            groups = {utt: [utt] for utt in orig_features}
+        group_names = sorted(groups)
+        gindex = {name: i for i, name in enumerate(group_names)}
+
+        feats_list, gid_list, sel_list = [], [], []
+        for group in group_names:
+            for utt in groups[group]:
+                data = orig_features[utt].data
+                sel = np.asarray(ubm.selection[utt])
+                if sel.shape[0] != data.shape[0]:
+                    raise ValueError(
+                        f'Input gselect utterance {utt} has wrong size')
+                feats_list.append(data)
+                gid_list.append(np.full(
+                    data.shape[0], gindex[group], dtype=np.int32))
+                sel_list.append(sel)
+
+        feats_all = np.concatenate(feats_list).astype(np.float32)
+        gid_all = np.concatenate(gid_list)
+        sel_all = np.concatenate(sel_list).astype(np.int32)
+
+        nrows = feats_all.shape[0]
+        bucket = bucket_size(nrows, minimum=2048)
+        dim = self.lvtln.dim
+        feats = np.zeros((bucket, dim), dtype=np.float32)
+        feats[:nrows] = feats_all
+        fweights = np.zeros(bucket, dtype=np.float32)
+        fweights[:nrows] = 1.0
+        gid = np.zeros(bucket, dtype=np.int32)
+        gid[:nrows] = gid_all
+        gsel = np.zeros((bucket, sel_all.shape[1]), dtype=np.int32)
+        gsel[:nrows] = sel_all
+
+        out = lvtln_rounds(
+            jnp.asarray(feats), jnp.asarray(fweights),
+            jnp.asarray(gid), jnp.asarray(gsel),
+            jnp.asarray(self.lvtln.transforms, dtype=jnp.float32),
+            jnp.asarray(self.lvtln.warps, dtype=jnp.float32),
+            *ubm.gmm.as_jax(),
+            num_groups=len(group_names), num_iters=self.num_iters,
+            norm_type=self.norm_type, logdet_scale=self.logdet_scale,
+            default_class=self.lvtln.default_class,
+            min_gaussian_weight=ubm.min_gaussian_weight)
+        (gmm_w, gmm_m, gmm_iv, transforms, warps_arr,
+         best, impr, beta) = (np.asarray(o) for o in out)
+
+        ubm.gmm = DiagGmm(
+            gmm_w.astype(np.float64), gmm_m.astype(np.float64),
+            gmm_iv.astype(np.float64))
+        self.transforms = {
+            name: transforms[i].astype(np.float64)
+            for i, name in enumerate(group_names)}
+        # warps come back through the class index, not the float32
+        # round trip (0.95 must stay exactly 0.95)
+        self.warps = {
+            name: float(self.lvtln.warps[best[i]])
+            for i, name in enumerate(group_names)}
+
+        class_counts = np.bincount(
+            best, minlength=self.lvtln.num_classes)
+        self.log.debug(
+            'Distribution of classes is %s, overall LVTLN auxf-impr '
+            'per frame is %s over %s frames', class_counts,
+            impr.sum() / max(beta.sum(), 1e-10), beta.sum())
+
+    def _train_rounds_host(self, ubm, orig_features, utt2speak):
+        """Host-orchestrated LVTLN rounds (shape-changing UBM)."""
         posteriors = ubm.gaussian_selection_to_post(orig_features)
         self.transforms, self.warps = self.estimate(
             ubm, orig_features, posteriors, utt2speak)
@@ -550,25 +663,10 @@ class VtlnProcessor(BaseProcessor):
                     data, feats.times, feats.properties)
 
             # update the model on the transformed features
-            accs = ubm.accumulate(features, njobs=njobs)
+            accs = ubm.accumulate(features)
             ubm.estimate(accs)
 
             # re-estimate the transforms
             posteriors = ubm.gaussian_selection_to_post(features)
             self.transforms, self.warps = self.estimate(
                 ubm, orig_features, posteriors, utt2speak)
-
-        if self.by_speaker:
-            self.transforms = {
-                utt: self.transforms[spk]
-                for utt, spk in utt2speak.items()}
-            self.warps = {
-                utt: self.warps[spk]
-                for utt, spk in utt2speak.items()}
-
-        self.log.info('Done training LVTLN model')
-        if group_by == 'utterance':
-            return self.warps
-        return {
-            spk: self.warps[utts[0].name]
-            for spk, utts in utterances.by_speaker().items()}

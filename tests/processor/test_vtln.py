@@ -309,3 +309,50 @@ def test_fmllr_stats_groups_match_host():
         assert float(beta[s]) == pytest.approx(expected.beta, rel=1e-5)
         assert np.abs(np.asarray(K[s]) - expected.K).max() < 1e-3
         assert np.abs(np.asarray(G[s]) - expected.G).max() < 1e-3
+
+
+def test_fused_rounds_match_host(utterances, monkeypatch):
+    """The single-program LVTLN loop (ops.fmllr.lvtln_rounds)
+    reproduces the host-orchestrated rounds: same class decisions,
+    same warps, transforms equal to float32 accumulation error."""
+    from shennong_tpu import pipeline
+
+    def make_vtln():
+        feat_config = pipeline.get_default_config(
+            'mfcc', with_delta=True)
+        feat_config['mfcc']['dither'] = 0
+        feat_config['delta']['window'] = 3
+        from shennong_tpu.postprocessor.cmvn import \
+            SlidingWindowCmvnPostProcessor
+        feat_config['sliding_window_cmvn'] = (
+            SlidingWindowCmvnPostProcessor().get_params())
+        feat_config['sliding_window_cmvn']['cmn_window'] = 300
+
+        ubm_feats = pipeline.get_default_config(
+            'mfcc', with_delta=True)
+        ubm_feats['mfcc']['dither'] = 0
+        ubm_feats['delta']['window'] = 3
+        ubm_feats['sliding_window_cmvn'] = (
+            SlidingWindowCmvnPostProcessor().get_params())
+        ubm_feats['sliding_window_cmvn']['cmn_window'] = 300
+        return VtlnProcessor(
+            num_iters=3, min_warp=0.9, max_warp=1.1, warp_step=0.05,
+            subsample=2, features=feat_config,
+            ubm={'num_gauss': 4, 'num_iters': 1, 'num_iters_init': 2,
+                 'num_frames': 1000, 'seed': 0, 'features': ubm_feats})
+
+    fused = make_vtln()
+    warps_fused = fused.process(utterances)
+
+    host = make_vtln()
+    monkeypatch.setattr(
+        VtlnProcessor, '_train_rounds_fused',
+        VtlnProcessor._train_rounds_host)
+    warps_host = host.process(utterances)
+
+    assert warps_fused == warps_host
+    assert fused.transforms.keys() == host.transforms.keys()
+    for key in fused.transforms:
+        np.testing.assert_allclose(
+            fused.transforms[key], host.transforms[key],
+            atol=2e-3, rtol=1e-3)
