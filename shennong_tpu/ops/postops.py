@@ -121,6 +121,56 @@ def compute_deltas(feats, nframes, order=2, window=2):
     return jnp.concatenate(outputs, axis=-1)
 
 
+def compute_deltas_host(arrays, order=2, window=2):
+    """Time derivatives of many [T_i, D] matrices on the HOST.
+
+    Numerically the vectorized-numpy twin of :func:`compute_deltas`
+    (same Kaldi filters, same edge replication). Through a thin
+    host-device link the delta filter is bandwidth-bound, not
+    compute-bound: shipping a [T, D] matrix to the device and
+    fetching a [T, 3D] result back costs far more than the ~9
+    multiply-adds per output value, so the pipeline's pass 2 applies
+    deltas here, batched per frame-count group. The device kernel
+    remains the right choice inside fused programs where the features
+    never leave the device (``parallel/fused.py``).
+
+    Returns the list of [T_i, (order+1)*D] float64 outputs in order.
+    """
+    scales = delta_scales(order, window)
+    max_offset = order * window
+    outputs = [None] * len(arrays)
+
+    groups = {}
+    for index, data in enumerate(arrays):
+        groups.setdefault(np.asarray(data).shape, []).append(index)
+
+    for shape, indices in groups.items():
+        nframes = shape[0]
+        stack = np.stack([
+            np.asarray(arrays[i], dtype=np.float64) for i in indices])
+        if nframes == 0:
+            for i in indices:
+                outputs[i] = np.zeros(
+                    (0, (order + 1) * shape[1]))
+            continue
+        padded = np.pad(
+            stack, ((0, 0), (max_offset, max_offset), (0, 0)),
+            mode='edge')
+        blocks = []
+        for k, scale in enumerate(scales):
+            offset = k * window
+            acc = np.zeros_like(stack)
+            for j, coeff in enumerate(scale):
+                shift = j - offset
+                acc += float(coeff) * padded[
+                    :, max_offset + shift:max_offset + shift + nframes]
+            blocks.append(acc)
+        out = np.concatenate(blocks, axis=-1)
+        for row, i in enumerate(indices):
+            outputs[i] = out[row]
+    return outputs
+
+
 # --------------------------------------------------------------------- CMVN
 
 def accumulate_cmvn_stats(feats, weights=None):

@@ -24,6 +24,221 @@ from shennong_tpu.parallel import mesh as meshing
 from shennong_tpu.parallel import stream as streaming
 
 
+class FusedPipelineExecutor:
+    """Pipeline pass 1 as ONE fused device program per signal batch.
+
+    Where :class:`BatchExecutor` sweeps the corpus once per stage
+    (features, energy, VAD, pitch, pitch post — each sweep re-uploads
+    the signals and pays its own per-batch round trips), this executor
+    dispatches :func:`shennong_tpu.parallel.fused.pass_one_program`:
+    one signal upload, one program, one fetch per batch, with up to
+    ``depth`` batches in flight so host decode, uploads, device
+    compute and result fetches overlap. Signals upload as int16
+    (half the bytes) whenever the decoded audio is integer-valued.
+
+    Parameters mirror the pipeline's pass-1 processors; ``energy_proc``
+    + ``vad_proc`` enable the VAD output, ``pitch_proc`` +
+    ``pitch_post`` the post-processed pitch output.
+    """
+
+    def __init__(self, feat_proc, warps=None, energy_proc=None,
+                 vad_proc=None, pitch_proc=None, pitch_post=None,
+                 batch_size=64, mesh=None, depth=2):
+        self.feat_proc = feat_proc
+        self.warps = warps
+        self.energy_proc = energy_proc
+        self.vad_proc = vad_proc
+        self.pitch_proc = pitch_proc
+        self.pitch_post = pitch_post
+        self.batch_size = int(batch_size)
+        self.depth = max(1, int(depth))
+        self.mesh = mesh if mesh is not None else \
+            meshing.get_default_mesh()
+
+    def _static_opts(self):
+        """The per-run static configuration of the fused program."""
+        import dataclasses
+
+        proc = self.feat_proc
+        opts = {'kind': proc.name, 'feat_opts': proc.options()}
+
+        if self.energy_proc is not None:
+            eproc = self.energy_proc
+            frame = eproc.frame_options()
+            if eproc.raw_energy:
+                frame = dataclasses.replace(
+                    frame, preemph_coeff=0.0,
+                    window_type='rectangular')
+            opts['energy_opts'] = spectral.EnergyOpts(
+                frame=frame, raw_energy=eproc.raw_energy,
+                compression=eproc.compression)
+            opts['compression'] = eproc.compression
+            vproc = self.vad_proc
+            opts['vad_opts'] = (
+                vproc.energy_threshold, vproc.energy_mean_scale,
+                vproc.frames_context, vproc.proportion_threshold)
+
+        if self.pitch_proc is not None:
+            opts['pitch_opts'] = self.pitch_proc.options()
+            opts['post_opts'] = self.pitch_post.options()
+            opts['with_noise'] = bool(
+                self.pitch_post.add_delta_pitch
+                and self.pitch_post.delta_pitch_noise_stddev != 0)
+        return opts
+
+    def _mel_inputs(self, names, rows):
+        """(mel_weights, equal_loudness) for one batch (warp-aware)."""
+        proc = self.feat_proc
+        if not hasattr(proc, 'mel_weights'):
+            placeholder = np.zeros(1, dtype=np.float32)
+            return placeholder, placeholder
+        if self.warps is None:
+            mel = proc.mel_weights(1.0)
+            eql = (proc.equal_loudness(1.0)
+                   if proc.name == 'plp' else None)
+        else:
+            warps = [self.warps[name] for name in names]
+            warps += [warps[-1]] * (rows - len(warps))
+            if len(set(warps)) == 1:
+                mel = proc.mel_weights(warps[0])
+                eql = (proc.equal_loudness(warps[0])
+                       if proc.name == 'plp' else None)
+            else:
+                mel = np.stack([proc.mel_weights(w) for w in warps])
+                eql = (np.stack(
+                    [proc.equal_loudness(w) for w in warps])
+                    if proc.name == 'plp' else None)
+        if eql is None:
+            eql = np.zeros(1, dtype=np.float32)
+        return mel, eql
+
+    def run(self, utterances, njobs=4):
+        """Extract pass 1 for every utterance.
+
+        Returns ``(features, vads, pitches)``: a FeaturesCollection,
+        a dict of per-frame uint8 VAD decisions (or None), and a
+        FeaturesCollection of post-processed pitch (or None).
+        """
+        import collections
+
+        from shennong_tpu.parallel.fused import pass_one_program
+
+        utterances = list(utterances)
+        _check_sample_rates(utterances, self.feat_proc)
+        if self.pitch_post is not None:
+            self.pitch_post._validate_flags()
+
+        static = self._static_opts()
+        frame_opts = self.feat_proc.frame_options()
+        needs_key = (
+            frame_opts.dither != 0 or static.get('with_noise', False))
+
+        sharding = None
+        pad_multiple = 1
+        if self.mesh is not None:
+            sharding = meshing.batch_sharding(self.mesh)
+            pad_multiple = self.mesh.devices.size
+
+        features = FeaturesCollection()
+        vads = {} if self.energy_proc is not None else None
+        pitches = (
+            FeaturesCollection() if self.pitch_proc is not None
+            else None)
+
+        def dispatch(names, signals, nsamples):
+            # integer-valued audio (always true for PCM WAV) uploads
+            # as int16: half the bytes through the host-device link
+            as_i16 = signals.astype(np.int16)
+            upload = as_i16 if np.array_equal(
+                as_i16, signals) else signals
+            if sharding is not None:
+                dev_signals = jax.device_put(upload, sharding)
+                dev_nsamples = jax.device_put(nsamples, sharding)
+            else:
+                dev_signals = jax.device_put(upload)
+                dev_nsamples = jax.device_put(nsamples)
+            mel, eql = self._mel_inputs(names, signals.shape[0])
+            kwargs = dict(static)
+            kwargs['nframes_max'] = num_frames(
+                signals.shape[1], frame_opts)
+            if self.pitch_proc is not None:
+                kwargs['pitch_frames_max'] = \
+                    pitch_ops.num_pitch_frames(
+                        signals.shape[1], kwargs['pitch_opts'])
+            if needs_key:
+                from shennong_tpu.processor.base import _fresh_key
+                kwargs['key'] = _fresh_key()
+            out = pass_one_program(
+                dev_signals, dev_nsamples, mel, eql, **kwargs)
+            for arr in out.values():  # overlap fetch with compute
+                if hasattr(arr, 'copy_to_host_async'):
+                    arr.copy_to_host_async()
+            return names, nsamples, out
+
+        def drain(names, nsamples, out):
+            feats = np.asarray(out['feats'])
+            vad = (np.asarray(out['vad'])
+                   if 'vad' in out else None)
+            pitch = (np.asarray(out['pitch'])
+                     if 'pitch' in out else None)
+            for row, name in enumerate(names):
+                nframes = self.feat_proc.output_frames(
+                    int(nsamples[row]))
+                properties = (
+                    self.feat_proc.get_properties(
+                        vtln_warp=self.warps[name])
+                    if self.warps is not None and hasattr(
+                        self.feat_proc, 'mel_weights')
+                    else self.feat_proc.get_properties())
+                features[name] = Features(
+                    feats[row, :nframes],
+                    self.feat_proc.times(nframes),
+                    properties=properties)
+                if vad is not None:
+                    vads[name] = vad[row, :nframes]
+                if pitch is not None:
+                    pframes = self.pitch_proc.output_frames(
+                        int(nsamples[row]))
+                    raw_props = _RawProps(
+                        self.pitch_proc.get_properties())
+                    pitches[name] = Features(
+                        pitch[row, :pframes],
+                        self.pitch_proc.times(pframes),
+                        properties=self.pitch_post.get_properties(
+                            raw_props))
+
+        inflight = collections.deque()
+        for names, signals, nsamples, nvalid in \
+                streaming.stream_batches(
+                    utterances, self.batch_size, pad_multiple,
+                    njobs=njobs, depth=self.depth):
+            inflight.append(dispatch(names, signals, nsamples))
+            if len(inflight) > self.depth:
+                drain(*inflight.popleft())
+        while inflight:
+            drain(*inflight.popleft())
+        return features, vads, pitches
+
+
+class _RawProps:
+    """Duck-typed stand-in for the raw pitch Features (the fused path
+    never materializes them; only ``properties`` is chained)."""
+
+    def __init__(self, properties):
+        self.properties = properties
+
+
+def _check_sample_rates(utterances, proc):
+    """The whole batch must share the processor's sample rate."""
+    from shennong_tpu.audio import Audio
+    for utt in utterances:
+        rate = Audio.scan(utt.audio_file).sample_rate
+        if float(proc.sample_rate) != float(rate):
+            raise ValueError(
+                'processor and signal mismatch in sample rates: '
+                '{} != {}'.format(proc.sample_rate, rate))
+
+
 class BatchExecutor:
     """Runs a processor over utterance collections in padded batches.
 

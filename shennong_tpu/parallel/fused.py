@@ -99,6 +99,97 @@ def _resampled_len(nsamples, opts):
     return (last - exact.astype(jnp.int32) + 1).astype(jnp.int32)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=('kind', 'feat_opts', 'energy_opts', 'compression',
+                     'vad_opts', 'pitch_opts', 'post_opts',
+                     'nframes_max', 'pitch_frames_max', 'with_noise'))
+def pass_one_program(signals, nsamples, mel_weights, equal_loudness,
+                     kind, feat_opts, nframes_max, energy_opts=None,
+                     compression='log', vad_opts=None, pitch_opts=None,
+                     post_opts=None, pitch_frames_max=None,
+                     with_noise=False, key=None):
+    """The whole pipeline pass 1 for one utterance batch, fused.
+
+    One XLA program computes everything pass 1 needs from a padded
+    signal batch: the frame features (MFCC / filterbank / PLP /
+    spectrogram), the energy-based VAD decisions feeding CMVN
+    accumulation, and the post-processed Kaldi pitch. The reference
+    runs these as separate per-utterance joblib tasks
+    (``shennong/pipeline.py:545-565``); the first rebuild ran them as
+    separate batched sweeps, which re-uploaded every signal once per
+    stage — through a thin host-device link the transfer, not the
+    compute, dominates, so pass 1 is one signal upload and one
+    dispatch per batch.
+
+    ``signals`` may be int16 (uploads at half the bytes of float32
+    when the decoded audio is integer-valued, which PCM WAV always
+    is); the cast to float32 happens on device.
+
+    Returns a dict with ``feats`` [B, F, D] and, when the
+    corresponding opts are given, ``vad`` [B, F] uint8 and ``pitch``
+    [B, Fp, P]. Frame counts are recomputed host-side from nsamples.
+    """
+    from shennong_tpu.ops import plp as plp_ops
+    from shennong_tpu.ops import postops
+
+    signals = signals.astype(jnp.float32)
+
+    if key is not None:
+        key_feat, key_energy, key_noise = jax.random.split(key, 3)
+    else:
+        key_feat = key_energy = key_noise = None
+
+    if kind == 'mfcc':
+        feats = spectral.mfcc_batch(
+            signals, nsamples, mel_weights, feat_opts, nframes_max,
+            key=key_feat)
+    elif kind == 'filterbank':
+        feats = spectral.fbank_batch(
+            signals, nsamples, mel_weights, feat_opts, nframes_max,
+            key=key_feat)
+    elif kind == 'plp':
+        feats = plp_ops.plp_batch(
+            signals, nsamples, mel_weights, equal_loudness, feat_opts,
+            nframes_max, key=key_feat)
+    elif kind == 'spectrogram':
+        feats = spectral.spectrogram_batch(
+            signals, nsamples, feat_opts, nframes_max, key=key_feat)
+    else:
+        raise ValueError(f'unsupported fused pass-1 features: {kind}')
+    out = {'feats': feats}
+
+    if energy_opts is not None:
+        log_energy = spectral.energy_batch(
+            signals, nsamples, energy_opts, nframes_max,
+            compression=compression, key=key_energy)
+        shift = energy_opts.frame.window_shift
+        length = energy_opts.frame.window_size
+        if energy_opts.frame.snip_edges:
+            nframes = jnp.maximum((nsamples - length) // shift + 1, 0)
+        else:
+            nframes = (nsamples + shift // 2) // shift
+        threshold, mean_scale, context, proportion = vad_opts
+        out['vad'] = postops.compute_vad_energy(
+            log_energy, nframes, energy_threshold=threshold,
+            energy_mean_scale=mean_scale, frames_context=context,
+            proportion_threshold=proportion)
+
+    if pitch_opts is not None:
+        raw_pitch = pitch_ops.compute_pitch(
+            signals, nsamples, pitch_opts, pitch_frames_max)
+        pitch_frames = pitch_ops.pitch_num_frames_device(
+            _resampled_len(nsamples, pitch_opts), pitch_opts)
+        noise = None
+        if with_noise:
+            noise = jax.random.normal(
+                key_noise, raw_pitch.shape[:2], dtype=jnp.float32)
+        out['pitch'] = pitch_ops.process_pitch(
+            raw_pitch, pitch_frames, post_opts, noise=noise)
+
+    return out
+
+
 def make_gmm_training_step(mesh, mfcc_opts, nframes_max):
     """A distributed GMM EM step over a data-parallel mesh.
 

@@ -457,45 +457,53 @@ def _batched_pass_one(manager, utterances, log, njobs):
     utterances = list(utterances)
     first = utterances[0]
 
-    log.debug('batched extraction of %s', manager.features)
-    proc = manager.make('features', first)
-    warp_arg = dict(manager.warps) if manager.warps else None
-    feats_collection = BatchExecutor(proc).process_all(
-        utterances, vtln_warp=warp_arg, njobs=njobs)
-
-    if 'cmvn' in config and config['cmvn']['with_vad']:
-        log.debug('batched energy + vad')
-        energies = BatchExecutor(
-            manager.make('energy', first)).process_all(
-                utterances, njobs=njobs)
-        vads = {
-            name: vad.data.reshape(-1)
-            for name, vad in manager.make('vad').process_all(energies).items()}
+    outputs = _fused_pass_one(manager, utterances, log, njobs)
+    if outputs is not None:
+        feats_collection, vads, pitches = outputs
     else:
-        vads = None
+        log.debug('batched extraction of %s', manager.features)
+        proc = manager.make('features', first)
+        warp_arg = dict(manager.warps) if manager.warps else None
+        feats_collection = BatchExecutor(proc).process_all(
+            utterances, vtln_warp=warp_arg, njobs=njobs)
 
-    if 'pitch' in config:
-        log.debug('batched pitch extraction')
-        pitch_proc = manager.make('pitch', first)
-        if config['pitch']['processor'] == 'crepe':
-            # crepe batches internally (one CNN pass over the corpus)
-            pitch_raw = pitch_proc.process_all(utterances, njobs=njobs)
+        if 'cmvn' in config and config['cmvn']['with_vad']:
+            log.debug('batched energy + vad')
+            energies = BatchExecutor(
+                manager.make('energy', first)).process_all(
+                    utterances, njobs=njobs)
+            vads = {
+                name: vad.data.reshape(-1)
+                for name, vad in
+                manager.make('vad').process_all(energies).items()}
         else:
-            pitch_raw = BatchExecutor(pitch_proc).process_all(
-                utterances, njobs=njobs)
-        pitch_post = manager.make('pitch_post')
-        if config['pitch']['processor'] == 'kaldi':
-            # batched: O(frame buckets) device programs instead of one
-            # dispatch per utterance (each pays the fixed relay floor)
-            pitches = pitch_post.process_collection(pitch_raw)
+            vads = None
+
+        if 'pitch' in config:
+            log.debug('batched pitch extraction')
+            pitch_proc = manager.make('pitch', first)
+            if config['pitch']['processor'] == 'crepe':
+                # crepe batches internally (one CNN pass over the
+                # corpus)
+                pitch_raw = pitch_proc.process_all(
+                    utterances, njobs=njobs)
+            else:
+                pitch_raw = BatchExecutor(pitch_proc).process_all(
+                    utterances, njobs=njobs)
+            pitch_post = manager.make('pitch_post')
+            if config['pitch']['processor'] == 'kaldi':
+                # batched: O(frame buckets) device programs instead of
+                # one dispatch per utterance (each pays the fixed
+                # relay floor)
+                pitches = pitch_post.process_collection(pitch_raw)
+            else:
+                # crepe post runs voicing/interpolation host-side per
+                # utterance before delegating to the kaldi post kernel
+                pitches = {
+                    name: pitch_post.process(raw)
+                    for name, raw in pitch_raw.items()}
         else:
-            # crepe post runs voicing/interpolation host-side per
-            # utterance before delegating to the kaldi post kernel
-            pitches = {
-                name: pitch_post.process(raw)
-                for name, raw in pitch_raw.items()}
-    else:
-        pitches = None
+            pitches = None
 
     triplets = []
     for utterance in utterances:
@@ -521,6 +529,52 @@ def _batched_pass_one(manager, utterances, log, njobs):
             utterance, features,
             pitches[utterance.name] if pitches else None))
     return triplets
+
+
+def _fused_pass_one(manager, utterances, log, njobs):
+    """Pass 1 through the fused single-program-per-batch executor.
+
+    Returns ``(features, vads, pitches)`` or None when the
+    configuration needs the stage-wise path (CREPE pitch,
+    hour-scale utterances routed through chunked extraction).
+    """
+    from shennong_tpu.parallel.executor import FusedPipelineExecutor
+
+    config = manager.config
+    if manager.features not in (
+            'mfcc', 'filterbank', 'plp', 'spectrogram'):
+        return None
+    if 'pitch' in config and config['pitch']['processor'] != 'kaldi':
+        return None
+
+    first = utterances[0]
+    proc = manager.make('features', first)
+
+    # hour-scale utterances need the chunked halo path
+    limit = getattr(proc, 'AUTO_CHUNK_FRAMES', None)
+    if limit:
+        for utt in utterances:
+            frames = proc.output_frames(
+                int(utt.duration * float(proc.sample_rate)))
+            if frames > limit:
+                return None
+
+    with_vad = 'cmvn' in config and config['cmvn']['with_vad']
+    with_pitch = 'pitch' in config
+    log.debug('fused pass 1 (%s%s%s)', manager.features,
+              '+vad' if with_vad else '',
+              '+pitch' if with_pitch else '')
+    executor = FusedPipelineExecutor(
+        proc,
+        warps=dict(manager.warps) if manager.warps else None,
+        energy_proc=(
+            manager.make('energy', first) if with_vad else None),
+        vad_proc=manager.make('vad') if with_vad else None,
+        pitch_proc=(
+            manager.make('pitch', first) if with_pitch else None),
+        pitch_post=(
+            manager.make('pitch_post') if with_pitch else None))
+    return executor.run(utterances, njobs=njobs)
 
 
 def _extract_pass_one(utterance, manager, log):
@@ -608,20 +662,16 @@ def _batched_pass_two(manager, triplets, log, tolerance=2):
 
 
 def _batched_deltas(arrays, proc, batch_rows=16):
-    """Delta features of many [T_i, D] matrices, O(buckets) device
-    programs: utterances are grouped by (frame bucket, dim), stacked
-    into fixed-width masked batches and run through the batched delta
-    kernel. Returns the per-utterance outputs in order."""
+    """Delta features of many [T_i, D] matrices, computed on the host
+    (:func:`shennong_tpu.ops.postops.compute_deltas_host`): the delta
+    filter is ~9 multiply-adds per output value, far below the cost of
+    shipping the matrices to the device and 3x their size back.
+    Returns the per-utterance float32 outputs in order."""
     from shennong_tpu.ops import postops
 
-    outputs = [None] * len(arrays)
-    for chunk, stacked, nframes in postops.batch_ragged(
-            arrays, batch_rows=batch_rows):
-        out = np.asarray(postops.compute_deltas(
-            stacked, nframes, order=proc.order, window=proc.window))
-        for row, index in enumerate(chunk):
-            outputs[index] = out[row, :arrays[index].shape[0]]
-    return outputs
+    return [
+        out.astype(np.float32) for out in postops.compute_deltas_host(
+            arrays, order=proc.order, window=proc.window)]
 
 
 def _extract_pass_two(utterance, manager, features, pitch, log,

@@ -146,3 +146,41 @@ def test_pipeline_pass_two_end_to_end(wav_file):
         assert feats[name].shape == by_hand[name].shape
         assert np.allclose(
             feats[name].data, by_hand[name].data, atol=1e-6), name
+
+
+@pytest.mark.parametrize('features', ['mfcc', 'plp'])
+def test_fused_pass_one_matches_stagewise(wav_file, features,
+                                          monkeypatch):
+    """The single-program-per-batch pass 1 (FusedPipelineExecutor)
+    equals the stage-wise batched sweeps for features + VAD-CMVN +
+    pitch, across ragged utterances and two speakers."""
+    import warnings
+    from shennong_tpu import pipeline
+
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        utts = Utterances([
+            ('u%d' % i, wav_file, 'spk%d' % (i % 2), 0.0, 0.3 + 0.1 * i)
+            for i in range(6)])
+    config = get_default_config(
+        features, with_cmvn=True, with_delta=True, with_pitch='kaldi')
+    config[features]['dither'] = 0
+    config['cmvn']['with_vad'] = True
+    config['pitch']['postprocessing']['delta_pitch_noise_stddev'] = 0
+
+    fused = extract_features(config, utts)
+
+    monkeypatch.setattr(
+        pipeline, '_fused_pass_one', lambda *a, **k: None)
+    stagewise = extract_features(config, utts)
+
+    assert fused.keys() == stagewise.keys()
+    for name in fused:
+        assert fused[name].shape == stagewise[name].shape, name
+        np.testing.assert_allclose(
+            fused[name].data, stagewise[name].data, atol=2e-5,
+            err_msg=name)
+        assert (sorted(fused[name].properties)
+                == sorted(stagewise[name].properties))
+        assert (fused[name].properties['pipeline']
+                == stagewise[name].properties['pipeline'])
