@@ -431,6 +431,7 @@ class CrepePitchProcessor(FeaturesProcessor):
             return collection
 
         params = crepe.load_params(self.model_capacity)
+        pending = []  # (name, confidence, cents, nsamples)
         for bucket, items in sorted(groups.items()):
             seg_len, pad_left = crepe.segment_geometry(
                 hop, bucket, halo)
@@ -465,9 +466,55 @@ class CrepePitchProcessor(FeaturesProcessor):
                 for i, (name, nsamples, _, nframes) in enumerate(part):
                     cents = _local_average_from_neighborhoods(
                         neigh[i, :nframes], centers[i, :nframes])
-                    collection[name] = self._finish_decode(
-                        mx[i, :nframes], cents, nsamples)
+                    pending.append(
+                        (name, mx[i, :nframes], cents, nsamples))
+        for name, feats in self._finish_decode_batch(pending):
+            collection[name] = feats
         return collection
+
+    def _finish_decode_batch(self, items):
+        """Grid-resample many decoded tracks, grouped.
+
+        ``items`` is a list of (name, confidence, cents, nsamples).
+        The FFT grid resampling of :meth:`_finish_decode` is
+        independent per utterance, so utterances sharing an
+        (input frames, output frames) geometry resample as one
+        vectorized call instead of one per utterance — identical
+        outputs, no serial host tail after the corpus Viterbi
+        (reference tail: ``shennong/processor/pitch_crepe.py:
+        473-485``, one scipy call per utterance). Yields
+        (name, Features).
+        """
+        hop = np.round(self.sample_rate * self.frame_shift).astype(int)
+        groups = {}
+        for name, confidence, cents, nsamples in items:
+            out_frames = 1 + int(
+                (nsamples - self.frame_length * self.sample_rate)
+                / hop)
+            if confidence is None or out_frames <= 0:
+                yield name, Features(
+                    np.zeros((0, 2)), self.times(0),
+                    properties=self.get_properties())
+                continue
+            frequency = 10 * 2 ** (cents / 1200)
+            frequency[np.isnan(frequency)] = 0
+            groups.setdefault(
+                (confidence.shape[0], out_frames), []).append(
+                (name, confidence, frequency))
+
+        for (_, out_frames), members in groups.items():
+            stack = np.stack([
+                np.stack([confidence, frequency], axis=1)
+                for _, confidence, frequency in members])
+            with warnings.catch_warnings():
+                warnings.simplefilter('ignore')
+                data = scipy.signal.resample(stack, out_frames, axis=1)
+            data[..., 0] = np.where(
+                data[..., 0] < 1e-2, 0, np.minimum(data[..., 0], 1))
+            for row, (name, _, _) in enumerate(members):
+                yield name, Features(
+                    data[row], self.times(out_frames),
+                    properties=self.get_properties())
 
     def process(self, audio):
         """Extract (confidence, pitch) using CREPE.
