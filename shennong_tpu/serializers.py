@@ -171,9 +171,58 @@ class MatlabSerializer(FeaturesSerializer):
         data = {
             k: v._to_dict(with_properties=with_properties)
             for k, v in features.items()}
+        if compress:
+            try:
+                return self._save_compressed(data)
+            except Exception:  # scipy private-API drift
+                self._log.debug(
+                    'fast MAT5 writer unavailable, using scipy')
         scipy.io.savemat(
             self.filename, data, long_field_names=True,
             appendmat=False, do_compression=compress)
+
+    def _save_compressed(self, data):
+        """Compressed MAT5 write with the deflate work off-loaded.
+
+        ``scipy.io.savemat`` serializes AND zlib-compresses each
+        variable sequentially at level 6; per-variable compression is
+        independent and ``zlib.compress`` releases the GIL, so the
+        deflate (the dominant cost) runs level-1 on a thread pool
+        here while the main thread keeps serializing. Output is a
+        standard compressed MAT5 file ``scipy.io.loadmat`` reads
+        back unchanged.
+        """
+        import concurrent.futures
+        import io
+        import zlib
+
+        from scipy.io.matlab import _mio5
+
+        with open(self.filename, 'wb') as stream, \
+                concurrent.futures.ThreadPoolExecutor(
+                    max_workers=4) as pool:
+            writer = _mio5.MatFile5Writer(
+                stream, do_compression=False, long_field_names=True)
+            writer.write_file_header()
+
+            def serialize(name, var):
+                buffer = io.BytesIO()
+                matrix_writer = _mio5.VarWriter5(writer)
+                matrix_writer.file_stream = buffer
+                matrix_writer.write_top(
+                    var, name.encode('latin1'), False)
+                return buffer.getvalue()
+
+            jobs = [
+                pool.submit(zlib.compress, serialize(name, var), 1)
+                for name, var in data.items()]
+            for job in jobs:
+                compressed = job.result()
+                tag = np.empty((), _mio5.NDT_TAG_FULL)
+                tag['mdtype'] = _mio5.miCOMPRESSED
+                tag['byte_count'] = len(compressed)
+                stream.write(tag.tobytes())
+                stream.write(compressed)
 
     def _load(self):
         self._log.info('loading %s', self.filename)
