@@ -1,0 +1,81 @@
+"""Two real OS processes running the distributed extraction.
+
+The simulated-shard test (tests/test_multidevice.py) checks the
+sharding math inside one process; this one asserts the production
+path: two processes join a ``jax.distributed`` runtime, each extracts
+its round-robin shard, the CMVN statistics cross the process boundary
+through a collective (speakers deliberately SPAN both shards, so a
+host-local reduction would give wrong normalizations), and the merged
+output equals the single-process run. Replaces the reference's SLURM
+fan-out + filesystem merge (``examples/features_abx/run.sh:19-41``).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from shennong_tpu import FeaturesCollection, Utterances
+from shennong_tpu.pipeline import extract_features, get_default_config
+
+WORKER = os.path.join(os.path.dirname(__file__), 'distributed_worker.py')
+
+
+@pytest.fixture
+def corpus(wav_file):
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        # round-robin sharding sends u0, u2 to process 0 and u1, u3 to
+        # process 1: both speakers span both processes
+        return Utterances([
+            ('u0', wav_file, 'spk0', 0.0, 0.5),
+            ('u1', wav_file, 'spk0', 0.3, 0.9),
+            ('u2', wav_file, 'spk1', 0.1, 0.7),
+            ('u3', wav_file, 'spk1', 0.4, 1.0)])
+
+
+def _free_port():
+    with socket.socket() as sock:
+        sock.bind(('127.0.0.1', 0))
+        return sock.getsockname()[1]
+
+
+def test_two_process_extraction_equals_single(tmp_path, corpus):
+    utts_file = str(tmp_path / 'utts.txt')
+    corpus.save(utts_file)
+
+    coordinator = f'127.0.0.1:{_free_port()}'
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    env['PYTHONPATH'] = os.pathsep.join(
+        [repo] + env.get('PYTHONPATH', '').split(os.pathsep))
+    env.pop('XLA_FLAGS', None)  # no virtual-device fan-out in workers
+    outs = [str(tmp_path / f'shard{i}.npz') for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, utts_file, outs[i],
+             coordinator, '2', str(i)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    logs = [proc.communicate(timeout=600)[0] for proc in procs]
+    for proc, log in zip(procs, logs):
+        assert proc.returncode == 0, log.decode(errors='replace')
+
+    merged = {}
+    for out in outs:
+        merged.update(FeaturesCollection.load(out).items())
+    assert sorted(merged) == ['u0', 'u1', 'u2', 'u3']
+
+    config = get_default_config('mfcc', with_cmvn=True, with_delta=True)
+    config['mfcc']['dither'] = 0
+    single = extract_features(config, corpus)
+
+    for name in single:
+        assert merged[name].shape == single[name].shape, name
+        np.testing.assert_allclose(
+            merged[name].data, single[name].data, atol=2e-4,
+            err_msg=name)
