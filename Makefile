@@ -1,12 +1,15 @@
 # Developer entry points for shennong-tpu
 
-.PHONY: test bench lint clean
+.PHONY: test bench doc lint clean
 
 test:
 	python -m pytest tests/ -q
 
 bench:
 	python bench.py
+
+doc:
+	python doc/gen_docs.py
 
 lint:
 	python -m py_compile $$(git ls-files '*.py')
