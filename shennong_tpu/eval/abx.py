@@ -45,12 +45,15 @@ def _frame_costs(x, y, metric):
         yn = y / jnp.sqrt(
             jnp.sum(y * y, axis=-1, keepdims=True) + 1e-12)
         return 1.0 - jnp.einsum(
-            'bif,bjf->bij', xn, yn, preferred_element_type=jnp.float32)
+            'bif,bjf->bij', xn, yn,
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
     if metric == 'euclidean':
         sq = (jnp.sum(x * x, axis=-1)[:, :, None]
               + jnp.sum(y * y, axis=-1)[:, None, :]
               - 2.0 * jnp.einsum(
                   'bif,bjf->bij', x, y,
+                  precision=lax.Precision.HIGHEST,
                   preferred_element_type=jnp.float32))
         return jnp.sqrt(jnp.maximum(sq, 0.0))
     raise ValueError(f'unknown metric: {metric}')
@@ -256,6 +259,8 @@ def abx_error(distances, phones, speakers, task='across'):
     ------
     ValueError if no valid (phone pair, speaker) cell exists.
     """
+    if task not in ('across', 'within'):
+        raise ValueError(f'unknown task: {task}')
     distances = np.asarray(distances)
     phones = np.asarray(phones)
     speakers = np.asarray(speakers)

@@ -203,7 +203,12 @@ int16_t* shennong_codec_decode(
                         }
                         sent = avcodec_send_packet(ctx.dec, ctx.pkt);
                     }
-                    if (sent < 0) {
+                    // a corrupt mid-stream packet (e.g.
+                    // AVERROR_INVALIDDATA) is skipped: keep the
+                    // audio decoded so far rather than failing the
+                    // whole file; only a decoder still refusing
+                    // input after a full drain is fatal
+                    if (sent == AVERROR(EAGAIN)) {
                         av_packet_unref(ctx.pkt);
                         return nullptr;
                     }

@@ -450,7 +450,12 @@ def lvtln_rounds(feats, fweights, gid, gsel, base, warps,
     xx = jnp.einsum('ne,nf->nef', xplus, xplus).reshape(n, -1)
 
     sign_b, logdet_base = jnp.linalg.slogdet(base)
-    logdet_base = jnp.where(sign_b > 0, logdet_base, -jnp.inf)
+    # a non-positive-determinant base transform is degenerate; mark
+    # it with a finite zero logdet and exclude the class in the
+    # objective itself (an -inf here would propagate as 0 * -inf =
+    # NaN through the default logdet_scale=0 and corrupt the argmax)
+    valid_base = sign_b > 0
+    logdet_base = jnp.where(valid_base, logdet_base, 0.0)
 
     def estimate_transforms(params, x_for_post):
         w_, m_, iv_ = params
@@ -524,6 +529,7 @@ def lvtln_rounds(feats, fweights, gid, gsel, base, warps,
         objf = objf + beta[:, None] * sec_logdet
         objf = objf + (
             logdet_scale * beta[:, None] * logdet_base[None, :])
+        objf = jnp.where(valid_base[None, :], objf, -jnp.inf)
 
         best = jnp.argmax(objf, axis=1)
         rows = jnp.arange(num_groups)

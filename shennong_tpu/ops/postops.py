@@ -144,30 +144,39 @@ def compute_deltas_host(arrays, order=2, window=2):
     for index, data in enumerate(arrays):
         groups.setdefault(np.asarray(data).shape, []).append(index)
 
+    # bound host memory: a uniform-length corpus puts every
+    # utterance in one shape group, so process at most ~32 MB of
+    # stacked float64 rows per step instead of the whole group
     for shape, indices in groups.items():
         nframes = shape[0]
-        stack = np.stack([
-            np.asarray(arrays[i], dtype=np.float64) for i in indices])
         if nframes == 0:
             for i in indices:
                 outputs[i] = np.zeros(
                     (0, (order + 1) * shape[1]))
             continue
-        padded = np.pad(
-            stack, ((0, 0), (max_offset, max_offset), (0, 0)),
-            mode='edge')
-        blocks = []
-        for k, scale in enumerate(scales):
-            offset = k * window
-            acc = np.zeros_like(stack)
-            for j, coeff in enumerate(scale):
-                shift = j - offset
-                acc += float(coeff) * padded[
-                    :, max_offset + shift:max_offset + shift + nframes]
-            blocks.append(acc)
-        out = np.concatenate(blocks, axis=-1)
-        for row, i in enumerate(indices):
-            outputs[i] = out[row]
+        row_bytes = max(1, 8 * nframes * shape[1])
+        batch_rows = max(1, (32 << 20) // row_bytes)
+        for start in range(0, len(indices), batch_rows):
+            chunk = indices[start:start + batch_rows]
+            stack = np.stack([
+                np.asarray(arrays[i], dtype=np.float64)
+                for i in chunk])
+            padded = np.pad(
+                stack, ((0, 0), (max_offset, max_offset), (0, 0)),
+                mode='edge')
+            blocks = []
+            for k, scale in enumerate(scales):
+                offset = k * window
+                acc = np.zeros_like(stack)
+                for j, coeff in enumerate(scale):
+                    shift = j - offset
+                    acc += float(coeff) * padded[
+                        :, max_offset + shift:
+                        max_offset + shift + nframes]
+                blocks.append(acc)
+            out = np.concatenate(blocks, axis=-1)
+            for row, i in enumerate(chunk):
+                outputs[i] = out[row]
     return outputs
 
 

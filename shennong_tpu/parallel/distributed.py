@@ -87,9 +87,16 @@ def reduce_cmvn_stats(local_stats, group_keys):
     if jax.process_count() == 1:
         total = stacked.astype(np.float64)
     else:
-        gathered = multihost_utils.process_allgather(
-            jnp.asarray(stacked, dtype=jnp.float32))
-        total = np.asarray(gathered, dtype=np.float64).sum(axis=0)
+        # gather the float64 statistics bit-exactly: view the bytes
+        # as uint32 words (x64-safe over the collective), then view
+        # back and sum in float64 so multi-process normalization
+        # matches the single-process run beyond float32 rounding
+        bits = np.ascontiguousarray(
+            stacked.astype(np.float64)).view(np.uint32)
+        gathered = np.asarray(
+            multihost_utils.process_allgather(jnp.asarray(bits)))
+        total = np.ascontiguousarray(gathered).view(
+            np.float64).sum(axis=0)
     return {key: total[i] for i, key in enumerate(group_keys)}
 
 
@@ -112,6 +119,14 @@ def extract_features(configuration, utterances, njobs=1,
 
     utterances = list(utterances)
     config = pipe.init_config(configuration, log=log)
+    # every process sees the same collection, so this raises on ALL
+    # of them consistently — an asymmetric death on one process would
+    # leave the others blocked in the CMVN allgather collective
+    if jax.process_count() > len(utterances):
+        raise ValueError(
+            'only %d utterances for %d processes: run with at most '
+            '%d processes'
+            % (len(utterances), jax.process_count(), len(utterances)))
     shard = shard_utterances(utterances)
     if shard is None:
         raise ValueError(

@@ -57,21 +57,12 @@ class FusedPipelineExecutor:
 
     def _static_opts(self):
         """The per-run static configuration of the fused program."""
-        import dataclasses
-
         proc = self.feat_proc
         opts = {'kind': proc.name, 'feat_opts': proc.options()}
 
         if self.energy_proc is not None:
             eproc = self.energy_proc
-            frame = eproc.frame_options()
-            if eproc.raw_energy:
-                frame = dataclasses.replace(
-                    frame, preemph_coeff=0.0,
-                    window_type='rectangular')
-            opts['energy_opts'] = spectral.EnergyOpts(
-                frame=frame, raw_energy=eproc.raw_energy,
-                compression=eproc.compression)
+            opts['energy_opts'] = _energy_opts(eproc)
             opts['compression'] = eproc.compression
             vproc = self.vad_proc
             opts['vad_opts'] = (
@@ -92,22 +83,7 @@ class FusedPipelineExecutor:
         if not hasattr(proc, 'mel_weights'):
             placeholder = np.zeros(1, dtype=np.float32)
             return placeholder, placeholder
-        if self.warps is None:
-            mel = proc.mel_weights(1.0)
-            eql = (proc.equal_loudness(1.0)
-                   if proc.name == 'plp' else None)
-        else:
-            warps = [self.warps[name] for name in names]
-            warps += [warps[-1]] * (rows - len(warps))
-            if len(set(warps)) == 1:
-                mel = proc.mel_weights(warps[0])
-                eql = (proc.equal_loudness(warps[0])
-                       if proc.name == 'plp' else None)
-            else:
-                mel = np.stack([proc.mel_weights(w) for w in warps])
-                eql = (np.stack(
-                    [proc.equal_loudness(w) for w in warps])
-                    if proc.name == 'plp' else None)
+        mel, eql = _mel_fanout(proc, names, rows, self.warps)
         if eql is None:
             eql = np.zeros(1, dtype=np.float32)
         return mel, eql
@@ -239,6 +215,40 @@ def _check_sample_rates(utterances, proc):
                 '{} != {}'.format(proc.sample_rate, rate))
 
 
+def _energy_opts(proc):
+    """EnergyOpts for an EnergyProcessor (raw-energy framing rules)."""
+    import dataclasses
+    frame = proc.frame_options()
+    if proc.raw_energy:
+        frame = dataclasses.replace(
+            frame, preemph_coeff=0.0, window_type='rectangular')
+    return spectral.EnergyOpts(
+        frame=frame, raw_energy=proc.raw_energy,
+        compression=proc.compression)
+
+
+def _mel_fanout(proc, names, rows, warps):
+    """(mel_weights, equal_loudness-or-None) with per-row VTLN warps.
+
+    ``warps`` is a name->warp dict or None (no warping). Padding rows
+    reuse the last utterance's warp; a batch sharing one warp value
+    collapses to a single unbatched matrix.
+    """
+    want_eql = proc.name == 'plp'
+    if warps is None:
+        return (proc.mel_weights(1.0),
+                proc.equal_loudness(1.0) if want_eql else None)
+    per_row = [warps[name] for name in names]
+    per_row += [per_row[-1]] * (rows - len(per_row))
+    if len(set(per_row)) == 1:
+        return (proc.mel_weights(per_row[0]),
+                proc.equal_loudness(per_row[0]) if want_eql else None)
+    mel = np.stack([proc.mel_weights(w) for w in per_row])
+    eql = (np.stack([proc.equal_loudness(w) for w in per_row])
+           if want_eql else None)
+    return mel, eql
+
+
 class BatchExecutor:
     """Runs a processor over utterance collections in padded batches.
 
@@ -344,14 +354,7 @@ class BatchExecutor:
 
     def _check_sample_rates(self, utterances):
         """The whole batch must share the processor's sample rate."""
-        from shennong_tpu.audio import Audio
-        proc = self.processor
-        for utt in utterances:
-            rate = Audio.scan(utt.audio_file).sample_rate
-            if float(proc.sample_rate) != float(rate):
-                raise ValueError(
-                    'processor and signal mismatch in sample rates: '
-                    '{} != {}'.format(proc.sample_rate, rate))
+        _check_sample_rates(utterances, self.processor)
 
     def process_all_classes(self, utterances, class_warps, njobs=4):
         """Extract MFCCs for every VTLN warp class in one pass.
@@ -494,17 +497,9 @@ class BatchExecutor:
             key = _fresh_key()
 
         if name == 'energy':
-            import dataclasses
-            frame = frame_opts
-            if proc.raw_energy:
-                frame = dataclasses.replace(
-                    frame, preemph_coeff=0.0, window_type='rectangular')
-            opts = spectral.EnergyOpts(
-                frame=frame, raw_energy=proc.raw_energy,
-                compression=proc.compression)
             return spectral.energy_batch(
-                signals, nsamples_dev, opts, nframes_max,
-                compression=proc.compression, key=key)
+                signals, nsamples_dev, _energy_opts(proc),
+                nframes_max, compression=proc.compression, key=key)
 
         if name == 'spectrogram':
             return spectral.spectrogram_batch(
@@ -512,25 +507,10 @@ class BatchExecutor:
                 key=key)
 
         # mel-based processors, with optional per-utterance warps
-        if vtln_warp is None:
-            mel_weights = proc.mel_weights(1.0)
-        else:
-            warps = [vtln_warp[utt] for utt in names]
-            # padding rows reuse the last warp
-            warps += [warps[-1]] * (signals.shape[0] - len(warps))
-            if len(set(warps)) == 1:
-                mel_weights = proc.mel_weights(warps[0])
-            else:
-                mel_weights = np.stack(
-                    [proc.mel_weights(w) for w in warps])
+        mel_weights, eql = _mel_fanout(
+            proc, names, signals.shape[0], vtln_warp)
 
         if name == 'plp':
-            if vtln_warp is None:
-                eql = proc.equal_loudness(1.0)
-            else:
-                eqls = [proc.equal_loudness(w) for w in warps]
-                eql = (eqls[0] if len(set(warps)) == 1
-                       else np.stack(eqls))
             return plp_ops.plp_batch(
                 signals, nsamples_dev, mel_weights, eql,
                 proc.options(), nframes_max, key=key)

@@ -236,7 +236,7 @@ def extract_features_warp_classes(
                 (c, name) for c, collection in enumerate(collections)
                 for name in collection.keys()]
             arrays = [collections[c][name].data for c, name in keys]
-            outputs = _batched_deltas(arrays, delta, batch_rows=64)
+            outputs = _batched_deltas(arrays, delta)
             for (c, name), out in zip(keys, outputs):
                 feats = collections[c][name]
                 collections[c][name] = Features(
@@ -549,18 +549,24 @@ def _fused_pass_one(manager, utterances, log, njobs):
 
     first = utterances[0]
     proc = manager.make('features', first)
-
-    # hour-scale utterances need the chunked halo path
-    limit = getattr(proc, 'AUTO_CHUNK_FRAMES', None)
-    if limit:
-        for utt in utterances:
-            frames = proc.output_frames(
-                int(utt.duration * float(proc.sample_rate)))
-            if frames > limit:
-                return None
-
     with_vad = 'cmvn' in config and config['cmvn']['with_vad']
     with_pitch = 'pitch' in config
+
+    # hour-scale utterances need the chunked halo path; the pitch
+    # tracker has its own (usually denser) frame grid and limit, so
+    # check every fused processor, not just the feature one
+    chunk_procs = [proc]
+    if with_pitch:
+        chunk_procs.append(manager.make('pitch', first))
+    for cproc in chunk_procs:
+        limit = getattr(cproc, 'AUTO_CHUNK_FRAMES', None)
+        if not limit:
+            continue
+        for utt in utterances:
+            frames = cproc.output_frames(
+                int(utt.duration * float(cproc.sample_rate)))
+            if frames > limit:
+                return None
     log.debug('fused pass 1 (%s%s%s)', manager.features,
               '+vad' if with_vad else '',
               '+pitch' if with_pitch else '')
@@ -661,7 +667,7 @@ def _batched_pass_two(manager, triplets, log, tolerance=2):
     return collection
 
 
-def _batched_deltas(arrays, proc, batch_rows=16):
+def _batched_deltas(arrays, proc):
     """Delta features of many [T_i, D] matrices, computed on the host
     (:func:`shennong_tpu.ops.postops.compute_deltas_host`): the delta
     filter is ~9 multiply-adds per output value, far below the cost of
