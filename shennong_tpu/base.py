@@ -46,6 +46,14 @@ class BaseProcessor:
     @classmethod
     def _get_param_names(cls):
         """Introspect the constructor to discover parameter names."""
+        # signature introspection costs ~0.5 ms; processors call this
+        # once per utterance through get_properties, so cache per
+        # class (cls.__dict__, not getattr: a subclass must not
+        # inherit its parent's cached names)
+        cached = cls.__dict__.get('_param_names_cache')
+        if cached is not None:
+            return cached
+
         init = getattr(cls.__init__, 'deprecated_original', cls.__init__)
         if init is object.__init__:  # pragma: nocover
             return []
@@ -60,7 +68,8 @@ class BaseProcessor:
                     f'processors must declare their parameters explicitly '
                     f'in __init__ (no varargs), {cls} violates this')
             names.append(param.name)
-        return sorted(names)
+        cls._param_names_cache = sorted(names)
+        return cls._param_names_cache
 
     def get_params(self, deep=True):
         """Return the processor parameters as a dict name -> value.

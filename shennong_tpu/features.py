@@ -6,12 +6,10 @@ utterance; collections of them are handled by
 :class:`~shennong_tpu.features_collection.FeaturesCollection`.
 """
 
-import copy
-
 import numpy as np
 
 from shennong_tpu.logger import get_logger
-from shennong_tpu.utils import dict_equal
+from shennong_tpu.utils import copy_properties, dict_equal
 
 
 class Features:
@@ -116,7 +114,7 @@ class Features:
             data, times = data.copy(), times.copy()
         return Features(
             data, times,
-            properties=copy.deepcopy(self.properties), validate=False)
+            properties=copy_properties(self.properties), validate=False)
 
     def is_valid(self):
         """True if :func:`validate` passes"""
@@ -159,10 +157,18 @@ class Features:
             raise ValueError(
                 'invalid features dimensions: {}'.format(', '.join(errors)))
 
-        index = (
-            np.argsort(self.times) if self.times.ndim == 1
-            else np.lexsort(self.times.T))
-        if not np.array_equal(index, np.arange(self.nframes)):
+        # direct sortedness checks (equivalent to stable argsort ==
+        # arange, without the per-Features argsort/arange allocations)
+        if self.times.ndim == 1:
+            is_sorted = bool(np.all(self.times[1:] >= self.times[:-1]))
+        else:
+            # lexicographic on (..., col1 primary, col0 secondary),
+            # matching np.lexsort(self.times.T) stability
+            primary = np.diff(self.times[:, 1])
+            secondary = np.diff(self.times[:, 0])
+            is_sorted = bool(np.all(
+                (primary > 0) | ((primary == 0) & (secondary >= 0))))
+        if not is_sorted:
             raise ValueError('times is not sorted in increasing order')
 
         if not np.all(np.isfinite(self.data)):
@@ -205,8 +211,8 @@ class Features:
             raise ValueError('times are not equal')
 
         # merge properties, shifting the pipeline columns of `other`
-        properties = copy.deepcopy(self.properties)
-        other_properties = copy.deepcopy(other.properties)
+        properties = copy_properties(self.properties)
+        other_properties = copy_properties(other.properties)
         properties.update(
             {k: v for k, v in other_properties.items() if k != 'pipeline'})
         properties.setdefault('pipeline', [])

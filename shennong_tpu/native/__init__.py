@@ -83,12 +83,28 @@ def load_library():
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_int64)]
 
+            lib.shennong_wav_scan2.restype = ctypes.c_int
+            lib.shennong_wav_scan2.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32)]
+
             lib.shennong_load_wav_batch.restype = ctypes.c_int
             lib.shennong_load_wav_batch.argtypes = [
                 ctypes.c_char_p, ctypes.c_int32,
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int32]
+
+            lib.shennong_load_wav_batch_i16.restype = ctypes.c_int
+            lib.shennong_load_wav_batch_i16.argtypes = [
+                ctypes.c_char_p, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int16),
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int32]
 
             lib.shennong_ark_index.restype = ctypes.c_int64
@@ -289,6 +305,69 @@ def wav_scan(path):
     if status != 0:
         return None
     return channels.value, rate.value, nsamples.value
+
+
+def wav_scan2(path):
+    """(channels, sample_rate, nsamples, format, bits) or None.
+
+    Like :func:`wav_scan` with the WAV format tag (1 = PCM, 3 = IEEE
+    float) and the bit depth, so callers can pick the int16 fast
+    loading path for PCM16 files.
+    """
+    lib = load_library()
+    if lib is None:
+        return None
+    channels = ctypes.c_int32()
+    rate = ctypes.c_int32()
+    nsamples = ctypes.c_int64()
+    fmt = ctypes.c_int32()
+    bits = ctypes.c_int32()
+    status = lib.shennong_wav_scan2(
+        str(path).encode(), ctypes.byref(channels), ctypes.byref(rate),
+        ctypes.byref(nsamples), ctypes.byref(fmt), ctypes.byref(bits))
+    if status != 0:
+        return None
+    return channels.value, rate.value, nsamples.value, \
+        fmt.value, bits.value
+
+
+def load_wav_batch_i16(paths, start_samples, max_counts, row_stride,
+                       out=None, num_threads=8):
+    """Load mono PCM16 WAV segments concurrently into an int16 batch.
+
+    Writes straight into ``out`` ([len(paths), row_stride] int16,
+    allocated when not given) so callers can reuse upload buffers —
+    fresh page faults dominate bulk loads on slow-memory hosts, and
+    the int16 rows later upload at half the float32 bytes. Returns
+    (out, counts [len(paths)] int64) or None when the library is
+    unavailable or any file is not plain mono PCM16 (callers then
+    fall back to the float32 loader).
+    """
+    lib = load_library()
+    if lib is None:
+        return None
+
+    batch = len(paths)
+    packed = b''.join(str(p).encode() + b'\0' for p in paths)
+    starts = np.asarray(start_samples, dtype=np.int64)
+    counts = np.asarray(max_counts, dtype=np.int64)
+    if out is None:
+        out = np.empty((batch, row_stride), dtype=np.int16)
+    assert (out.shape == (batch, row_stride)
+            and out.dtype == np.int16 and out.flags['C_CONTIGUOUS'])
+    out_counts = np.empty(batch, dtype=np.int64)
+
+    failures = lib.shennong_load_wav_batch_i16(
+        packed, batch,
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        row_stride,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        out_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        num_threads)
+    if failures:
+        return None
+    return out, out_counts
 
 
 def load_wav_batch(paths, start_samples, max_counts, row_stride,

@@ -143,6 +143,94 @@ int shennong_wav_scan(const char* path, int32_t* channels,
   return 0;
 }
 
+// Scan a WAV header with format details: fills (channels,
+// sample_rate, nsamples, format, bits), returns 0 on success.
+// format is the WAV tag: 1 = PCM, 3 = IEEE float.
+int shennong_wav_scan2(const char* path, int32_t* channels,
+                       int32_t* sample_rate, int64_t* nsamples,
+                       int32_t* format, int32_t* bits) {
+  std::FILE* fp = std::fopen(path, "rb");
+  if (!fp) return -1;
+  WavInfo info;
+  bool ok = parse_wav_header(fp, &info);
+  std::fclose(fp);
+  if (!ok) return -1;
+  *channels = info.channels;
+  *sample_rate = info.sample_rate;
+  *nsamples = info.data_bytes / (info.bits / 8) / info.channels;
+  *format = info.format;
+  *bits = info.bits;
+  return 0;
+}
+
+// Load a batch of mono PCM16 WAV segments concurrently into a padded
+// int16 matrix [batch, row_stride]. The int16 variant exists because
+// PCM16 is by far the common case and a straight 2-byte copy halves
+// the fresh pages the host must touch compared to the float32 path
+// (page faults dominate bulk loads on slow-memory hosts) AND halves
+// the later host-device upload. Non-PCM16 rows fail (the caller then
+// falls back to the float32 loader for the whole batch, keeping the
+// exact truncation semantics of shennong_load_wav_batch).
+//
+//   out: [batch * row_stride] int16, zero-padded rows
+//
+// Returns the number of rows that failed.
+int shennong_load_wav_batch_i16(const char* paths, int32_t batch,
+                                const int64_t* start_samples,
+                                const int64_t* max_counts,
+                                int64_t row_stride, int16_t* out,
+                                int64_t* out_counts,
+                                int32_t num_threads) {
+  std::vector<const char*> path_list(batch);
+  const char* cursor = paths;
+  for (int32_t i = 0; i < batch; ++i) {
+    path_list[i] = cursor;
+    cursor += std::strlen(cursor) + 1;
+  }
+
+  std::atomic<int32_t> next(0), failures(0);
+  auto worker = [&]() {
+    while (true) {
+      int32_t row = next.fetch_add(1);
+      if (row >= batch) break;
+      int16_t* dest = out + static_cast<int64_t>(row) * row_stride;
+      int64_t wanted =
+          std::min<int64_t>(max_counts[row], row_stride);
+      int64_t got = -1;
+      std::FILE* fp = std::fopen(path_list[row], "rb");
+      if (fp) {
+        WavInfo info;
+        if (parse_wav_header(fp, &info) && info.channels == 1 &&
+            info.format == 1 && info.bits == 16) {
+          int64_t total = info.data_bytes / 2;
+          int64_t start = start_samples[row];
+          int64_t count = start >= total
+              ? 0 : std::min<int64_t>(total - start, wanted);
+          std::fseek(fp, info.data_offset + start * 2, SEEK_SET);
+          if (count == 0 ||
+              std::fread(dest, 2, count, fp) ==
+                  static_cast<size_t>(count)) {
+            got = count;
+          }
+        }
+        std::fclose(fp);
+      }
+      if (got >= 0 && got < row_stride)
+        std::fill(dest + got, dest + row_stride,
+                  static_cast<int16_t>(0));
+      out_counts[row] = got;
+      if (got < 0) failures.fetch_add(1);
+    }
+  };
+
+  int nthreads = std::max(1, std::min<int>(num_threads, batch));
+  std::vector<std::thread> threads;
+  threads.reserve(nthreads);
+  for (int i = 0; i < nthreads; ++i) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return failures.load();
+}
+
 // Load a batch of mono WAV segments concurrently into a padded
 // float32 matrix [batch, max_samples] (int16-range values).
 //

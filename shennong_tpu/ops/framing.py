@@ -166,6 +166,9 @@ def extract_frames(signals, nsamples, opts, nframes_max):
     size = opts.window_size
     shift = opts.window_shift
 
+    # int16 uploads (half the host-device bytes) widen on device
+    signals = signals.astype(jnp.float32)
+
     if opts.snip_edges:
         # slice-and-concat framing: chunk the signal into shift-sized
         # blocks, a frame is ceil(size/shift) consecutive (trimmed)

@@ -125,7 +125,8 @@ def compute_deltas_host(arrays, order=2, window=2):
     """Time derivatives of many [T_i, D] matrices on the HOST.
 
     Numerically the vectorized-numpy twin of :func:`compute_deltas`
-    (same Kaldi filters, same edge replication). Through a thin
+    (same Kaldi filters, same edge replication), computed in float32
+    like both the device kernel and Kaldi's BaseFloat. Through a thin
     host-device link the delta filter is bandwidth-bound, not
     compute-bound: shipping a [T, D] matrix to the device and
     fetching a [T, 3D] result back costs far more than the ~9
@@ -134,7 +135,7 @@ def compute_deltas_host(arrays, order=2, window=2):
     remains the right choice inside fused programs where the features
     never leave the device (``parallel/fused.py``).
 
-    Returns the list of [T_i, (order+1)*D] float64 outputs in order.
+    Returns the list of [T_i, (order+1)*D] float32 outputs in order.
     """
     scales = delta_scales(order, window)
     max_offset = order * window
@@ -146,35 +147,45 @@ def compute_deltas_host(arrays, order=2, window=2):
 
     # bound host memory: a uniform-length corpus puts every
     # utterance in one shape group, so process at most ~32 MB of
-    # stacked float64 rows per step instead of the whole group
+    # padded rows per step instead of the whole group. This host
+    # touches fresh pages at ~0.1-0.2 GB/s, so the two scratch
+    # buffers are written in place and reused across filter taps
+    # instead of allocating a temporary per tap.
     for shape, indices in groups.items():
-        nframes = shape[0]
+        nframes, ndim = shape[0], shape[1]
         if nframes == 0:
             for i in indices:
                 outputs[i] = np.zeros(
-                    (0, (order + 1) * shape[1]))
+                    (0, (order + 1) * ndim), dtype=np.float32)
             continue
-        row_bytes = max(1, 8 * nframes * shape[1])
+        row_bytes = max(1, 4 * nframes * ndim)
         batch_rows = max(1, (32 << 20) // row_bytes)
         for start in range(0, len(indices), batch_rows):
             chunk = indices[start:start + batch_rows]
-            stack = np.stack([
-                np.asarray(arrays[i], dtype=np.float64)
-                for i in chunk])
-            padded = np.pad(
-                stack, ((0, 0), (max_offset, max_offset), (0, 0)),
-                mode='edge')
-            blocks = []
+            rows = len(chunk)
+            padded = np.empty(
+                (rows, nframes + 2 * max_offset, ndim), np.float32)
+            for row, i in enumerate(chunk):
+                data = np.asarray(arrays[i], dtype=np.float32)
+                padded[row, max_offset:max_offset + nframes] = data
+                padded[row, :max_offset] = data[0]
+                padded[row, max_offset + nframes:] = data[-1]
+            out = np.empty(
+                (rows, nframes, (order + 1) * ndim), np.float32)
+            tmp = np.empty((rows, nframes, ndim), np.float32)
             for k, scale in enumerate(scales):
                 offset = k * window
-                acc = np.zeros_like(stack)
+                block = out[:, :, k * ndim:(k + 1) * ndim]
                 for j, coeff in enumerate(scale):
                     shift = j - offset
-                    acc += float(coeff) * padded[
+                    src = padded[
                         :, max_offset + shift:
                         max_offset + shift + nframes]
-                blocks.append(acc)
-            out = np.concatenate(blocks, axis=-1)
+                    if j == 0:
+                        np.multiply(src, np.float32(coeff), out=block)
+                    else:
+                        np.multiply(src, np.float32(coeff), out=tmp)
+                        block += tmp
             for row, i in enumerate(chunk):
                 outputs[i] = out[row]
     return outputs

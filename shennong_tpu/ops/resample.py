@@ -99,6 +99,8 @@ def linear_resample(signals, nsamples_in_max, rate_in, rate_out,
     phase, so the resample is a weighted sum of ``taps`` strided
     views — no gather.
     """
+    # int16 uploads (half the host-device bytes) widen on device
+    signals = signals.astype(jnp.float32)
     indices, weights, nout = linear_resample_plan(
         int(nsamples_in_max), float(rate_in), float(rate_out),
         float(filter_cutoff), int(num_zeros))

@@ -123,10 +123,15 @@ class FusedPipelineExecutor:
 
         def dispatch(names, signals, nsamples):
             # integer-valued audio (always true for PCM WAV) uploads
-            # as int16: half the bytes through the host-device link
-            as_i16 = signals.astype(np.int16)
-            upload = as_i16 if np.array_equal(
-                as_i16, signals) else signals
+            # as int16: half the bytes through the host-device link.
+            # The streaming decoder already emits int16 for PCM16
+            # corpora; only float batches need the value check.
+            if signals.dtype == np.int16:
+                upload = signals
+            else:
+                as_i16 = signals.astype(np.int16)
+                upload = as_i16 if np.array_equal(
+                    as_i16, signals) else signals
             if sharding is not None:
                 dev_signals = jax.device_put(upload, sharding)
                 dev_nsamples = jax.device_put(nsamples, sharding)
@@ -149,9 +154,9 @@ class FusedPipelineExecutor:
             for arr in out.values():  # overlap fetch with compute
                 if hasattr(arr, 'copy_to_host_async'):
                     arr.copy_to_host_async()
-            return names, nsamples, out
+            return names, nsamples, out, signals
 
-        def drain(names, nsamples, out):
+        def drain(names, nsamples, out, signals):
             feats = np.asarray(out['feats'])
             vad = (np.asarray(out['vad'])
                    if 'vad' in out else None)
@@ -182,6 +187,9 @@ class FusedPipelineExecutor:
                         self.pitch_proc.times(pframes),
                         properties=self.pitch_post.get_properties(
                             raw_props))
+            # the program's outputs arrived, so its input upload is
+            # long done: the batch buffer is safe to reuse
+            streaming.recycle(signals)
 
         inflight = collections.deque()
         for names, signals, nsamples, nvalid in \
@@ -350,6 +358,7 @@ class BatchExecutor:
                 collection[utt_name] = Features(
                     data, proc.times(data.shape[0]),
                     properties=properties)
+            streaming.recycle(signals)
         return collection
 
     def _check_sample_rates(self, utterances):
@@ -399,7 +408,8 @@ class BatchExecutor:
         for names, signals, nsamples, nvalid in streaming.stream_batches(
                 utterances, self.batch_size, self._pad_multiple(),
                 njobs=njobs):
-            signals, nsamples_dev = self._device_put(signals, nsamples)
+            dev_signals, nsamples_dev = self._device_put(
+                signals, nsamples)
             frame_opts = proc.frame_options()
             nframes_max = num_frames(signals.shape[1], frame_opts)
             key = None
@@ -407,9 +417,10 @@ class BatchExecutor:
                 from shennong_tpu.processor.base import _fresh_key
                 key = _fresh_key()
             feats = spectral.mfcc_multi_warp_batch(
-                signals, nsamples_dev, mel_weights, proc.options(),
+                dev_signals, nsamples_dev, mel_weights, proc.options(),
                 nframes_max, key=key)
             feats = np.asarray(feats)
+            streaming.recycle(signals)
             for row, utt_name in enumerate(names):
                 nframes = num_frames(
                     int(nsamples[row]), frame_opts)
@@ -475,6 +486,7 @@ class BatchExecutor:
                 delta_order=delta_order, delta_window=delta_window,
                 key=key)
             moments.append(tuple(np.asarray(o) for o in out))
+            streaming.recycle(signals)
         return moments
 
     def _run_batch(self, names, signals, nsamples, vtln_warp):

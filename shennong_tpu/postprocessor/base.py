@@ -7,9 +7,9 @@ the properties dict. Mirrors the contract of the reference's
 """
 
 import abc
-import copy
 
 from shennong_tpu.processor.base import FeaturesProcessor
+from shennong_tpu.utils import copy_properties
 
 
 class FeaturesPostProcessor(FeaturesProcessor):
@@ -26,7 +26,7 @@ class FeaturesPostProcessor(FeaturesProcessor):
         this post-processor's parameters stored under its name and a
         new entry appended to the ``pipeline`` provenance list.
         """
-        properties = copy.deepcopy(features.properties)
+        properties = copy_properties(features.properties)
         properties[self.name] = self.get_params()
         properties.setdefault('pipeline', []).append({
             'name': self.name,

@@ -149,9 +149,83 @@ class NumpySerializer(FeaturesSerializer):
         data = {
             k: v._to_dict(with_properties=with_properties)
             for k, v in features.items()}
+        if compress:
+            try:
+                return self._save_compressed(data)
+            except Exception:
+                self._log.debug(
+                    'parallel npz writer unavailable, using numpy')
         save = np.savez_compressed if compress else np.savez
         with open(self.filename, 'wb') as fp:
             save(fp, features=data, allow_pickle=True)
+
+    def _save_compressed(self, data):
+        """Compressed ``.npz`` write with the deflate parallelized.
+
+        ``np.savez_compressed`` deflates its single ``features.npy``
+        zip member serially at level 6. A DEFLATE stream may be built
+        from independently compressed chunks joined at full-flush
+        points (the pigz construction), so the payload deflates here
+        as 1 MB chunks on a thread pool at level 1 and the zip
+        container is written by hand. ``np.load`` reads the result
+        back unchanged (it is a standard zip with one npy member).
+        """
+        import concurrent.futures
+        import io
+        import struct
+        import zlib
+
+        buffer = io.BytesIO()
+        np.lib.format.write_array(
+            buffer, np.asanyarray(data), allow_pickle=True)
+        payload = buffer.getbuffer()
+        if len(payload) >= (1 << 31):  # keep far away from zip64
+            raise ValueError('payload too large for the fast writer')
+
+        chunk = 1 << 20
+        views = [payload[i:i + chunk]
+                 for i in range(0, len(payload), chunk)] or [b'']
+
+        def deflate(view, last):
+            comp = zlib.compressobj(1, zlib.DEFLATED, -15)
+            out = comp.compress(view)
+            out += comp.flush(zlib.Z_FINISH if last else zlib.Z_FULL_FLUSH)
+            return out
+
+        with concurrent.futures.ThreadPoolExecutor(
+                max_workers=4) as pool:
+            jobs = [
+                pool.submit(deflate, view, i == len(views) - 1)
+                for i, view in enumerate(views)]
+            blocks = [job.result() for job in jobs]
+
+        crc = 0
+        for view in views:
+            crc = zlib.crc32(view, crc)
+        usize = len(payload)
+        csize = sum(len(b) for b in blocks)
+        name = b'features.npy'
+
+        with open(self.filename, 'wb') as stream:
+            # local file header: version 2.0, no flags, DEFLATE,
+            # zeroed DOS time/date (np.load never looks at it)
+            local = struct.pack(
+                '<4s5H3I2H', b'PK\x03\x04', 20, 0, 8, 0, 0,
+                crc, csize, usize, len(name), 0)
+            stream.write(local)
+            stream.write(name)
+            for block in blocks:
+                stream.write(block)
+            central_offset = stream.tell()
+            central = struct.pack(
+                '<4s6H3I5H2I', b'PK\x01\x02', 20, 20, 0, 8, 0, 0,
+                crc, csize, usize, len(name), 0, 0, 0, 0, 0, 0)
+            stream.write(central)
+            stream.write(name)
+            end = struct.pack(
+                '<4s4H2IH', b'PK\x05\x06', 0, 0, 1, 1,
+                stream.tell() - central_offset, central_offset, 0)
+            stream.write(end)
 
     def _load(self):
         self._log.info('loading %s', self.filename)

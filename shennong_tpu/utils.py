@@ -37,6 +37,29 @@ def get_njobs(njobs=None, log=null_logger()):
     return njobs
 
 
+def copy_properties(obj):
+    """Independent copy of a features ``properties`` structure.
+
+    Semantically ``copy.deepcopy`` for the data that properties
+    actually hold — nested dicts/lists/tuples of scalars, strings and
+    numpy values — at a fraction of the cost (deepcopy's memo
+    bookkeeping dominates on these small acyclic trees, and it copies
+    immutable numpy generics member by member). Properties are cloned
+    once per utterance per post-processor, so this is on the corpus
+    hot path.
+    """
+    if isinstance(obj, dict):
+        return {key: copy_properties(val) for key, val in obj.items()}
+    if isinstance(obj, list):
+        return [copy_properties(val) for val in obj]
+    if isinstance(obj, tuple):
+        return tuple(copy_properties(val) for val in obj)
+    if isinstance(obj, np.ndarray):
+        return obj.copy()
+    # scalars, strings, numpy generics: immutable, safe to share
+    return obj
+
+
 def list2array(seq):
     """Recursively convert lists into numpy arrays."""
     if isinstance(seq, list):

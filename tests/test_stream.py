@@ -131,3 +131,52 @@ def test_stream_segment_utterances(corpus, tmp_path):
         assert en == sn
         np.testing.assert_array_equal(es, ss)
         np.testing.assert_array_equal(ec, sc)
+
+
+def test_native_i16_path_matches_float_fallback(corpus, monkeypatch):
+    """PCM16 corpora decode through the int16 fast path; forcing the
+    float fallback must give value-identical payloads."""
+    fast = list(streaming.stream_batches(corpus, batch_size=4))
+    assert any(s.dtype == np.int16 for _, s, _, _ in fast), \
+        'expected the native int16 path on a PCM16 WAV corpus'
+
+    monkeypatch.setattr(streaming, '_native_plan', lambda chunk: None)
+    slow = list(streaming.stream_batches(corpus, batch_size=4))
+    for (fn, fs, fc, fv), (sn, ss, sc, sv) in zip(fast, slow):
+        assert fn == sn and fv == sv
+        assert ss.dtype == np.float32
+        np.testing.assert_array_equal(fs, ss)
+        np.testing.assert_array_equal(fc, sc)
+
+
+def test_buffer_pool_reuses_and_rejects_views():
+    pool = streaming._BufferPool(max_per_key=2)
+    buf = pool.take((3, 5), np.int16)
+    buf[:] = 7
+    pool.give(buf)
+    again = pool.take((3, 5), np.int16)
+    assert again is buf  # recycled, pages already touched
+    other = pool.take((3, 5), np.float32)
+    assert other is not buf and other.dtype == np.float32
+    # views are never pooled (their memory belongs to another array)
+    pool.give(buf[:2])
+    fresh = pool.take((2, 5), np.int16)
+    assert fresh.base is None
+
+
+def test_recycled_buffers_are_zero_padded(corpus):
+    """A dirty recycled buffer must not leak samples into the padding
+    region of the next batch that reuses it."""
+    plans = streaming.plan_batches(corpus, batch_size=4)
+    chunk, rows = plans[0]
+    names, signals, nsamples, nvalid = streaming.decode_batch(
+        chunk, rows + 2)
+    poisoned = signals
+    poisoned[:] = 123  # worst case: recycled buffer full of garbage
+    streaming.recycle(poisoned)
+    names2, signals2, nsamples2, nvalid2 = streaming.decode_batch(
+        chunk, rows + 2)
+    assert signals2 is poisoned  # the pool handed the buffer back
+    for row in range(nvalid2):
+        assert not signals2[row, nsamples2[row]:].any()
+    assert not signals2[nvalid2:].any()
