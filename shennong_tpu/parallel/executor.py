@@ -14,6 +14,7 @@ utterance axis. This replaces the reference's joblib thread pools
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 from shennong_tpu import Features, FeaturesCollection
 from shennong_tpu.ops import pitch as pitch_ops
@@ -485,7 +486,19 @@ class BatchExecutor:
                 proc.options(), nframes_max,
                 delta_order=delta_order, delta_window=delta_window,
                 key=key)
-            moments.append(tuple(np.asarray(o) for o in out))
+            # ONE host fetch per batch: per-array fetches each pay a
+            # full relay round trip (~50 ms), and the moment tuple
+            # has five of them
+            shapes = [o.shape for o in out]
+            packed = np.asarray(jnp.concatenate(
+                [o.reshape(-1) for o in out]))
+            parts, cursor = [], 0
+            for shape in shapes:
+                size = int(np.prod(shape)) if shape else 1
+                parts.append(
+                    packed[cursor:cursor + size].reshape(shape))
+                cursor += size
+            moments.append(tuple(parts))
             streaming.recycle(signals)
         return moments
 

@@ -190,6 +190,72 @@ def pass_one_program(signals, nsamples, mel_weights, equal_loudness,
     return out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=('mfcc_opts', 'nframes_max', 'delta_order',
+                     'delta_window', 'vad_opts', 'cmvn_opts',
+                     'subsample'))
+def ubm_frontend_program(signals, nsamples, mel_weights, mfcc_opts,
+                         nframes_max, delta_order, delta_window,
+                         vad_opts, cmvn_opts, subsample, key=None):
+    """The whole UBM-GMM feature front-end, fused per signal batch.
+
+    One XLA program computes everything the UBM trainer needs from a
+    padded signal batch: MFCC, delta appending, the energy-VAD
+    decisions on the feature energy column, sliding-window CMVN, and
+    the two frame-selection weight vectors (voiced frames for
+    initialization, voiced-and-subsampled frames for the main EM,
+    Kaldi's trim-then-every-Nth-row semantics). The previous staged
+    path round-tripped the corpus features through the host-device
+    link three times (extract, VAD, sliding CMVN) before uploading
+    them a fourth time for EM; this keeps them on the device end to
+    end (reference: the pykaldi calls in
+    ``shennong/processor/ubm.py:714-772``).
+
+    Returns (normalized feats [B, F, D'], w_init [B, F] float32,
+    w_em [B, F] float32) — all device-resident.
+    """
+    signals = signals.astype(jnp.float32)
+    feats = spectral.mfcc_batch(
+        signals, nsamples, mel_weights, mfcc_opts, nframes_max,
+        key=key)
+
+    shift = mfcc_opts.frame.window_shift
+    length = mfcc_opts.frame.window_size
+    if mfcc_opts.frame.snip_edges:
+        nframes = jnp.maximum((nsamples - length) // shift + 1, 0)
+    else:
+        nframes = (nsamples + shift // 2) // shift
+
+    log_energy = feats[..., 0]
+    if delta_order is not None:
+        feats = postops.compute_deltas(
+            feats, nframes, order=delta_order, window=delta_window)
+
+    threshold, mean_scale, context, proportion = vad_opts
+    vad = postops.compute_vad_energy(
+        log_energy, nframes, energy_threshold=threshold,
+        energy_mean_scale=mean_scale, frames_context=context,
+        proportion_threshold=proportion)
+
+    if cmvn_opts is not None:
+        center, window, min_window, normalize_variance = cmvn_opts
+        feats = postops.sliding_window_cmvn(
+            feats, nframes, center=center, cmn_window=window,
+            min_window=min_window,
+            normalize_variance=normalize_variance)
+
+    t = jnp.arange(feats.shape[1])[None, :]
+    valid = t < nframes[:, None]
+    voiced = valid & (vad > 0)
+    w_init = voiced.astype(jnp.float32)
+    # per-utterance voiced rank: trim(vad) then copy(subsample=N)
+    # keeps every Nth row of each trimmed utterance
+    rank = jnp.cumsum(w_init, axis=1) - 1.0
+    w_em = w_init * (jnp.mod(rank, float(subsample)) == 0)
+    return feats, w_init, w_em
+
+
 def make_gmm_training_step(mesh, mfcc_opts, nframes_max):
     """A distributed GMM EM step over a data-parallel mesh.
 

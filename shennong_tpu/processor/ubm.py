@@ -304,7 +304,20 @@ class DiagUbmProcessor(BaseProcessor):
                 num_read, self.num_frames)
 
         self._init_from_random_frames(feats, num_gauss_init)
+        self._init_em_loop(
+            jnp.asarray(feats, dtype=jnp.float32),
+            jnp.ones(feats.shape[0], dtype=jnp.float32),
+            num_gauss_init, feats.shape[0])
 
+    def _init_em_loop(self, feats_dev, weights_dev, num_gauss_init,
+                      nframes_log):
+        """The init EM-with-splitting loop on device-resident data.
+
+        ``weights_dev`` holds 0/1 per-frame selection weights (1 for
+        every sampled frame), so the same loop serves the host path
+        (all rows real) and the fully device-resident path (voiced
+        frames marked within the padded flat matrix).
+        """
         cur_num_gauss = num_gauss_init
         gauss_inc = int((self.num_gauss - num_gauss_init)
                         / (max(self.num_iters_init, 1) / 2))
@@ -331,8 +344,7 @@ class DiagUbmProcessor(BaseProcessor):
                 np.concatenate([inv_vars, np.ones((short, dim))]),
             ).as_jax()
 
-        feats_dev = jnp.asarray(feats, dtype=jnp.float32)
-        ones_dev = jnp.ones(feats.shape[0], dtype=jnp.float32)
+        ones_dev = weights_dev
         params = pad_params(
             self.gmm.weights, self.gmm.means, self.gmm.inv_vars)
         i = 0
@@ -358,7 +370,7 @@ class DiagUbmProcessor(BaseProcessor):
             if self.log.isEnabledFor(10):
                 self.log.debug(
                     'Likelihood per frame: %s over %s frames',
-                    float(tot_like) / feats.shape[0], feats.shape[0])
+                    float(tot_like) / max(nframes_log, 1), nframes_log)
 
             next_num_gauss = min(
                 self.num_gauss, cur_num_gauss + gauss_inc)
@@ -407,6 +419,72 @@ class DiagUbmProcessor(BaseProcessor):
             np.full(num_gauss, 1.0 / num_gauss),
             feats64[chosen],
             np.tile(1.0 / var, (num_gauss, 1)))
+
+    def initialize_gmm_device(self, flat, w_init, num_read):
+        """Initialize and run the init EM on device-resident data.
+
+        The device twin of :func:`initialize_gmm`: ``flat`` is the
+        padded [N, D] float32 feature matrix, ``w_init`` the 0/1
+        voiced-frame weights, ``num_read`` their (host) total. The
+        reservoir subset, the random-frame means and the data variance
+        all come from device gathers/reductions — only O(num_gauss)
+        values ever reach the host.
+        """
+        import jax
+
+        num_gauss_init = int(
+            self.initial_gauss_proportion * self.num_gauss)
+        self.log.info('Initializing model')
+
+        total_rows = flat.shape[0]
+        # voiced rows first, in original order (stable by index)
+        order = jnp.argsort(
+            jnp.arange(total_rows)
+            + (1 - w_init.astype(jnp.int32)) * total_rows)
+
+        if num_read > self.num_frames:
+            kept = self._reservoir_indices(num_read)
+            rows_kept = jnp.take(order, jnp.asarray(kept))
+            weights = jnp.zeros(total_rows, jnp.float32)
+            weights = weights.at[rows_kept].set(1.0)
+            avail = self.num_frames
+            self.log.debug(
+                'Kept %s out of %s input frames = %s %%',
+                self.num_frames, num_read,
+                100 * self.num_frames / num_read)
+        else:
+            kept = None
+            weights = w_init
+            avail = num_read
+
+        if avail < 10 * num_gauss_init:
+            raise ValueError(
+                f'Too few frames to train on ({avail} frames)')
+
+        kwargs = dict(
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        sums = jnp.einsum('nd,n->d', flat, weights, **kwargs)
+        sqsums = jnp.einsum('nd,nd,n->d', flat, flat, weights, **kwargs)
+        mean = np.asarray(sums, dtype=np.float64) / avail
+        var = np.asarray(sqsums, dtype=np.float64) / avail - mean ** 2
+        if var.max() <= 0:
+            raise ValueError(
+                f'Features do not have positive variance {var}')
+
+        chosen = self._rng.choice(avail, num_gauss_init, replace=False)
+        if kept is not None:
+            rows_chosen = jnp.take(order, jnp.asarray(kept[chosen]))
+        else:
+            rows_chosen = jnp.take(order, jnp.asarray(chosen))
+        means0 = np.asarray(
+            jnp.take(flat, rows_chosen, axis=0), dtype=np.float64)
+        self.gmm = DiagGmm(
+            np.full(num_gauss_init, 1.0 / num_gauss_init),
+            means0,
+            np.tile(1.0 / var, (num_gauss_init, 1)))
+
+        self._init_em_loop(flat, weights, num_gauss_init, avail)
 
     @staticmethod
     def _flat_frames(feats_collection):
@@ -636,19 +714,35 @@ class DiagUbmProcessor(BaseProcessor):
                 self.gmm.weights, self.gmm.means, self.gmm.inv_vars,
                 int(mixup), perturb_factor, self._rng))
 
-    def process(self, utterances, njobs=1):
-        """Train the UBM-GMM on the given utterances.
+    def _frontend_device(self, utterances, njobs=1):
+        """Fully device-resident feature front-end, or None.
 
-        Extracts the configured features (MFCC + delta + sliding
-        CMVN), trims them with energy VAD, initializes the model and
-        runs ``num_iters`` EM iterations.
+        Streams the corpus through :func:`stream_frontend`, keeping
+        every feature on the device. The staged host path
+        round-tripped the corpus through the host-device link four
+        times. Returns (flat [N, D], w_init [N], w_em [N] — device
+        arrays — and the host int voiced count), or None when the
+        configuration needs the staged path (non-MFCC features,
+        hour-scale utterances).
         """
+        front = stream_frontend(
+            self.features, self.vad, self.subsample, utterances,
+            njobs=njobs)
+        if front is None:
+            return None
+        flat, w_init, w_em, num_read, _ = front
+        return flat, w_init, w_em, num_read
+
+    def _staged_frontend(self, utterances, njobs=1):
+        """The batched-but-staged front-end (extract, VAD, sliding
+        CMVN as separate corpus sweeps). Fallback for configurations
+        the fused program does not cover; returns the device-resident
+        (flat feats [N, D], 0/1 weights [N]) for the main EM."""
         # extraction must run without the sliding CMVN; restore the
         # configuration even when a stage raises so a retried
         # processor keeps the parameters the user set
         cmvn_config = self.features.pop('sliding_window_cmvn', None)
         try:
-            self.log.info('Training UBM using %s jobs', njobs)
             raw_features = pipeline.extract_features(
                 self.features, utterances, njobs=njobs,
                 log=null_logger())
@@ -677,14 +771,32 @@ class DiagUbmProcessor(BaseProcessor):
             utt: feats.copy(subsample=self.subsample)
             for utt, feats in features.items()})
 
-        # main EM: data and model device-resident, one program per
-        # iteration; the final iteration goes through the host update
-        # when low-count components must be removed (shape change)
         names, counts, flat, nrows = self._flat_frames(features)
         flat_weights = np.zeros(flat.shape[0], dtype=np.float32)
         flat_weights[:nrows] = 1.0
-        feats_dev = jnp.asarray(flat)
-        weights_dev = jnp.asarray(flat_weights)
+        return jnp.asarray(flat), jnp.asarray(flat_weights)
+
+    def process(self, utterances, njobs=1):
+        """Train the UBM-GMM on the given utterances.
+
+        Extracts the configured features (MFCC + delta + sliding
+        CMVN), trims them with energy VAD, initializes the model and
+        runs ``num_iters`` EM iterations.
+        """
+        self.log.info('Training UBM using %s jobs', njobs)
+        front = self._frontend_device(utterances, njobs=njobs)
+        if front is not None:
+            feats_dev, w_init, weights_dev, num_read = front
+            self.initialize_gmm_device(feats_dev, w_init, num_read)
+            self.log.info(
+                'Training for %s iterations', self.num_iters)
+        else:
+            feats_dev, weights_dev = self._staged_frontend(
+                utterances, njobs=njobs)
+
+        # main EM: data and model device-resident, one program per
+        # iteration; the final iteration goes through the host update
+        # when low-count components must be removed (shape change)
         params = self.gmm.as_jax()
         if self.num_iters > 0 and self.remove_low_count_gaussians:
             # all but the last iteration fused into one program; the
@@ -711,3 +823,116 @@ class DiagUbmProcessor(BaseProcessor):
             self.gmm = DiagGmm(*[
                 np.asarray(p, dtype=np.float64) for p in params])
         self.log.info('Done training UBM.')
+
+
+def stream_frontend(features_config, vad_params, subsample,
+                    utterances, njobs=1, batch_size=64):
+    """Device-resident GMM-training feature front-end.
+
+    Streams the corpus and runs one fused program per signal batch
+    (:func:`shennong_tpu.parallel.fused.ubm_frontend_program` — MFCC,
+    deltas, energy VAD, sliding CMVN and the trim/subsample frame
+    selection weights), keeping every feature on the device. Shared
+    by the UBM trainer and the LVTLN trainer (the reference runs the
+    same front-end in both, ``shennong/processor/ubm.py:714-772`` and
+    ``vtln.py:511-664``).
+
+    Returns None when the configuration needs the staged path
+    (non-MFCC features, hour-scale utterances), else a tuple
+    (flat [N, D], w_init [N], w_em [N] — float32 device arrays, rows
+    beyond each utterance's voiced frames carrying zero weight —
+    num_read: host int count of voiced frames, layout: list of
+    (names, frames_per_row, row_offset) mapping each batch's flat
+    rows back to utterances).
+    """
+    import jax
+
+    from shennong_tpu.ops.framing import bucket_size, num_frames
+    from shennong_tpu.parallel import stream as streaming
+    from shennong_tpu.parallel.executor import _check_sample_rates
+    from shennong_tpu.parallel.fused import ubm_frontend_program
+    from shennong_tpu.processor.base import _fresh_key
+    from shennong_tpu.utterances import Utterances
+
+    if 'mfcc' not in features_config:
+        return None
+    if not isinstance(utterances, Utterances):
+        utterances = Utterances(utterances)
+    utterances = list(utterances)
+    config = {
+        k: copy.deepcopy(v) for k, v in features_config.items()
+        if k != 'sliding_window_cmvn'}
+    config = pipeline.init_config(config, log=null_logger())
+    manager = pipeline.PipelineManager(
+        config, Utterances(utterances), log=null_logger())
+    first = utterances[0]
+    proc = manager.make('features', first)
+    if proc.name != 'mfcc':
+        return None
+    limit = getattr(proc, 'AUTO_CHUNK_FRAMES', None)
+    if limit:
+        for utt in utterances:
+            frames = proc.output_frames(
+                int(utt.duration * float(proc.sample_rate)))
+            if frames > limit:
+                return None
+    _check_sample_rates(utterances, proc)
+
+    delta_order = delta_window = None
+    if 'delta' in config:
+        dproc = manager.make('delta')
+        delta_order, delta_window = dproc.order, dproc.window
+
+    vproc = VadPostProcessor(**vad_params)
+    vad_opts = (
+        vproc.energy_threshold, vproc.energy_mean_scale,
+        vproc.frames_context, vproc.proportion_threshold)
+
+    cmvn_opts = None
+    cmvn_config = features_config.get('sliding_window_cmvn')
+    if cmvn_config is not None:
+        cproc = SlidingWindowCmvnPostProcessor(**cmvn_config)
+        cmvn_opts = (
+            bool(cproc.center), int(cproc.cmn_window),
+            int(cproc.min_window), bool(cproc.normalize_variance))
+
+    mel = jnp.asarray(proc.mel_weights(1.0))
+    opts = proc.options()
+    frame_opts = proc.frame_options()
+
+    feats_parts, winit_parts, wem_parts = [], [], []
+    layout, held, offset = [], [], 0
+    for names, signals, nsamples, nvalid in \
+            streaming.stream_batches(
+                utterances, batch_size=batch_size, njobs=njobs):
+        nframes_max = num_frames(signals.shape[1], frame_opts)
+        key = _fresh_key() if frame_opts.dither != 0 else None
+        feats, w_init, w_em = ubm_frontend_program(
+            jax.device_put(signals), jax.device_put(nsamples),
+            mel, opts, nframes_max, delta_order, delta_window,
+            vad_opts, cmvn_opts, subsample, key=key)
+        # padding rows have zero frames, hence zero weight: flat
+        # rows beyond the voiced set are inert everywhere
+        frames_per_row = feats.shape[1]
+        feats_parts.append(feats.reshape(-1, feats.shape[-1]))
+        winit_parts.append(w_init.reshape(-1))
+        wem_parts.append(w_em.reshape(-1))
+        layout.append((list(names), frames_per_row, offset))
+        offset += signals.shape[0] * frames_per_row
+        held.append(signals)
+
+    flat = jnp.concatenate(feats_parts, axis=0)
+    w_init = jnp.concatenate(winit_parts, axis=0)
+    w_em = jnp.concatenate(wem_parts, axis=0)
+    nrows = flat.shape[0]
+    bucket = bucket_size(max(nrows, 1), minimum=128)
+    if bucket > nrows:
+        flat = jnp.pad(flat, ((0, bucket - nrows), (0, 0)))
+        w_init = jnp.pad(w_init, (0, bucket - nrows))
+        w_em = jnp.pad(w_em, (0, bucket - nrows))
+    # this fetch depends on every batch's upload, so the decode
+    # buffers are provably consumed and safe to recycle
+    num_read = int(np.asarray(w_init.sum()))
+    for buf in held:
+        streaming.recycle(buf)
+    return flat, w_init, w_em, num_read, layout

@@ -456,6 +456,127 @@ class VtlnProcessor(BaseProcessor):
 
     def _process_body(self, utterances, ubm, njobs, group_by,
                       utt2speak, cmvn_config, num_classes):
+        if not self._device_body(
+                utterances, ubm, njobs, utt2speak, cmvn_config,
+                num_classes):
+            self._staged_body(
+                utterances, ubm, njobs, utt2speak, cmvn_config,
+                num_classes)
+
+        if self.by_speaker:
+            self.transforms = {
+                utt: self.transforms[spk]
+                for utt, spk in utt2speak.items()}
+            self.warps = {
+                utt: self.warps[spk]
+                for utt, spk in utt2speak.items()}
+
+        self.log.info('Done training LVTLN model')
+        if group_by == 'utterance':
+            return self.warps
+        return {
+            spk: self.warps[utts[0].name]
+            for spk, utts in utterances.by_speaker().items()}
+
+    def _device_body(self, utterances, ubm, njobs, utt2speak,
+                     cmvn_config, num_classes):
+        """Fully device-resident LVTLN training; True when handled.
+
+        Streams the corpus once through the shared GMM-training
+        front-end (:func:`shennong_tpu.processor.ubm.stream_frontend`
+        — features never reach the host), fits the warp-class base
+        transforms from the fused moment pass, computes gaussian
+        selection as one device top-k over the flat frame matrix and
+        runs every estimation round in the fused
+        :func:`shennong_tpu.ops.fmllr.lvtln_rounds` program. Falls
+        back (False) for configurations the fused path does not
+        cover: shape-changing UBM updates, non-MFCC features,
+        hour-scale utterances.
+        """
+        import copy as _copy
+
+        import jax.numpy as jnp
+
+        from shennong_tpu.ops import gmm as gmm_ops
+        from shennong_tpu.ops.fmllr import solve_mapping_from_moments
+        from shennong_tpu.processor import ubm as ubm_module
+
+        if ubm.remove_low_count_gaussians:
+            return False
+
+        features_config = _copy.deepcopy(self.features)
+        if cmvn_config is not None:
+            features_config['sliding_window_cmvn'] = cmvn_config
+        front = ubm_module.stream_frontend(
+            features_config, ubm.vad, self.subsample, utterances,
+            njobs=njobs)
+        if front is None:
+            return False
+        flat, _, w_em, _, layout = front
+
+        class_warps = [
+            self.min_warp + c * self.warp_step
+            for c in range(num_classes)]
+
+        # per-utterance selection weights for the fused moment pass
+        # (the flat rows map back to utterances through the layout)
+        w_host = np.asarray(w_em)
+        keep = {}
+        for names, frames_per_row, offset in layout:
+            for row, name in enumerate(names):
+                start = offset + row * frames_per_row
+                keep[name] = w_host[start:start + frames_per_row]
+
+        moments = pipeline.accumulate_warp_mapping_stats(
+            self.features, utterances, class_warps, keep,
+            null_logger(), njobs=njobs)
+        if moments is None:
+            return False
+        self.log.info(
+            'Computing base transforms for %s warp classes '
+            '(fused device pass)', num_classes)
+        matrices = solve_mapping_from_moments(moments)
+        for c, this_warp in enumerate(class_warps):
+            self.lvtln.set_transform(c, matrices[c])
+            self.lvtln.set_warp(c, this_warp)
+
+        if utt2speak is not None:
+            def group_of(name):
+                return utt2speak[name]
+        else:
+            def group_of(name):
+                return name
+        group_names = sorted(
+            {group_of(n) for names, _, _ in layout for n in names})
+        gindex = {g: i for i, g in enumerate(group_names)}
+        gid = np.zeros(flat.shape[0], dtype=np.int32)
+        for names, frames_per_row, offset in layout:
+            for row, name in enumerate(names):
+                start = offset + row * frames_per_row
+                gid[start:start + frames_per_row] = \
+                    gindex[group_of(name)]
+        # batch-padding rows keep gid 0: their weight is zero
+
+        self.log.debug('Computing Gaussian selection info')
+        if ubm.num_gselect > ubm.gmm.num_gauss():
+            ubm.log.warning(
+                'You asked for %s Gaussians but GMM only has %s,'
+                ' returning this many. Note: this means the'
+                ' Gaussian selection is pointless',
+                ubm.num_gselect, ubm.gmm.num_gauss())
+            ubm.num_gselect = ubm.gmm.num_gauss()
+        _, gsel = gmm_ops.gaussian_selection(
+            flat, *ubm.gmm.as_jax(), ubm.num_gselect)
+
+        self.log.info(
+            'Computing LVTLN transforms (%s iterations)',
+            self.num_iters)
+        self._rounds_fused_arrays(
+            ubm, flat, w_em, jnp.asarray(gid), gsel, group_names)
+        return True
+
+    def _staged_body(self, utterances, ubm, njobs, utt2speak,
+                     cmvn_config, num_classes):
         raw_mfcc = pipeline.extract_features(
             self.features, utterances, njobs=njobs, log=null_logger())
 
@@ -542,21 +663,6 @@ class VtlnProcessor(BaseProcessor):
             # the host-orchestrated rounds
             self._train_rounds_host(ubm, orig_features, utt2speak)
 
-        if self.by_speaker:
-            self.transforms = {
-                utt: self.transforms[spk]
-                for utt, spk in utt2speak.items()}
-            self.warps = {
-                utt: self.warps[spk]
-                for utt, spk in utt2speak.items()}
-
-        self.log.info('Done training LVTLN model')
-        if group_by == 'utterance':
-            return self.warps
-        return {
-            spk: self.warps[utts[0].name]
-            for spk, utts in utterances.by_speaker().items()}
-
     def _train_rounds_fused(self, ubm, orig_features, utt2speak):
         """All ``num_iters`` LVTLN rounds in one device program.
 
@@ -609,6 +715,24 @@ class VtlnProcessor(BaseProcessor):
         gid[:nrows] = gid_all
         gsel = np.zeros((bucket, sel_all.shape[1]), dtype=np.int32)
         gsel[:nrows] = sel_all
+
+        self._rounds_fused_arrays(
+            ubm, jnp.asarray(feats), jnp.asarray(fweights),
+            jnp.asarray(gid), jnp.asarray(gsel), group_names)
+
+    def _rounds_fused_arrays(self, ubm, feats, fweights, gid, gsel,
+                             group_names):
+        """Run the fused LVTLN rounds on prepared flat arrays.
+
+        ``feats``/``fweights``/``gid``/``gsel`` are device (or
+        device-puttable) [N, ...] arrays, rows with zero weight inert;
+        sets ``self.transforms``/``self.warps`` per group and updates
+        the UBM in place, exactly like the host rounds.
+        """
+        import jax.numpy as jnp
+
+        from shennong_tpu.ops.fmllr import lvtln_rounds
+        from shennong_tpu.processor.ubm import DiagGmm
 
         out = lvtln_rounds(
             jnp.asarray(feats), jnp.asarray(fweights),
