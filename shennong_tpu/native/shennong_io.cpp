@@ -63,7 +63,10 @@ bool parse_wav_header(std::FILE* fp, WavInfo* info) {
     } else if (!std::memcmp(chunk_id, "data", 4)) {
       info->data_offset = std::ftell(fp);
       info->data_bytes = chunk_size;
-      return info->format != 0;
+      // reject malformed headers whose bits/channels would divide
+      // by zero in every caller (hostile or truncated fmt chunks)
+      return info->format != 0 && info->bits >= 8 &&
+             info->channels > 0;
     } else {
       // chunks are word aligned
       std::fseek(fp, chunk_size + (chunk_size & 1), SEEK_CUR);

@@ -213,7 +213,8 @@ def ubm_frontend_program(signals, nsamples, mel_weights, mfcc_opts,
     ``shennong/processor/ubm.py:714-772``).
 
     Returns (normalized feats [B, F, D'], w_init [B, F] float32,
-    w_em [B, F] float32) — all device-resident.
+    w_em [B, F] float32, voiced [] float32 — the batch's total voiced
+    count, a cheap per-batch sync probe) — all device-resident.
     """
     signals = signals.astype(jnp.float32)
     feats = spectral.mfcc_batch(
@@ -253,7 +254,7 @@ def ubm_frontend_program(signals, nsamples, mel_weights, mfcc_opts,
     # keeps every Nth row of each trimmed utterance
     rank = jnp.cumsum(w_init, axis=1) - 1.0
     w_em = w_init * (jnp.mod(rank, float(subsample)) == 0)
-    return feats, w_init, w_em
+    return feats, w_init, w_em, jnp.sum(w_init)
 
 
 def make_gmm_training_step(mesh, mfcc_opts, nframes_max):

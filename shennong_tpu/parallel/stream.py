@@ -114,6 +114,8 @@ def plan_batches(utterances, batch_size, pad_to_multiple=1):
 def _native_plan(chunk):
     """(paths, starts, counts) when every utterance is a mono PCM16
     WAV the native int16 fast path can load, else None."""
+    from shennong_tpu.parallel.batch import _utterance_bounds
+
     if not native.available():
         return None
     paths, starts, counts = [], [], []
@@ -124,11 +126,9 @@ def _native_plan(chunk):
         channels, rate, nsamples, fmt, bits = scan
         if channels != 1 or fmt != 1 or bits != 16:
             return None
-        if utt.tstart is None:
-            start, count = 0, nsamples
-        else:
-            start = int(utt.tstart * rate)
-            count = int(utt.tstop * rate) - start
+        start, count = _utterance_bounds(utt, rate)
+        if count is None:
+            count = nsamples - start
         paths.append(utt.audio_file)
         starts.append(start)
         counts.append(count)

@@ -854,11 +854,25 @@ def stream_frontend(features_config, vad_params, subsample,
     from shennong_tpu.processor.base import _fresh_key
     from shennong_tpu.utterances import Utterances
 
+    # the fused program computes exactly MFCC (+delta, +sliding
+    # CMVN); any other configured stage (pitch, per-speaker CMVN,
+    # vtln, ...) must take the staged path or it would be silently
+    # dropped from the training features
     if 'mfcc' not in features_config:
+        return None
+    if set(features_config) - {'mfcc', 'delta', 'sliding_window_cmvn'}:
         return None
     if not isinstance(utterances, Utterances):
         utterances = Utterances(utterances)
     utterances = list(utterances)
+
+    # mixed-sample-rate corpora need per-utterance processors
+    from shennong_tpu.audio import Audio
+    rates = {
+        Audio.scan(utt.audio_file).sample_rate for utt in utterances}
+    if len(rates) != 1:
+        return None
+
     config = {
         k: copy.deepcopy(v) for k, v in features_config.items()
         if k != 'sliding_window_cmvn'}
@@ -901,13 +915,25 @@ def stream_frontend(features_config, vad_params, subsample,
     frame_opts = proc.frame_options()
 
     feats_parts, winit_parts, wem_parts = [], [], []
-    layout, held, offset = [], [], 0
+    layout, offset = [], 0
+    pending, num_read = [], 0
+
+    def drain_one():
+        # the count output depends on the batch's whole upload, so
+        # fetching it proves the decode buffer is consumed; draining
+        # two batches behind keeps the pool fed (bounded host memory)
+        # without stalling the dispatch pipeline
+        nonlocal num_read
+        signals_done, count_done = pending.pop(0)
+        num_read += int(np.asarray(count_done))
+        streaming.recycle(signals_done)
+
     for names, signals, nsamples, nvalid in \
             streaming.stream_batches(
                 utterances, batch_size=batch_size, njobs=njobs):
         nframes_max = num_frames(signals.shape[1], frame_opts)
         key = _fresh_key() if frame_opts.dither != 0 else None
-        feats, w_init, w_em = ubm_frontend_program(
+        feats, w_init, w_em, count = ubm_frontend_program(
             jax.device_put(signals), jax.device_put(nsamples),
             mel, opts, nframes_max, delta_order, delta_window,
             vad_opts, cmvn_opts, subsample, key=key)
@@ -919,7 +945,11 @@ def stream_frontend(features_config, vad_params, subsample,
         wem_parts.append(w_em.reshape(-1))
         layout.append((list(names), frames_per_row, offset))
         offset += signals.shape[0] * frames_per_row
-        held.append(signals)
+        pending.append((signals, count))
+        if len(pending) > 2:
+            drain_one()
+    while pending:
+        drain_one()
 
     flat = jnp.concatenate(feats_parts, axis=0)
     w_init = jnp.concatenate(winit_parts, axis=0)
@@ -930,9 +960,4 @@ def stream_frontend(features_config, vad_params, subsample,
         flat = jnp.pad(flat, ((0, bucket - nrows), (0, 0)))
         w_init = jnp.pad(w_init, (0, bucket - nrows))
         w_em = jnp.pad(w_em, (0, bucket - nrows))
-    # this fetch depends on every batch's upload, so the decode
-    # buffers are provably consumed and safe to recycle
-    num_read = int(np.asarray(w_init.sum()))
-    for buf in held:
-        streaming.recycle(buf)
     return flat, w_init, w_em, num_read, layout

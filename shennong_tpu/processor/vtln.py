@@ -568,6 +568,32 @@ class VtlnProcessor(BaseProcessor):
         _, gsel = gmm_ops.gaussian_selection(
             flat, *ubm.gmm.as_jax(), ubm.num_gselect)
 
+        # populate ubm.selection like the staged path does (callers
+        # may refine or compute posteriors from it afterwards): the
+        # selected-frame rows of each utterance, in time order.
+        # Gather just the selected rows on device (a bucketed count
+        # keeps the gather at a handful of compiled shapes) — a full
+        # [N, k] fetch would move ~6x the bytes through the relay
+        from shennong_tpu.ops.framing import bucket_size
+
+        total_rows = flat.shape[0]
+        num_sel = int(w_host.sum())
+        sel_order = jnp.argsort(
+            jnp.arange(total_rows)
+            + (1 - (w_em > 0).astype(jnp.int32)) * total_rows)
+        padded_sel = min(bucket_size(max(num_sel, 1)), total_rows)
+        gsel_sel = np.asarray(
+            jnp.take(gsel, sel_order[:padded_sel], axis=0))
+        if ubm.selection is None:
+            ubm.selection = {}
+        cursor = 0
+        for names, frames_per_row, offset in layout:
+            for row, name in enumerate(names):
+                start = offset + row * frames_per_row
+                count = int(w_host[start:start + frames_per_row].sum())
+                ubm.selection[name] = gsel_sel[cursor:cursor + count]
+                cursor += count
+
         self.log.info(
             'Computing LVTLN transforms (%s iterations)',
             self.num_iters)

@@ -224,3 +224,41 @@ def test_num_iters_init_zero(utterances):
         4, num_iters=1, num_iters_init=0, num_frames=1000)
     ubm.process(utterances)
     assert ubm.gmm is not None
+
+
+def test_frontend_falls_back_on_extra_config(utterances, wav_file):
+    """Configs with stages beyond mfcc/delta/sliding CMVN must take
+    the staged path (the fused front-end would silently drop them)."""
+    from shennong_tpu.pipeline import get_default_config
+    from shennong_tpu.processor.ubm import stream_frontend
+
+    config = get_default_config('mfcc', with_delta=True)
+    config['pitch'] = get_default_config(
+        'mfcc', with_pitch='kaldi')['pitch']
+    ubm = DiagUbmProcessor(2, features=config)
+    assert stream_frontend(
+        ubm.features, ubm.vad, ubm.subsample, utterances) is None
+    # the staged path still trains (pitch columns included)
+    ubm.num_iters, ubm.num_iters_init = 1, 2
+    ubm.num_frames = 1000
+    ubm.process(utterances)
+    assert ubm.gmm is not None
+    assert ubm.gmm.dim() == 42  # 13 mfcc x3 + 3 pitch
+
+
+def test_frontend_falls_back_on_mixed_rates(tmp_path, wav_file):
+    """A mixed-sample-rate corpus must not crash the fused gate."""
+    import scipy.io.wavfile
+
+    from shennong_tpu.processor.ubm import stream_frontend
+
+    rng = np.random.RandomState(0)
+    low = tmp_path / 'low.wav'
+    scipy.io.wavfile.write(
+        str(low), 8000, (rng.randn(8000) * 3000).astype(np.int16))
+    utts = Utterances([
+        ('a', wav_file, 's1', 0.0, 1.0),
+        ('b', str(low), 's2', 0.0, 1.0)])
+    ubm = DiagUbmProcessor(2)
+    assert stream_frontend(
+        ubm.features, ubm.vad, ubm.subsample, utts) is None
