@@ -431,7 +431,46 @@ class CrepePitchProcessor(FeaturesProcessor):
             return collection
 
         params = crepe.load_params(self.model_capacity)
-        pending = []  # (name, confidence, cents, nsamples)
+
+        # pipelined slices: each synchronous fetch costs a full relay
+        # round trip on top of the compute it waits for, so the CNN
+        # for slice N+1..N+depth dispatches before slice N's
+        # argmax/max is fetched and decoded, and the neighborhood
+        # gather of slice N overlaps slice N+1's decode. depth bounds
+        # the device-resident salience (each slice holds
+        # [rows, bucket, 360] float32, ~24 MB)
+        import collections as _collections
+
+        depth = 3
+        inflight = _collections.deque()  # (part, bucket, sal, am, mx)
+        gathers = _collections.deque()   # (part, bucket, mx, centers, neigh)
+        pending = []                     # (name, confidence, cents, nsamples)
+
+        def decode_slice():
+            part, bucket, sal, am, mx = inflight.popleft()
+            am, mx = np.asarray(am), np.asarray(mx)
+            rows = am.shape[0]
+            centers = np.zeros((rows, bucket), np.int32)
+            for i, (_, _, _, nframes) in enumerate(part):
+                obs = am[i, :nframes]
+                centers[i, :nframes] = (
+                    _viterbi_bin_path(obs, 360) if self.viterbi
+                    else obs)
+            neigh_dev = crepe.gather_neighborhood(
+                sal.reshape(-1, sal.shape[-1]),
+                jnp.asarray(centers.reshape(-1)))
+            gathers.append((part, bucket, mx, centers, neigh_dev))
+
+        def assemble_slice():
+            part, bucket, mx, centers, neigh_dev = gathers.popleft()
+            rows = centers.shape[0]
+            neigh = np.asarray(neigh_dev).reshape(rows, bucket, 9)
+            for i, (name, nsamples, _, nframes) in enumerate(part):
+                cents = _local_average_from_neighborhoods(
+                    neigh[i, :nframes], centers[i, :nframes])
+                pending.append(
+                    (name, mx[i, :nframes], cents, nsamples))
+
         for bucket, items in sorted(groups.items()):
             seg_len, pad_left = crepe.segment_geometry(
                 hop, bucket, halo)
@@ -449,25 +488,18 @@ class CrepePitchProcessor(FeaturesProcessor):
                 sal, am, mx = crepe.forward_audio_chunk(
                     params, jnp.asarray(segments),
                     jnp.asarray(owners), hop, bucket, halo)
-                am, mx = np.asarray(am), np.asarray(mx)
-
-                # per-row banded Viterbi on host, then one batched
-                # neighborhood gather for the whole slice
-                centers = np.zeros((rows, bucket), np.int32)
-                for i, (_, _, _, nframes) in enumerate(part):
-                    obs = am[i, :nframes]
-                    centers[i, :nframes] = (
-                        _viterbi_bin_path(obs, 360) if self.viterbi
-                        else obs)
-                neigh = np.asarray(crepe.gather_neighborhood(
-                    sal.reshape(-1, sal.shape[-1]),
-                    jnp.asarray(centers.reshape(-1)))).reshape(
-                    rows, bucket, 9)
-                for i, (name, nsamples, _, nframes) in enumerate(part):
-                    cents = _local_average_from_neighborhoods(
-                        neigh[i, :nframes], centers[i, :nframes])
-                    pending.append(
-                        (name, mx[i, :nframes], cents, nsamples))
+                for arr in (am, mx):
+                    if hasattr(arr, 'copy_to_host_async'):
+                        arr.copy_to_host_async()
+                inflight.append((part, bucket, sal, am, mx))
+                if len(inflight) >= depth:
+                    decode_slice()
+                if len(gathers) >= depth:
+                    assemble_slice()
+        while inflight:
+            decode_slice()
+        while gathers:
+            assemble_slice()
         for name, feats in self._finish_decode_batch(pending):
             collection[name] = feats
         return collection
