@@ -85,8 +85,12 @@ def build_corpus(workdir):
     return Utterances(entries), alignments
 
 
-def score(features, alignments, task):
-    """ABX error of a FeaturesCollection under one task."""
+def score(features, alignments):
+    """(across, within) ABX errors of a FeaturesCollection.
+
+    The DTW distance matrix is shared by both tasks (only the
+    aggregation differs), so it is computed once.
+    """
     from shennong_tpu.eval import (
         abx_error, pairwise_distances, segments_from_alignment)
 
@@ -98,7 +102,8 @@ def score(features, alignments, task):
             phones.append(token)
             speakers.append(name)
     distances = pairwise_distances(segments)
-    return abx_error(distances, phones, speakers, task=task)
+    return (abx_error(distances, phones, speakers, task='across'),
+            abx_error(distances, phones, speakers, task='within'))
 
 
 def main():
@@ -126,8 +131,7 @@ def main():
     print()
     print(f'{"condition":<28}{"across-spk":>12}{"within-spk":>12}')
     for label, features in conditions.items():
-        across = score(features, alignments, 'across')
-        within = score(features, alignments, 'within')
+        across, within = score(features, alignments)
         print(f'{label:<28}{across:>11.1%}{within:>11.1%}')
     print()
     print('reference direction (Buckeye, intro_features.rst): '
