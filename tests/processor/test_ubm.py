@@ -262,3 +262,39 @@ def test_frontend_falls_back_on_mixed_rates(tmp_path, wav_file):
     ubm = DiagUbmProcessor(2)
     assert stream_frontend(
         ubm.features, ubm.vad, ubm.subsample, utts) is None
+
+
+def test_device_frontend_matches_staged_training(utterances):
+    """Training through the fused device front-end must agree with
+    the staged path (same frames, same selection semantics; only
+    float32-vs-float64 reduction order differs)."""
+    def train(force_staged):
+        ubm = DiagUbmProcessor(
+            4, num_iters=2, num_iters_init=4, num_frames=10000, seed=7)
+        # dither off so both paths see identical signals
+        ubm.features['mfcc']['dither'] = 0.0
+        if force_staged:
+            import shennong_tpu.processor.ubm as U
+            orig = U.stream_frontend
+            U.stream_frontend = lambda *a, **k: None
+            try:
+                ubm.process(utterances)
+            finally:
+                U.stream_frontend = orig
+        else:
+            ubm.process(utterances)
+        return ubm.gmm
+
+    device = train(force_staged=False)
+    staged = train(force_staged=True)
+    assert device.num_gauss() == staged.num_gauss()
+    # identical frame set and RNG draws; float reduction order is the
+    # only difference between the two paths
+    np.testing.assert_allclose(
+        np.sort(device.weights), np.sort(staged.weights),
+        rtol=1e-3, atol=1e-4)
+    order_d = np.argsort(device.means[:, 0])
+    order_s = np.argsort(staged.means[:, 0])
+    np.testing.assert_allclose(
+        device.means[order_d], staged.means[order_s],
+        rtol=5e-3, atol=5e-3)
