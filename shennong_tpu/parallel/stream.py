@@ -44,9 +44,10 @@ class _BufferPool:
     unreturned buffers are simply garbage collected.
     """
 
-    def __init__(self, max_per_key=4):
+    def __init__(self, max_per_key=4, max_keys=32):
         self._free = {}
         self._max = max_per_key
+        self._max_keys = max_keys
         self._lock = threading.Lock()
 
     def take(self, shape, dtype):
@@ -54,7 +55,10 @@ class _BufferPool:
         with self._lock:
             stack = self._free.get(key)
             if stack:
-                return stack.pop()
+                buffer = stack.pop()
+                if not stack:
+                    del self._free[key]  # keep insertion order fresh
+                return buffer
         return np.empty(shape, dtype)
 
     def give(self, array):
@@ -65,6 +69,14 @@ class _BufferPool:
             stack = self._free.setdefault(key, [])
             if len(stack) < self._max:
                 stack.append(array)
+            # a long-lived service over many corpus geometries must
+            # not hoard buffers for shapes it will never see again:
+            # evict the least-recently-refreshed keys beyond the cap
+            while len(self._free) > self._max_keys:
+                oldest = next(iter(self._free))
+                if oldest == key:
+                    break
+                del self._free[oldest]
 
 
 _pool = _BufferPool()

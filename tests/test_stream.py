@@ -180,3 +180,15 @@ def test_recycled_buffers_are_zero_padded(corpus):
     for row in range(nvalid2):
         assert not signals2[row, nsamples2[row]:].any()
     assert not signals2[nvalid2:].any()
+
+
+def test_buffer_pool_evicts_stale_shapes():
+    """A long-lived service over many corpus geometries must not
+    hoard buffers for shapes it never sees again."""
+    pool = streaming._BufferPool(max_per_key=2, max_keys=4)
+    for i in range(10):
+        pool.give(np.empty((2, 100 + i), np.int16))
+    assert len(pool._free) <= 4
+    # the most recently given shape survived
+    kept = pool.take((2, 109), np.int16)
+    assert kept.shape == (2, 109)
