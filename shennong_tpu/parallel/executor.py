@@ -44,7 +44,8 @@ class FusedPipelineExecutor:
 
     def __init__(self, feat_proc, warps=None, energy_proc=None,
                  vad_proc=None, pitch_proc=None, pitch_post=None,
-                 batch_size=64, mesh=None, depth=2):
+                 batch_size=64, mesh=None, depth=2,
+                 signal_cache=None):
         self.feat_proc = feat_proc
         self.warps = warps
         self.energy_proc = energy_proc
@@ -55,6 +56,7 @@ class FusedPipelineExecutor:
         self.depth = max(1, int(depth))
         self.mesh = mesh if mesh is not None else \
             meshing.get_default_mesh()
+        self.signal_cache = signal_cache
 
     def _static_opts(self):
         """The per-run static configuration of the fused program."""
@@ -126,8 +128,11 @@ class FusedPipelineExecutor:
             # integer-valued audio (always true for PCM WAV) uploads
             # as int16: half the bytes through the host-device link.
             # The streaming decoder already emits int16 for PCM16
-            # corpora; only float batches need the value check.
-            if signals.dtype == np.int16:
+            # corpora; only float batches need the value check —
+            # cache-replayed batches are device arrays, converted once
+            # at population time.
+            if (signals.dtype == np.int16
+                    or not isinstance(signals, np.ndarray)):
                 upload = signals
             else:
                 as_i16 = signals.astype(np.int16)
@@ -192,11 +197,16 @@ class FusedPipelineExecutor:
             # long done: the batch buffer is safe to reuse
             streaming.recycle(signals)
 
+        if self.signal_cache is not None:
+            source = self.signal_cache.stream(
+                utterances, self.batch_size, pad_multiple,
+                njobs=njobs, depth=self.depth)
+        else:
+            source = streaming.stream_batches(
+                utterances, self.batch_size, pad_multiple,
+                njobs=njobs, depth=self.depth)
         inflight = collections.deque()
-        for names, signals, nsamples, nvalid in \
-                streaming.stream_batches(
-                    utterances, self.batch_size, pad_multiple,
-                    njobs=njobs, depth=self.depth):
+        for names, signals, nsamples, nvalid in source:
             inflight.append(dispatch(names, signals, nsamples))
             if len(inflight) > self.depth:
                 drain(*inflight.popleft())
@@ -297,11 +307,15 @@ class BatchExecutor:
         return (jax.device_put(signals, sharding),
                 jax.device_put(nsamples, sharding))
 
-    def process_all(self, utterances, vtln_warp=None, njobs=4):
+    def process_all(self, utterances, vtln_warp=None, njobs=4,
+                    signal_cache=None):
         """Extract features for every utterance.
 
         ``vtln_warp`` optionally maps utterance names to warp factors
-        (mel-based processors only). Returns a FeaturesCollection.
+        (mel-based processors only). ``signal_cache`` optionally
+        replays already-uploaded device signal batches
+        (:class:`shennong_tpu.parallel.stream.SignalCache`). Returns a
+        FeaturesCollection.
         """
         proc = self.processor
         name = proc.name
@@ -338,9 +352,15 @@ class BatchExecutor:
         if not utterances:
             return collection
 
-        for names, signals, nsamples, nvalid in streaming.stream_batches(
+        if signal_cache is not None:
+            source = signal_cache.stream(
                 utterances, self.batch_size, self._pad_multiple(),
-                njobs=njobs):
+                njobs=njobs)
+        else:
+            source = streaming.stream_batches(
+                utterances, self.batch_size, self._pad_multiple(),
+                njobs=njobs)
+        for names, signals, nsamples, nvalid in source:
             # one host fetch for the whole batch: per-row slicing
             # would pay one relay round trip per utterance
             feats = np.asarray(self._run_batch(
@@ -434,7 +454,7 @@ class BatchExecutor:
 
     def accumulate_lvtln_stats(self, utterances, class_warps, keep,
                                delta_order=None, delta_window=None,
-                               njobs=4):
+                               njobs=4, signal_cache=None):
         """LS mapping statistics for every VTLN warp class, fused.
 
         ``keep`` maps utterance names to per-frame float weights (the
@@ -463,10 +483,16 @@ class BatchExecutor:
             [proc.mel_weights(w) for w in class_warps]
             + [proc.mel_weights(1.0)])
 
-        moments = []
-        for names, signals, nsamples, nvalid in streaming.stream_batches(
+        if signal_cache is not None:
+            source = signal_cache.stream(
                 utterances, self.batch_size, self._pad_multiple(),
-                njobs=njobs):
+                njobs=njobs)
+        else:
+            source = streaming.stream_batches(
+                utterances, self.batch_size, self._pad_multiple(),
+                njobs=njobs)
+        moments = []
+        for names, signals, nsamples, nvalid in source:
             frame_opts = proc.frame_options()
             nframes_max = num_frames(signals.shape[1], frame_opts)
             nframes = np.ones(signals.shape[0], dtype=np.int32)

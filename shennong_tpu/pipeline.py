@@ -251,7 +251,8 @@ def extract_features_warp_classes(
 
 
 def accumulate_warp_mapping_stats(
-        configuration, utterances, class_warps, keep, log, njobs=1):
+        configuration, utterances, class_warps, keep, log, njobs=1,
+        signal_cache=None):
     """Fused LS statistics for the LVTLN base-transform training.
 
     Instead of materializing 41 warped feature collections
@@ -297,7 +298,7 @@ def accumulate_warp_mapping_stats(
     return BatchExecutor(proc).accumulate_lvtln_stats(
         utterances, [float(w) for w in class_warps], keep,
         delta_order=delta_order, delta_window=delta_window,
-        njobs=njobs)
+        njobs=njobs, signal_cache=signal_cache)
 
 
 def init_config(config, log=get_logger('pipeline', 'warning')):
@@ -417,17 +418,27 @@ def _init_warps(warps, config, utterances, log):
 def _extract_features(config, utterances, warps, log, njobs=1):
     manager = PipelineManager(config, utterances, log=log)
 
-    # vtln: compute warps or install precomputed ones
+    # vtln: compute warps or install precomputed ones. VTLN training
+    # and the warped extraction that follows stream the same audio:
+    # one device-signal cache spans both so the corpus uploads once
+    signal_cache = None
     if warps:
         manager.warps = warps
     elif 'vtln' in config:
-        manager.warps = manager.make('vtln').process(
-            utterances, njobs=njobs)
+        from shennong_tpu.parallel.stream import SignalCache
+        signal_cache = SignalCache()
+        vtln_proc = manager.make('vtln')
+        vtln_proc._signal_cache = signal_cache
+        try:
+            manager.warps = vtln_proc.process(utterances, njobs=njobs)
+        finally:
+            vtln_proc.__dict__.pop('_signal_cache', None)
 
     # batched pass 1 whenever the whole collection shares one device
     # program (everything except bottleneck and crepe pitch, which
     # keep their own internal batching)
-    pass_one = _batched_pass_one(manager, utterances, log, njobs)
+    pass_one = _batched_pass_one(
+        manager, utterances, log, njobs, signal_cache=signal_cache)
     if pass_one is None:
         pass_one = [
             _extract_pass_one(utterance, manager, log=log)
@@ -436,7 +447,8 @@ def _extract_features(config, utterances, warps, log, njobs=1):
     return _batched_pass_two(manager, pass_one, log)
 
 
-def _batched_pass_one(manager, utterances, log, njobs):
+def _batched_pass_one(manager, utterances, log, njobs,
+                      signal_cache=None):
     """Pass 1 as whole-collection batched device programs.
 
     Returns the same (utterance, features, pitch) triplets as the
@@ -457,7 +469,8 @@ def _batched_pass_one(manager, utterances, log, njobs):
     utterances = list(utterances)
     first = utterances[0]
 
-    outputs = _fused_pass_one(manager, utterances, log, njobs)
+    outputs = _fused_pass_one(
+        manager, utterances, log, njobs, signal_cache=signal_cache)
     if outputs is not None:
         feats_collection, vads, pitches = outputs
     else:
@@ -465,7 +478,8 @@ def _batched_pass_one(manager, utterances, log, njobs):
         proc = manager.make('features', first)
         warp_arg = dict(manager.warps) if manager.warps else None
         feats_collection = BatchExecutor(proc).process_all(
-            utterances, vtln_warp=warp_arg, njobs=njobs)
+            utterances, vtln_warp=warp_arg, njobs=njobs,
+            signal_cache=signal_cache)
 
         if 'cmvn' in config and config['cmvn']['with_vad']:
             log.debug('batched energy + vad')
@@ -531,7 +545,8 @@ def _batched_pass_one(manager, utterances, log, njobs):
     return triplets
 
 
-def _fused_pass_one(manager, utterances, log, njobs):
+def _fused_pass_one(manager, utterances, log, njobs,
+                    signal_cache=None):
     """Pass 1 through the fused single-program-per-batch executor.
 
     Returns ``(features, vads, pitches)`` or None when the
@@ -579,7 +594,8 @@ def _fused_pass_one(manager, utterances, log, njobs):
         pitch_proc=(
             manager.make('pitch', first) if with_pitch else None),
         pitch_post=(
-            manager.make('pitch_post') if with_pitch else None))
+            manager.make('pitch_post') if with_pitch else None),
+        signal_cache=signal_cache)
     return executor.run(utterances, njobs=njobs)
 
 

@@ -727,10 +727,18 @@ class DiagUbmProcessor(BaseProcessor):
         """
         front = stream_frontend(
             self.features, self.vad, self.subsample, utterances,
-            njobs=njobs)
+            njobs=njobs,
+            signal_cache=getattr(self, '_signal_cache', None))
         if front is None:
             return None
-        flat, w_init, w_em, num_read, _ = front
+        flat, w_init, w_em, num_read, layout = front
+        if getattr(self, '_retain_frontend', False):
+            # a VTLN trainer with an identical feature configuration
+            # reuses this front-end pass instead of re-streaming the
+            # corpus (opt-in: plain UBM training must not pin the
+            # flat feature matrix in device memory past training)
+            self._frontend_result = (
+                flat, w_init, w_em, num_read, layout)
         return flat, w_init, w_em, num_read
 
     def _staged_frontend(self, utterances, njobs=1):
@@ -826,7 +834,8 @@ class DiagUbmProcessor(BaseProcessor):
 
 
 def stream_frontend(features_config, vad_params, subsample,
-                    utterances, njobs=1, batch_size=64):
+                    utterances, njobs=1, batch_size=64,
+                    signal_cache=None):
     """Device-resident GMM-training feature front-end.
 
     Streams the corpus and runs one fused program per signal batch
@@ -928,9 +937,13 @@ def stream_frontend(features_config, vad_params, subsample,
         num_read += int(np.asarray(count_done))
         streaming.recycle(signals_done)
 
-    for names, signals, nsamples, nvalid in \
-            streaming.stream_batches(
-                utterances, batch_size=batch_size, njobs=njobs):
+    if signal_cache is not None:
+        source = signal_cache.stream(
+            utterances, batch_size=batch_size, njobs=njobs)
+    else:
+        source = streaming.stream_batches(
+            utterances, batch_size=batch_size, njobs=njobs)
+    for names, signals, nsamples, nvalid in source:
         nframes_max = num_frames(signals.shape[1], frame_opts)
         key = _fresh_key() if frame_opts.dither != 0 else None
         feats, w_init, w_em, count = ubm_frontend_program(

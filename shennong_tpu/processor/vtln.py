@@ -425,11 +425,25 @@ class VtlnProcessor(BaseProcessor):
             raise ValueError(
                 f'Min warp > max warp: {self.min_warp} > {self.max_warp}')
 
+        # one device-signal cache spans every corpus sweep of the
+        # training flow (UBM front-end, VTLN front-end, warp moments):
+        # the audio bytes are identical each pass, so they upload once
+        from shennong_tpu.parallel.stream import SignalCache
+        signal_cache = getattr(self, '_signal_cache', None)
+        if signal_cache is None:
+            signal_cache = SignalCache()
+
         # the UBM-GMM
         if ubm is None:
             ubm = DiagUbmProcessor(**self.ubm)
             ubm.log.setLevel(self.log.getEffectiveLevel())
-            ubm.process(utterances, njobs=njobs)
+            ubm._signal_cache = signal_cache
+            ubm._retain_frontend = True
+            try:
+                ubm.process(utterances, njobs=njobs)
+            finally:
+                ubm.__dict__.pop('_signal_cache', None)
+                ubm.__dict__.pop('_retain_frontend', None)
         else:
             if ubm.gmm is None:
                 raise ValueError('Given UBM-GMM has not been trained')
@@ -449,16 +463,17 @@ class VtlnProcessor(BaseProcessor):
         try:
             return self._process_body(
                 utterances, ubm, njobs, group_by, utt2speak,
-                cmvn_config, num_classes)
+                cmvn_config, num_classes, signal_cache)
         finally:
             if cmvn_config is not None:
                 self.features['sliding_window_cmvn'] = cmvn_config
 
     def _process_body(self, utterances, ubm, njobs, group_by,
-                      utt2speak, cmvn_config, num_classes):
+                      utt2speak, cmvn_config, num_classes,
+                      signal_cache=None):
         if not self._device_body(
                 utterances, ubm, njobs, utt2speak, cmvn_config,
-                num_classes):
+                num_classes, signal_cache):
             self._staged_body(
                 utterances, ubm, njobs, utt2speak, cmvn_config,
                 num_classes)
@@ -479,7 +494,7 @@ class VtlnProcessor(BaseProcessor):
             for spk, utts in utterances.by_speaker().items()}
 
     def _device_body(self, utterances, ubm, njobs, utt2speak,
-                     cmvn_config, num_classes):
+                     cmvn_config, num_classes, signal_cache=None):
         """Fully device-resident LVTLN training; True when handled.
 
         Streams the corpus once through the shared GMM-training
@@ -507,9 +522,18 @@ class VtlnProcessor(BaseProcessor):
         features_config = _copy.deepcopy(self.features)
         if cmvn_config is not None:
             features_config['sliding_window_cmvn'] = cmvn_config
-        front = ubm_module.stream_frontend(
-            features_config, ubm.vad, self.subsample, utterances,
-            njobs=njobs)
+        # the default configuration trains the UBM on exactly the
+        # features this front-end would recompute: reuse its retained
+        # device-resident pass instead of re-streaming the corpus
+        front = ubm.__dict__.pop('_frontend_result', None)
+        if front is not None and not (
+                features_config == ubm.features
+                and int(self.subsample) == int(ubm.subsample)):
+            front = None
+        if front is None:
+            front = ubm_module.stream_frontend(
+                features_config, ubm.vad, self.subsample, utterances,
+                njobs=njobs, signal_cache=signal_cache)
         if front is None:
             return False
         flat, _, w_em, _, layout = front
@@ -529,7 +553,7 @@ class VtlnProcessor(BaseProcessor):
 
         moments = pipeline.accumulate_warp_mapping_stats(
             self.features, utterances, class_warps, keep,
-            null_logger(), njobs=njobs)
+            null_logger(), njobs=njobs, signal_cache=signal_cache)
         if moments is None:
             return False
         self.log.info(

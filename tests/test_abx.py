@@ -228,3 +228,115 @@ def test_cmvn_improves_across_speaker_abx():
     assert error_raw > 0.15, error_raw
     assert error_cmvn < error_raw - 0.10, (error_raw, error_cmvn)
     assert error_cmvn < 0.10, error_cmvn
+
+
+def _scaled_phone(phone, alpha, token, rate=16000, duration=0.3):
+    """A phone realization from a speaker whose vocal tract scales
+    every formant by ``alpha`` — the exact nuisance VTLN models.
+    Adjacent phones sit ~14% apart in formant space, so a +-12%
+    speaker scaling makes phone p of one speaker collide with phone
+    p+-1 of another."""
+    import zlib
+
+    import scipy.signal
+
+    formants = {
+        'ao': (560, 920), 'aa': (640, 1060), 'ah': (730, 1220)}
+    f1, f2 = formants[phone]
+    rng = np.random.RandomState(
+        zlib.crc32(f'{phone}-{alpha}-{token}'.encode()))
+    nsamples = int(duration * rate)
+    excitation = rng.randn(nsamples)
+    signal = np.zeros(nsamples)
+    for freq in (f1 * alpha, f2 * alpha):
+        sos = scipy.signal.butter(
+            2, [freq * 0.88, freq * 1.12], 'bandpass',
+            fs=rate, output='sos')
+        signal += scipy.signal.sosfilt(sos, excitation)
+    return (signal / np.abs(signal).max() * 12000).astype(np.int16)
+
+
+def test_vtln_improves_across_speaker_abx(tmp_path):
+    """VTLN warps recover a synthetic per-speaker vocal-tract scaling
+    (monotone in the true factor) and lower across-speaker ABX error
+    below per-speaker CMVN alone — the qualitative content of the
+    reference's Buckeye table (CMVN 24.0% -> VTLN+CMVN 20.0%,
+    ``intro_features.rst:99-117, 183-203``)."""
+    from shennong_tpu.audio import Audio
+    from shennong_tpu.processor import MfccProcessor
+    from shennong_tpu.processor.vtln import VtlnProcessor
+    from shennong_tpu.postprocessor import CmvnPostProcessor
+    from shennong_tpu.utterances import Utterances
+
+    alphas = {'s0': 0.89, 's1': 1.0, 's2': 1.13}
+    phones = ('ao', 'aa', 'ah')
+
+    # --- training corpus: per speaker, two utterances concatenating
+    # phone tokens (separate token ids from the evaluation set)
+    items = []
+    for speaker, alpha in alphas.items():
+        for utt in range(2):
+            parts = [
+                _scaled_phone(phone, alpha, f'train-{utt}-{tok}')
+                for phone in phones for tok in range(3)]
+            wav = str(tmp_path / f'{speaker}-u{utt}.wav')
+            Audio(np.concatenate(parts), 16000).save(wav)
+            items.append((f'{speaker}-u{utt}', wav, speaker))
+    utterances = Utterances(items)
+
+    vtln = VtlnProcessor(
+        num_iters=3, min_warp=0.85, max_warp=1.25, warp_step=0.05,
+        subsample=2,
+        ubm={'num_gauss': 8, 'num_iters': 2, 'num_iters_init': 2,
+             'num_frames': 10000})
+    vtln.features['mfcc']['dither'] = 0
+    vtln.ubm['features']['mfcc']['dither'] = 0
+    warps = vtln.process(utterances, group_by='speaker')
+
+    # warps must track the true scaling monotonically (and actually
+    # move: at least two grid steps between the extreme speakers)
+    ordered = [warps[s] for s in ('s0', 's1', 's2')]
+    assert (sorted(ordered) == ordered
+            or sorted(ordered, reverse=True) == ordered), warps
+    assert abs(ordered[2] - ordered[0]) >= 0.099, warps
+
+    # --- evaluation: fresh tokens, MFCC with and without the learned
+    # warps, both under per-speaker CMVN
+    proc = MfccProcessor(dither=0.0)
+    plain, warped, phone_labels, speaker_labels = [], [], [], []
+    per_speaker = {}
+    for phone in phones:
+        for speaker, alpha in alphas.items():
+            for tok in range(3):
+                audio = Audio(
+                    _scaled_phone(phone, alpha, f'eval-{tok}'), 16000)
+                plain.append(proc.process(audio))
+                warped.append(
+                    proc.process(audio, vtln_warp=warps[speaker]))
+                phone_labels.append(phone)
+                speaker_labels.append(speaker)
+                per_speaker.setdefault(speaker, []).append(
+                    len(plain) - 1)
+
+    def cmvn_normalized(feature_list):
+        out = [None] * len(feature_list)
+        for speaker, indices in per_speaker.items():
+            cmvn = CmvnPostProcessor(dim=feature_list[0].ndims)
+            for index in indices:
+                cmvn.accumulate(feature_list[index])
+            for index in indices:
+                out[index] = np.asarray(
+                    cmvn.process(feature_list[index]).data)
+        return out
+
+    error_cmvn = abx_error(
+        pairwise_distances(cmvn_normalized(plain)),
+        phone_labels, speaker_labels, task='across')
+    error_vtln = abx_error(
+        pairwise_distances(cmvn_normalized(warped)),
+        phone_labels, speaker_labels, task='across')
+
+    # the scaling must genuinely confuse unwarped features, and the
+    # learned warps must remove a large part of that confusion
+    assert error_cmvn > 0.15, error_cmvn
+    assert error_vtln < error_cmvn - 0.08, (error_cmvn, error_vtln)
