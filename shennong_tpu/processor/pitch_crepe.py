@@ -440,22 +440,43 @@ class CrepePitchProcessor(FeaturesProcessor):
         # the device-resident salience (each slice holds
         # [rows, bucket, 360] float32, ~24 MB)
         import collections as _collections
+        import concurrent.futures
+        import os as _os
 
         depth = 3
         inflight = _collections.deque()  # (part, bucket, sal, am, mx)
         gathers = _collections.deque()   # (part, bucket, mx, centers, neigh)
         pending = []                     # (name, confidence, cents, nsamples)
 
+        # the banded decoders are independent per row and the native
+        # kernel is a ctypes foreign call (GIL released), so a slice's
+        # rows decode across host cores; one core -> plain serial loop
+        workers = min(8, _os.cpu_count() or 1)
+        decode_pool = (
+            concurrent.futures.ThreadPoolExecutor(workers)
+            if self.viterbi and workers > 1 else None)
+
         def decode_slice():
             part, bucket, sal, am, mx = inflight.popleft()
             am, mx = np.asarray(am), np.asarray(mx)
             rows = am.shape[0]
             centers = np.zeros((rows, bucket), np.int32)
-            for i, (_, _, _, nframes) in enumerate(part):
+
+            def fill(task):
+                i, nframes = task
                 obs = am[i, :nframes]
                 centers[i, :nframes] = (
                     _viterbi_bin_path(obs, 360) if self.viterbi
                     else obs)
+
+            tasks = [
+                (i, nframes)
+                for i, (_, _, _, nframes) in enumerate(part)]
+            if decode_pool is not None and len(tasks) > 1:
+                list(decode_pool.map(fill, tasks))
+            else:
+                for task in tasks:
+                    fill(task)
             neigh_dev = crepe.gather_neighborhood(
                 sal.reshape(-1, sal.shape[-1]),
                 jnp.asarray(centers.reshape(-1)))
@@ -471,35 +492,41 @@ class CrepePitchProcessor(FeaturesProcessor):
                 pending.append(
                     (name, mx[i, :nframes], cents, nsamples))
 
-        for bucket, items in sorted(groups.items()):
-            seg_len, pad_left = crepe.segment_geometry(
-                hop, bucket, halo)
-            # bound the frames per device program (the first conv
-            # layer materializes ~128 KB per frame); pad the last
-            # slice to the same row count so the program compiles once
-            rows = max(1, 16384 // bucket)
-            for lo in range(0, len(items), rows):
-                part = items[lo:lo + rows]
-                segments = np.zeros((rows, seg_len), np.float32)
-                owners = np.zeros(rows, np.int32)
-                for i, (_, _, data, nframes) in enumerate(part):
-                    segments[i, pad_left:pad_left + len(data)] = data
-                    owners[i] = nframes - 1 + halo
-                sal, am, mx = crepe.forward_audio_chunk(
-                    params, jnp.asarray(segments),
-                    jnp.asarray(owners), hop, bucket, halo)
-                for arr in (am, mx):
-                    if hasattr(arr, 'copy_to_host_async'):
-                        arr.copy_to_host_async()
-                inflight.append((part, bucket, sal, am, mx))
-                if len(inflight) >= depth:
-                    decode_slice()
-                if len(gathers) >= depth:
-                    assemble_slice()
-        while inflight:
-            decode_slice()
-        while gathers:
-            assemble_slice()
+        try:
+            for bucket, items in sorted(groups.items()):
+                seg_len, pad_left = crepe.segment_geometry(
+                    hop, bucket, halo)
+                # bound the frames per device program (the first conv
+                # layer materializes ~128 KB per frame); pad the last
+                # slice to the same row count so the program compiles
+                # once
+                rows = max(1, 16384 // bucket)
+                for lo in range(0, len(items), rows):
+                    part = items[lo:lo + rows]
+                    segments = np.zeros((rows, seg_len), np.float32)
+                    owners = np.zeros(rows, np.int32)
+                    for i, (_, _, data, nframes) in enumerate(part):
+                        segments[i, pad_left:pad_left + len(data)] = \
+                            data
+                        owners[i] = nframes - 1 + halo
+                    sal, am, mx = crepe.forward_audio_chunk(
+                        params, jnp.asarray(segments),
+                        jnp.asarray(owners), hop, bucket, halo)
+                    for arr in (am, mx):
+                        if hasattr(arr, 'copy_to_host_async'):
+                            arr.copy_to_host_async()
+                    inflight.append((part, bucket, sal, am, mx))
+                    if len(inflight) >= depth:
+                        decode_slice()
+                    if len(gathers) >= depth:
+                        assemble_slice()
+            while inflight:
+                decode_slice()
+            while gathers:
+                assemble_slice()
+        finally:
+            if decode_pool is not None:
+                decode_pool.shutdown()
         for name, feats in self._finish_decode_batch(pending):
             collection[name] = feats
         return collection

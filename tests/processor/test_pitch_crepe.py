@@ -141,6 +141,27 @@ def test_process_all_batched(wav_file):
         assert np.array_equal(batched[utt.name].times, single.times)
 
 
+def test_process_all_threaded_decode(wav_file, monkeypatch):
+    """Forcing the multi-core row-decode pool must not change any
+    output (rows are independent; the native kernel is re-entrant)."""
+    import os
+
+    from shennong_tpu import Utterances
+
+    utterances = Utterances([
+        ('u1', wav_file, 0.0, 0.7), ('u2', wav_file, 0.5, 1.4),
+        ('u3', wav_file, 0.0, 1.4)])
+    proc = CrepePitchProcessor(model_capacity='tiny')
+    serial = proc.process_all(utterances)
+    monkeypatch.setattr(os, 'cpu_count', lambda: 4)
+    threaded = proc.process_all(utterances)
+    for name in serial.keys():
+        assert np.array_equal(
+            serial[name].data, threaded[name].data), name
+        assert np.array_equal(
+            serial[name].times, threaded[name].times)
+
+
 def test_banded_viterbi_matches_dense():
     # the banded decoder must reproduce the dense one bit-for-bit on
     # the CREPE smoothing prior, including argmax tie-breaks on the
