@@ -84,6 +84,35 @@ def test_two_host_shards_equal_single(corpus, full_config):
             merged[name].data, single[name].data, atol=2e-4), name
 
 
+def test_vtln_pipeline_mesh_equals_single(corpus):
+    """A VTLN-enabled pipeline (training + warped extraction, riding
+    the shared signal cache) on an 8-device mesh equals unsharded
+    execution."""
+    config = get_default_config(
+        'mfcc', with_delta=True, with_vtln='full')
+    config['mfcc']['dither'] = 0
+    config['vtln'].update(num_iters=1, subsample=2)
+    config['vtln']['ubm'].update(
+        num_gauss=4, num_iters=1, num_iters_init=2, num_frames=1000)
+    config['vtln']['features']['mfcc']['dither'] = 0
+    config['vtln']['ubm']['features']['mfcc']['dither'] = 0
+
+    plain = extract_features(config, corpus)
+    set_default_mesh(data_mesh(jax.devices()))
+    try:
+        sharded = extract_features(config, corpus)
+    finally:
+        set_default_mesh(None)
+
+    assert sorted(sharded.keys()) == sorted(plain.keys())
+    for name in plain:
+        assert sharded[name].shape == plain[name].shape, name
+        assert np.allclose(
+            sharded[name].data, plain[name].data, atol=2e-4), name
+        assert (sharded[name].properties['mfcc']['vtln_warp']
+                == plain[name].properties['mfcc']['vtln_warp']), name
+
+
 def test_shard_round_robin_covers_everything(corpus):
     names = []
     for process in range(3):
