@@ -477,6 +477,16 @@ def _batched_pass_one(manager, utterances, log, njobs,
         log.debug('batched extraction of %s', manager.features)
         proc = manager.make('features', first)
         warp_arg = dict(manager.warps) if manager.warps else None
+        # the stage-wise path sweeps the corpus once per stage
+        # (features, energy/VAD, pitch): a signal cache uploads the
+        # audio once and replays it for the later sweeps
+        sweeps = (1
+                  + ('cmvn' in config and config['cmvn']['with_vad'])
+                  + ('pitch' in config
+                     and config['pitch']['processor'] != 'crepe'))
+        if signal_cache is None and sweeps > 1:
+            from shennong_tpu.parallel.stream import SignalCache
+            signal_cache = SignalCache()
         feats_collection = BatchExecutor(proc).process_all(
             utterances, vtln_warp=warp_arg, njobs=njobs,
             signal_cache=signal_cache)
@@ -485,7 +495,8 @@ def _batched_pass_one(manager, utterances, log, njobs,
             log.debug('batched energy + vad')
             energies = BatchExecutor(
                 manager.make('energy', first)).process_all(
-                    utterances, njobs=njobs)
+                    utterances, njobs=njobs,
+                    signal_cache=signal_cache)
             vads = {
                 name: vad.data.reshape(-1)
                 for name, vad in
@@ -498,12 +509,13 @@ def _batched_pass_one(manager, utterances, log, njobs,
             pitch_proc = manager.make('pitch', first)
             if config['pitch']['processor'] == 'crepe':
                 # crepe batches internally (one CNN pass over the
-                # corpus)
+                # corpus with its own framing geometry)
                 pitch_raw = pitch_proc.process_all(
                     utterances, njobs=njobs)
             else:
                 pitch_raw = BatchExecutor(pitch_proc).process_all(
-                    utterances, njobs=njobs)
+                    utterances, njobs=njobs,
+                    signal_cache=signal_cache)
             pitch_post = manager.make('pitch_post')
             if config['pitch']['processor'] == 'kaldi':
                 # batched: O(frame buckets) device programs instead of

@@ -30,6 +30,33 @@ def test_crepe_pitch_pipeline(utterances):
     assert np.all(np.isfinite(features['utt1'].data))
 
 
+def test_crepe_cmvn_pipeline_single_decode(utterances, monkeypatch):
+    """The stage-wise pass 1 (crepe pitch forces it) sweeps the corpus
+    for features then energy/VAD: the signal cache must make that one
+    decode+upload, and the outputs stay correct."""
+    from shennong_tpu.parallel import stream as streaming
+
+    decodes = []
+    real_decode = streaming.decode_batch
+
+    def counting(chunk, rows, njobs=4):
+        decodes.append(len(chunk))
+        return real_decode(chunk, rows, njobs)
+
+    monkeypatch.setattr(streaming, 'decode_batch', counting)
+
+    config = get_default_config(
+        'mfcc', with_pitch='crepe', with_cmvn=True)
+    config['mfcc']['dither'] = 0
+    config['pitch']['model_capacity'] = 'tiny'
+    features = extract_features(config, utterances)
+    assert features['utt1'].ndims == 16
+    assert np.all(np.isfinite(features['utt1'].data))
+    # the features and energy sweeps share one decode (crepe loads
+    # audio through its own chunked framing path, not decode_batch)
+    assert sum(decodes) == len(list(utterances))
+
+
 def test_vtln_in_pipeline(utterances):
     config = get_default_config('mfcc', with_vtln='full')
     config['mfcc']['dither'] = 0
