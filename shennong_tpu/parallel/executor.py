@@ -125,19 +125,10 @@ class FusedPipelineExecutor:
             else None)
 
         def dispatch(names, signals, nsamples):
-            # integer-valued audio (always true for PCM WAV) uploads
-            # as int16: half the bytes through the host-device link.
-            # The streaming decoder already emits int16 for PCM16
-            # corpora; only float batches need the value check —
-            # cache-replayed batches are device arrays, converted once
-            # at population time.
-            if (signals.dtype == np.int16
-                    or not isinstance(signals, np.ndarray)):
-                upload = signals
-            else:
-                as_i16 = signals.astype(np.int16)
-                upload = as_i16 if np.array_equal(
-                    as_i16, signals) else signals
+            # integer-valued audio uploads as int16: half the bytes
+            # through the host-device link (cache-replayed batches are
+            # device arrays, converted once at population time)
+            upload = streaming.as_int16_if_lossless(signals)
             if sharding is not None:
                 dev_signals = jax.device_put(upload, sharding)
                 dev_nsamples = jax.device_put(nsamples, sharding)
@@ -197,14 +188,9 @@ class FusedPipelineExecutor:
             # long done: the batch buffer is safe to reuse
             streaming.recycle(signals)
 
-        if self.signal_cache is not None:
-            source = self.signal_cache.stream(
-                utterances, self.batch_size, pad_multiple,
-                njobs=njobs, depth=self.depth)
-        else:
-            source = streaming.stream_batches(
-                utterances, self.batch_size, pad_multiple,
-                njobs=njobs, depth=self.depth)
+        source = streaming.stream_source(
+            self.signal_cache, utterances, self.batch_size,
+            pad_multiple, njobs=njobs, depth=self.depth)
         inflight = collections.deque()
         for names, signals, nsamples, nvalid in source:
             inflight.append(dispatch(names, signals, nsamples))
@@ -352,14 +338,9 @@ class BatchExecutor:
         if not utterances:
             return collection
 
-        if signal_cache is not None:
-            source = signal_cache.stream(
-                utterances, self.batch_size, self._pad_multiple(),
-                njobs=njobs)
-        else:
-            source = streaming.stream_batches(
-                utterances, self.batch_size, self._pad_multiple(),
-                njobs=njobs)
+        source = streaming.stream_source(
+            signal_cache, utterances, self.batch_size,
+            self._pad_multiple(), njobs=njobs)
         for names, signals, nsamples, nvalid in source:
             # one host fetch for the whole batch: per-row slicing
             # would pay one relay round trip per utterance
@@ -483,17 +464,28 @@ class BatchExecutor:
             [proc.mel_weights(w) for w in class_warps]
             + [proc.mel_weights(1.0)])
 
-        if signal_cache is not None:
-            source = signal_cache.stream(
-                utterances, self.batch_size, self._pad_multiple(),
-                njobs=njobs)
-        else:
-            source = streaming.stream_batches(
-                utterances, self.batch_size, self._pad_multiple(),
-                njobs=njobs)
+        # the fused moment program materializes the (C+1)-way warped
+        # feature fan-out [C+1, rows, T, D(+deltas)] about twice over:
+        # size the batch rows to a ~2 GB footprint so long utterances
+        # shrink the batch instead of blowing device memory, and short
+        # ones amortize the per-batch relay round trips
+        frame_opts = proc.frame_options()
+        max_frames = max(
+            proc.output_frames(
+                int(utt.duration * float(proc.sample_rate)))
+            for utt in utterances)
+        dim = proc.ndims * (
+            delta_order + 1 if delta_order is not None else 1)
+        bytes_per_row = (
+            (len(class_warps) + 1) * max_frames * dim * 4 * 2)
+        budget_rows = max(1, int((2 << 30) // max(bytes_per_row, 1)))
+        batch_rows = min(64, budget_rows)
+
+        source = streaming.stream_source(
+            signal_cache, utterances, batch_rows,
+            self._pad_multiple(), njobs=njobs)
         moments = []
         for names, signals, nsamples, nvalid in source:
-            frame_opts = proc.frame_options()
             nframes_max = num_frames(signals.shape[1], frame_opts)
             nframes = np.ones(signals.shape[0], dtype=np.int32)
             weights = np.zeros(

@@ -192,6 +192,33 @@ def decode_batch(chunk, rows, njobs=4):
     return names, signals, nsamples, nvalid
 
 
+def as_int16_if_lossless(signals):
+    """The int16 view of integer-valued audio, else the input.
+
+    Integer-valued rows (always true for PCM WAV) upload at half the
+    float32 bytes, and the device kernels accept int16 natively.
+    """
+    if signals.dtype == np.int16 or not isinstance(
+            signals, np.ndarray):
+        return signals
+    as_i16 = signals.astype(np.int16)
+    return as_i16 if np.array_equal(as_i16, signals) else signals
+
+
+def stream_source(signal_cache, utterances, batch_size,
+                  pad_to_multiple=1, njobs=4, depth=2):
+    """The batch stream for a corpus sweep: the cache when one is
+    given, plain host streaming otherwise. Shared by every consumer
+    (executors, the GMM/VTLN front-end)."""
+    if signal_cache is not None:
+        return signal_cache.stream(
+            utterances, batch_size, pad_to_multiple,
+            njobs=njobs, depth=depth)
+    return stream_batches(
+        utterances, batch_size, pad_to_multiple,
+        njobs=njobs, depth=depth)
+
+
 class SignalCache:
     """Device-resident cache of a corpus's uploaded signal batches.
 
@@ -201,23 +228,28 @@ class SignalCache:
     ``shennong/processor/vtln.py:614-627``). The decoded bytes are
     identical every pass, so the first :meth:`stream` call uploads the
     batches once and later calls replay the retained device arrays:
-    no decode, no host buffers, no transfer.
+    no decode, no host buffers, no host-device transfer.
 
-    Retention is capped at ``max_bytes`` of device memory; a corpus
-    exceeding the cap streams normally on every pass (the cache is
-    purely an optimization, never a semantic change). Batches with
-    integer-valued audio are uploaded as int16 — half the transfer
-    bytes, and the device kernels accept int16 rows natively.
+    Retention is capped at ``max_bytes`` of device memory across ALL
+    retained entries; a corpus exceeding the remaining budget streams
+    normally on every pass (the cache is purely an optimization,
+    never a semantic change). Batches with integer-valued audio are
+    uploaded as int16 — half the transfer bytes, and the device
+    kernels accept int16 rows natively.
 
     Replayed ``signals`` are ``jax.Array``s: :func:`recycle` ignores
     them and ``jax.device_put`` of an already-placed array is free, so
-    consumers need no special handling.
+    consumers need no special handling. Replayed batches re-chunk to
+    the consumer's ``batch_size`` (recorded groupings can be larger
+    than a consumer's memory bound — e.g. the 42-way warp fan-out
+    sizes its batches to the fused program's footprint).
     """
 
     def __init__(self, max_bytes=1 << 30, depth=2):
         self._entries = {}
         self._oversize = set()
         self._max_bytes = int(max_bytes)
+        self._bytes = 0
         self._depth = max(1, int(depth))
 
     @staticmethod
@@ -228,13 +260,33 @@ class SignalCache:
             (u.name, u.audio_file, u.tstart or 0.0, u.tstop or 0.0)
             for u in utterances)), int(pad_to_multiple))
 
+    @staticmethod
+    def _rechunk(batch, batch_size, pad_to_multiple):
+        """Split a recorded batch into consumer-sized row chunks.
+
+        Chunk row counts stay multiples of ``pad_to_multiple``
+        (sharded consumers need divisible batches); device-array row
+        slices are cheap views materialized on device. Padding-only
+        tails are dropped — no consumer output depends on them.
+        """
+        names, signals, nsamples, nvalid = batch
+        pad = max(1, int(pad_to_multiple))
+        step = max(int(batch_size) - int(batch_size) % pad, pad)
+        if signals.shape[0] <= step:
+            yield batch
+            return
+        for lo in range(0, nvalid, step):
+            hi = min(lo + step, signals.shape[0])
+            chunk_names = names[lo:min(hi, len(names))]
+            yield (chunk_names, signals[lo:hi],
+                   nsamples[lo:hi], len(chunk_names))
+
     def stream(self, utterances, batch_size, pad_to_multiple=1,
                njobs=4, depth=2):
         """Yield padded batches, populating or replaying the cache.
 
-        Same contract as :func:`stream_batches`; on replay the batch
-        grouping is the one recorded at population time (consumers
-        treat batching as an implementation detail already).
+        Same contract as :func:`stream_batches`; on replay the
+        recorded batches re-chunk to at most ``batch_size`` rows.
         """
         import jax
 
@@ -242,7 +294,9 @@ class SignalCache:
         key = self._key(utterances, pad_to_multiple)
         cached = self._entries.get(key)
         if cached is not None:
-            yield from cached
+            for batch in cached:
+                yield from self._rechunk(
+                    batch, batch_size, pad_to_multiple)
             return
         if key in self._oversize:
             yield from stream_batches(
@@ -250,7 +304,7 @@ class SignalCache:
                 njobs=njobs, depth=depth)
             return
 
-        entries, total, store = [], 0, True
+        entries, store = [], True
         # host buffers recycle once their device copy is ready; a
         # small pending window keeps the pool fed without stalling
         # the decode/dispatch overlap on every transfer
@@ -258,20 +312,17 @@ class SignalCache:
         for names, signals, nsamples, nvalid in stream_batches(
                 utterances, batch_size, pad_to_multiple,
                 njobs=njobs, depth=depth):
-            upload = signals
-            if signals.dtype != np.int16:
-                as_i16 = signals.astype(np.int16)
-                if np.array_equal(as_i16, signals):
-                    upload = as_i16
-            dev = jax.device_put(upload)
+            dev = jax.device_put(as_int16_if_lossless(signals))
             batch = (list(names), dev,
                      np.array(nsamples, copy=True), nvalid)
             if store:
-                total += dev.nbytes
-                if total > self._max_bytes:
+                if self._bytes + dev.nbytes > self._max_bytes:
                     store = False
+                    for _, old, _, _ in entries:
+                        self._bytes -= old.nbytes
                     entries = []
                 else:
+                    self._bytes += dev.nbytes
                     entries.append(batch)
             pending.append((signals, dev))
             while len(pending) > self._depth:

@@ -937,12 +937,8 @@ def stream_frontend(features_config, vad_params, subsample,
         num_read += int(np.asarray(count_done))
         streaming.recycle(signals_done)
 
-    if signal_cache is not None:
-        source = signal_cache.stream(
-            utterances, batch_size=batch_size, njobs=njobs)
-    else:
-        source = streaming.stream_batches(
-            utterances, batch_size=batch_size, njobs=njobs)
+    source = streaming.stream_source(
+        signal_cache, utterances, batch_size, njobs=njobs)
     for names, signals, nsamples, nvalid in source:
         nframes_max = num_frames(signals.shape[1], frame_opts)
         key = _fresh_key() if frame_opts.dither != 0 else None

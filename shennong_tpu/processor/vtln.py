@@ -516,6 +516,12 @@ class VtlnProcessor(BaseProcessor):
         from shennong_tpu.ops.fmllr import solve_mapping_from_moments
         from shennong_tpu.processor import ubm as ubm_module
 
+        # always un-pin the UBM's retained front-end pass, even on the
+        # early fallbacks below: the flat feature matrix is
+        # corpus-sized device memory that must not stay alive through
+        # the staged path
+        front = ubm.__dict__.pop('_frontend_result', None)
+
         if ubm.remove_low_count_gaussians:
             return False
 
@@ -525,7 +531,6 @@ class VtlnProcessor(BaseProcessor):
         # the default configuration trains the UBM on exactly the
         # features this front-end would recompute: reuse its retained
         # device-resident pass instead of re-streaming the corpus
-        front = ubm.__dict__.pop('_frontend_result', None)
         if front is not None and not (
                 features_config == ubm.features
                 and int(self.subsample) == int(ubm.subsample)):

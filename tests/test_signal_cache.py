@@ -71,6 +71,41 @@ def test_populate_yields_device_arrays(corpus):
     assert len(replayed) == 3
 
 
+def test_replay_rechunks_to_consumer_batch_size(corpus):
+    """A recorded 5-row batch replays as consumer-sized chunks with
+    identical rows (the warp-moment pass sizes its batches to the
+    fused program's memory footprint)."""
+    cache = SignalCache()
+    recorded = list(cache.stream(corpus, batch_size=5))
+    assert len(recorded) == 1
+    replayed = list(cache.stream(corpus, batch_size=2))
+    assert [len(names) for names, *_ in replayed] == [2, 2, 1]
+    fresh = _collect(streaming.stream_batches(corpus, batch_size=5))
+    chunks = _collect(iter(replayed))
+    assert set(chunks) == set(fresh)
+    for name in fresh:
+        np.testing.assert_array_equal(fresh[name], chunks[name])
+
+
+def test_budget_is_global_across_entries(corpus):
+    """max_bytes caps TOTAL retention: a second utterance set that
+    would exceed the remaining budget streams instead of retaining."""
+    probe = SignalCache()
+    list(probe.stream(corpus, batch_size=2))
+    one_copy = probe._bytes
+    assert one_copy > 0
+
+    cache = SignalCache(max_bytes=one_copy)
+    list(cache.stream(corpus, batch_size=2))
+    assert cache._bytes == one_copy
+    # same audio under a different padding -> a distinct key that no
+    # longer fits the remaining (zero) budget
+    list(cache.stream(corpus, batch_size=2, pad_to_multiple=2))
+    assert cache._bytes == one_copy
+    assert len(cache._oversize) == 1
+    assert len(cache._entries) == 1
+
+
 def test_oversize_falls_back_to_streaming(corpus):
     cache = SignalCache(max_bytes=128)
     first = _collect(cache.stream(corpus, batch_size=2))
