@@ -591,7 +591,9 @@ def write_ark_matrix(fp, key, matrix):
     rows, cols = matrix.shape
     fp.write(b'\x04' + struct.pack('<i', rows))
     fp.write(b'\x04' + struct.pack('<i', cols))
-    fp.write(matrix.tobytes())
+    # zero-copy: hand the array's own buffer to the writer instead of
+    # materializing a bytes duplicate of the whole matrix
+    fp.write(memoryview(matrix).cast('B'))
     return offset
 
 
@@ -696,10 +698,20 @@ class KaldiSerializer(FeaturesSerializer):
                     f'invalid ark key "{key}": keys must be non-empty '
                     'and contain no whitespace')
         offsets = {}
+        # convert non-double matrices into ONE reused scratch buffer:
+        # allocate-per-record astype() pays a fresh-page fault for every
+        # byte of the archive, the pooled pages are touched once
+        scratch = np.empty(
+            max((np.asarray(m).size for _, m in items), default=0),
+            dtype=np.float64)
         with open(path, 'wb') as fp:
             for key, matrix in items:
-                offsets[key] = write_ark_matrix(
-                    fp, key, matrix.astype(np.float64))
+                matrix = np.ascontiguousarray(matrix)
+                if matrix.dtype != np.float64:
+                    view = scratch[:matrix.size].reshape(matrix.shape)
+                    np.copyto(view, matrix)
+                    matrix = view
+                offsets[key] = write_ark_matrix(fp, key, matrix)
         if scp:
             scp_path = os.path.splitext(path)[0] + '.scp'
             with open(scp_path, 'wt') as fp:
