@@ -20,10 +20,12 @@ This module evaluates the same quantity in-framework, TPU-first:
 * the triplet aggregation (collapse over speaker pairs, then phone
   pairs) is cheap host numpy on the resulting distance matrix.
 
-Divergences are normalized by ``len(x) + len(y)`` (the standard
-symmetric-DTW normalizer; ABXpy normalizes by realized path length,
-which lies between ``max(len)`` and ``len(x)+len(y)`` — rankings on
-same-phone comparisons are unaffected in practice).
+Divergences are normalized by the **realized path length** — the
+number of cells on the optimal alignment path — exactly ABXpy's
+normalizer (it lies between ``max(len)`` and ``len(x)+len(y)-1``).
+When several paths share the minimum cost, the shortest one is used
+(lexicographic ``(cost, length)`` minimization), which keeps the
+normalizer well-defined and associative for the parallel scan.
 """
 
 import functools
@@ -79,8 +81,10 @@ def dtw_divergences(x, nx, y, ny, metric='cosine'):
     Returns
     -------
     div : array [B]
-        DTW path cost (steps right/down/diagonal) divided by
-        ``nx + ny``.
+        DTW path cost (steps right/down/diagonal) divided by the
+        realized path length — the number of cells on the optimal
+        alignment path, ABXpy's normalizer. Ties in cost resolve to
+        the shortest path.
 
     Notes
     -----
@@ -89,8 +93,13 @@ def dtw_divergences(x, nx, y, ny, metric='cosine'):
     row ``i`` at column ``k`` gives ``D[i,j] = S[j] + min_{k<=j}
     (m[k] - S[k-1])`` with ``S`` the running cost sum and ``m`` the
     entry cost — a cumulative minimum, computed in parallel across
-    the row. Padded rows/columns never reach the gathered endpoint
-    ``(nx-1, ny-1)`` because DTW paths are monotonic.
+    the row. The path length rides along as a second scan operand:
+    a path entering at column ``k`` with entry length ``L[k]`` has
+    length ``L[k] + 1 + (j - k)`` at ``(i, j)``, so carrying
+    ``L[k] - k`` under lexicographic ``(cost, length)`` minimization
+    keeps the cumulative scan associative. Padded rows/columns never
+    reach the gathered endpoint ``(nx-1, ny-1)`` because DTW paths
+    are monotonic.
     """
     costs = _frame_costs(
         x.astype(jnp.float32), y.astype(jnp.float32), metric)
@@ -99,32 +108,51 @@ def dtw_divergences(x, nx, y, ny, metric='cosine'):
     ny = ny.astype(jnp.int32)
     rng = jnp.arange(batch)
     end_col = ny - 1
+    col_idx = jnp.arange(cols)
+
+    def lexi_min(a, b):
+        """(cost, length) pairs under lexicographic order."""
+        cost_a, len_a = a
+        cost_b, len_b = b
+        take_a = (cost_a < cost_b) | (
+            (cost_a == cost_b) & (len_a <= len_b))
+        return (jnp.where(take_a, cost_a, cost_b),
+                jnp.where(take_a, len_a, len_b))
 
     first = jnp.cumsum(costs[:, 0, :], axis=1)
+    first_len = jnp.broadcast_to(
+        (col_idx + 1).astype(jnp.float32), (batch, cols))
     end0 = jnp.where(nx == 1, first[rng, end_col], jnp.inf)
+    end0_len = jnp.where(nx == 1, first_len[rng, end_col], 1.0)
 
     def step(carry, inputs):
-        prev, end = carry
+        prev, prev_len, end, end_len = carry
         i, row_costs = inputs
         shifted = jnp.concatenate(
             [jnp.full((batch, 1), jnp.inf), prev[:, :-1]], axis=1)
-        entry = jnp.minimum(prev, shifted)
+        shifted_len = jnp.concatenate(
+            [jnp.zeros((batch, 1)), prev_len[:, :-1]], axis=1)
+        entry, entry_len = lexi_min(
+            (prev, prev_len), (shifted, shifted_len))
         total = jnp.cumsum(row_costs, axis=1)
         before = jnp.concatenate(
             [jnp.zeros((batch, 1)), total[:, :-1]], axis=1)
-        best_entry = lax.associative_scan(
-            jnp.minimum, entry - before, axis=1)
+        best_entry, best_len = lax.associative_scan(
+            lexi_min, (entry - before, entry_len - col_idx), axis=1)
         current = total + best_entry
+        current_len = best_len + 1.0 + col_idx
         end = jnp.where(i == nx - 1, current[rng, end_col], end)
-        return (current, end), None
+        end_len = jnp.where(
+            i == nx - 1, current_len[rng, end_col], end_len)
+        return (current, current_len, end, end_len), None
 
     if rows > 1:
-        (_, end), _ = lax.scan(
-            step, (first, end0),
+        (_, _, end, end_len), _ = lax.scan(
+            step, (first, first_len, end0, end0_len),
             (jnp.arange(1, rows), jnp.moveaxis(costs[:, 1:, :], 1, 0)))
     else:
-        end = end0
-    return end / (nx + ny)
+        end, end_len = end0, end0_len
+    return end / end_len
 
 
 # ----------------------------------------------------- distance matrices

@@ -21,7 +21,13 @@ from shennong_tpu.eval import (
 # --------------------------------------------------------------- oracle
 
 def dtw_oracle(x, y, metric='cosine'):
-    """Literal O(Ta*Tb) DTW with steps right/down/diagonal."""
+    """Literal O(Ta*Tb) DTW with steps right/down/diagonal.
+
+    Tracks the realized path length (cells on the optimal path) and
+    normalizes by it — ABXpy's normalizer. Cost ties resolve to the
+    shortest path, matching the evaluator's lexicographic rule.
+    Returns (divergence, cost, length).
+    """
     if metric == 'cosine':
         xn = x / np.maximum(
             np.linalg.norm(x, axis=1, keepdims=True), 1e-6)
@@ -34,15 +40,24 @@ def dtw_oracle(x, y, metric='cosine'):
             - 2 * x @ y.T, 0))
     rows, cols = costs.shape
     acc = np.full((rows, cols), np.inf)
+    plen = np.zeros((rows, cols), np.int64)
     acc[0, 0] = costs[0, 0]
+    plen[0, 0] = 1
     for j in range(1, cols):
         acc[0, j] = acc[0, j - 1] + costs[0, j]
+        plen[0, j] = j + 1
     for i in range(1, rows):
         acc[i, 0] = acc[i - 1, 0] + costs[i, 0]
+        plen[i, 0] = i + 1
         for j in range(1, cols):
-            acc[i, j] = costs[i, j] + min(
-                acc[i - 1, j], acc[i, j - 1], acc[i - 1, j - 1])
-    return acc[-1, -1] / (rows + cols)
+            best = min(
+                (acc[i - 1, j], plen[i - 1, j]),
+                (acc[i, j - 1], plen[i, j - 1]),
+                (acc[i - 1, j - 1], plen[i - 1, j - 1]))
+            acc[i, j] = costs[i, j] + best[0]
+            plen[i, j] = best[1] + 1
+    return (acc[-1, -1] / plen[-1, -1], acc[-1, -1],
+            int(plen[-1, -1]))
 
 
 def test_dtw_matches_literal_oracle():
@@ -59,10 +74,57 @@ def test_dtw_matches_literal_oracle():
     ny = np.array([b for _, b in lengths], np.int32)
     for metric in ('cosine', 'euclidean'):
         got = np.asarray(dtw_divergences(xs, nx, ys, ny, metric=metric))
-        want = [
+        oracle = [
             dtw_oracle(xs[r, :na], ys[r, :nb], metric)
             for r, (na, nb) in enumerate(lengths)]
+        want = [div for div, _, _ in oracle]
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        # the normalizer is the realized path length, not nx + ny:
+        # on these random draws at least one optimal path is shorter
+        # than the full staircase, so the old normalizer would fail
+        assert any(
+            length < na + nb
+            for (_, _, length), (na, nb) in zip(oracle, lengths)
+            if na > 1 and nb > 1)
+        # and at least one path is longer than the diagonal bound
+        assert all(
+            max(na, nb) <= length <= na + nb - 1 or (na, nb) == (1, 1)
+            for (_, _, length), (na, nb) in zip(oracle, lengths))
+
+
+def test_dtw_cost_ties_resolve_to_shortest_path():
+    """With exactly-representable {0, 1} costs many optimal paths tie
+    in cost; the evaluator and the literal oracle must agree on the
+    lexicographic (cost, shortest-length) resolution."""
+    eye = np.eye(4, dtype=np.float32)
+    cases = [
+        # identical one-hot rows: all-zero cost plateau
+        ([0, 0, 0, 0, 0], [0, 0, 0]),
+        # orthogonal rows: all-one costs, min length = max(na, nb)
+        ([1, 1, 1], [2, 2, 2, 2, 2, 2]),
+        # mixed plateau: equal-cost paths of different lengths
+        ([0, 0, 1, 1, 3], [0, 1, 1, 3]),
+        ([0, 1, 0, 1], [1, 0, 1, 0, 1]),
+    ]
+    max_a = max(len(a) for a, _ in cases)
+    max_b = max(len(b) for _, b in cases)
+    xs = np.zeros((len(cases), max_a, 4), np.float32)
+    ys = np.zeros((len(cases), max_b, 4), np.float32)
+    for row, (a, b) in enumerate(cases):
+        xs[row, :len(a)] = eye[a]
+        ys[row, :len(b)] = eye[b]
+    nx = np.array([len(a) for a, _ in cases], np.int32)
+    ny = np.array([len(b) for _, b in cases], np.int32)
+    got = np.asarray(dtw_divergences(xs, nx, ys, ny, metric='cosine'))
+    want = [
+        dtw_oracle(xs[r, :na], ys[r, :nb], 'cosine')[0]
+        for r, (na, nb) in enumerate(zip(nx, ny))]
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+    # the all-ones case pins the normalizer exactly: cost ties make
+    # every monotone path equal-cost, so length must be max(na, nb)
+    div1, cost1, len1 = dtw_oracle(xs[1, :3], ys[1, :6], 'cosine')
+    assert len1 == 6 and abs(div1 - 1.0) < 1e-6
+    np.testing.assert_allclose(got[1], 1.0, atol=1e-6)
 
 
 def test_dtw_identical_segments_are_closest():
