@@ -403,6 +403,89 @@ def compute_mapping_transform(feats_pairs, dim, weights=None):
     return A
 
 
+def solve_warp_classes(beta, K, G, base, warps, valid_base,
+                       logdet_base, norm_type='offset',
+                       logdet_scale=0.0, default_class=0):
+    """Per-(group, warp-class) objective maximization from fMLLR stats.
+
+    The on-device twin of Kaldi ``LinearVtln::ComputeTransform``
+    vectorized over every group at once: transform the statistics
+    through each class's base matrix, solve the secondary offset/diag
+    problem in closed form and pick the class maximizing the fMLLR
+    auxiliary function. Only five entries of the congruence-transformed
+    stats are needed per (group, class, dim):
+
+    - ``K'[d, d]    = K[s, d, :D] . A_c[d]``
+    - ``K'[d, D]    = K[s, d, D]``
+    - ``G'[d, d, d] = A_c[d] G[s, d, :D, :D] A_c[d]``
+    - ``G'[d, d, D] = A_c[d] G[s, d, :D, D]``
+    - ``G'[d, D, D] = G[s, d, D, D]``
+
+    ``beta`` [S], ``K`` [S, D, D+1] and ``G`` [S, D, D+1, D+1] are the
+    (possibly psum'd across a device mesh) statistics of
+    :func:`fmllr_stats_groups`; ``base`` [C, D, D] the warp-class base
+    transforms with ``valid_base`` [C] / ``logdet_base`` [C] their
+    precomputed determinant signs and log-determinants.
+
+    Returns (transforms [S, D, D+1], warps_out [S], best_class [S],
+    objf_impr [S], beta [S]).
+    """
+    num_groups, dim = K.shape[0], K.shape[1]
+    kwargs = dict(
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+    Kdd = jnp.einsum('sde,cde->scd', K[..., :dim], base, **kwargs)
+    KdD = K[:, :, dim][:, None, :]
+    Gddd = jnp.einsum(
+        'cde,sdef,cdf->scd', base, G[:, :, :dim, :dim], base,
+        **kwargs)
+    GddD = jnp.einsum(
+        'cde,sde->scd', base, G[:, :, :dim, dim], **kwargs)
+    GdDD = G[:, :, dim, dim][:, None, :]
+
+    safe_g = jnp.where(GdDD > 0, GdDD, 1.0)
+    if norm_type == 'offset':
+        a = jnp.ones_like(Kdd)
+        b = jnp.where(GdDD > 0, (KdD - GddD) / safe_g, 0.0)
+        sec_logdet = jnp.zeros(
+            (num_groups, base.shape[0]), K.dtype)
+    elif norm_type == 'none':
+        a = jnp.ones_like(Kdd)
+        b = jnp.zeros_like(Kdd)
+        sec_logdet = jnp.zeros(
+            (num_groups, base.shape[0]), K.dtype)
+    else:  # diag
+        p = Gddd - GddD * GddD / safe_g
+        q = Kdd - GddD * KdD / safe_g
+        safe_p = jnp.where(p > 0, p, 1.0)
+        a = (q + jnp.sqrt(
+            q * q + 4.0 * safe_p * beta[:, None, None])) \
+            / (2.0 * safe_p)
+        b = (KdD - a * GddD) / safe_g
+        sec_logdet = jnp.sum(
+            jnp.log(jnp.maximum(a, 1e-20)), axis=-1)
+
+    quadterm = (a * Kdd + b * KdD
+                - 0.5 * (a * a * Gddd + 2.0 * a * b * GddD
+                         + b * b * GdDD))
+    objf = jnp.sum(quadterm, axis=-1)
+    objf = objf + beta[:, None] * sec_logdet
+    objf = objf + (
+        logdet_scale * beta[:, None] * logdet_base[None, :])
+    objf = jnp.where(valid_base[None, :], objf, -jnp.inf)
+
+    best = jnp.argmax(objf, axis=1)
+    rows = jnp.arange(num_groups)
+    impr = objf[rows, best] - objf[:, default_class]
+    a_best = a[rows, best]                       # [S, D]
+    b_best = b[rows, best]                       # [S, D]
+    linear = a_best[:, :, None] * base[best]     # [S, D, D]
+    transforms = jnp.concatenate(
+        [linear, b_best[..., None]], axis=2)
+    return transforms, warps[best], best, impr, beta
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -484,62 +567,11 @@ def lvtln_rounds(feats, fweights, gid, gsel, base, warps,
 
         # per-(speaker, class) objective: transform the stats through
         # aplus_c = [[A_c, 0], [0, 1]] and solve the secondary
-        # offset/diag problem in closed form. Only five entries of the
-        # transformed stats are needed per (s, c, d):
-        #   K'[d, d]    = K[s, d, :D] . A_c[d]
-        #   K'[d, D]    = K[s, d, D]
-        #   G'[d, d, d] = A_c[d] G[s, d, :D, :D] A_c[d]
-        #   G'[d, d, D] = A_c[d] G[s, d, :D, D]
-        #   G'[d, D, D] = G[s, d, D, D]
-        Kdd = jnp.einsum('sde,cde->scd', K[..., :dim], base, **kwargs)
-        KdD = K[:, :, dim][:, None, :]
-        Gddd = jnp.einsum(
-            'cde,sdef,cdf->scd', base, G[:, :, :dim, :dim], base,
-            **kwargs)
-        GddD = jnp.einsum(
-            'cde,sde->scd', base, G[:, :, :dim, dim], **kwargs)
-        GdDD = G[:, :, dim, dim][:, None, :]
-
-        safe_g = jnp.where(GdDD > 0, GdDD, 1.0)
-        if norm_type == 'offset':
-            a = jnp.ones_like(Kdd)
-            b = jnp.where(GdDD > 0, (KdD - GddD) / safe_g, 0.0)
-            sec_logdet = jnp.zeros(
-                (num_groups, base.shape[0]), feats.dtype)
-        elif norm_type == 'none':
-            a = jnp.ones_like(Kdd)
-            b = jnp.zeros_like(Kdd)
-            sec_logdet = jnp.zeros(
-                (num_groups, base.shape[0]), feats.dtype)
-        else:  # diag
-            p = Gddd - GddD * GddD / safe_g
-            q = Kdd - GddD * KdD / safe_g
-            safe_p = jnp.where(p > 0, p, 1.0)
-            a = (q + jnp.sqrt(
-                q * q + 4.0 * safe_p * beta[:, None, None])) \
-                / (2.0 * safe_p)
-            b = (KdD - a * GddD) / safe_g
-            sec_logdet = jnp.sum(
-                jnp.log(jnp.maximum(a, 1e-20)), axis=-1)
-
-        quadterm = (a * Kdd + b * KdD
-                    - 0.5 * (a * a * Gddd + 2.0 * a * b * GddD
-                             + b * b * GdDD))
-        objf = jnp.sum(quadterm, axis=-1)
-        objf = objf + beta[:, None] * sec_logdet
-        objf = objf + (
-            logdet_scale * beta[:, None] * logdet_base[None, :])
-        objf = jnp.where(valid_base[None, :], objf, -jnp.inf)
-
-        best = jnp.argmax(objf, axis=1)
-        rows = jnp.arange(num_groups)
-        impr = objf[rows, best] - objf[:, default_class]
-        a_best = a[rows, best]                       # [S, D]
-        b_best = b[rows, best]                       # [S, D]
-        linear = a_best[:, :, None] * base[best]     # [S, D, D]
-        transforms = jnp.concatenate(
-            [linear, b_best[..., None]], axis=2)
-        return transforms, warps[best], best, impr, beta
+        # offset/diag problem in closed form
+        return solve_warp_classes(
+            beta, K, G, base, warps, valid_base, logdet_base,
+            norm_type=norm_type, logdet_scale=logdet_scale,
+            default_class=default_class)
 
     def apply_transforms(transforms):
         z = jnp.einsum(

@@ -313,3 +313,143 @@ def make_gmm_training_step(mesh, mfcc_opts, nframes_max):
         in_specs=(P('data'), P('data'), P(), P(), P()),
         out_specs=(P(), P(), P()),
         check_rep=False))
+
+
+def make_em_train_steps(mesh, num_iters, min_gaussian_weight=1e-4,
+                        min_gaussian_occupancy=10.0, min_variance=0.001):
+    """``num_iters`` fused EM iterations over a data-parallel mesh.
+
+    Returns a function (flat, fweights, weights, means, inv_vars) ->
+    (tot_like, weights, means, inv_vars): the frame axis of ``flat``
+    [N, D] / ``fweights`` [N] is sharded over the mesh's ``'data'``
+    axis (padding rows carry zero weight), the model is replicated;
+    each iteration accumulates local statistics, psums them over the
+    mesh and applies the same floored MLE update as
+    :func:`shennong_tpu.ops.gmm.em_step` on every device. One compiled
+    program covers the whole run — the multi-host twin of the
+    single-device ``em_steps`` fusion (the reference fans this out as
+    per-SLURM-task accumulators merged through the filesystem,
+    ``shennong/processor/ubm.py:656``).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from shennong_tpu.ops import gmm as gmm_ops
+
+    def shard_steps(flat, fweights, weights, means, inv_vars):
+        def body(_, carry):
+            _, w_, m_, iv_ = carry
+            like, occ, mean_acc, var_acc = gmm_ops.accumulate_stats(
+                flat, fweights, w_, m_, iv_)
+            like = jax.lax.psum(like, 'data')
+            occ = jax.lax.psum(occ, 'data')
+            mean_acc = jax.lax.psum(mean_acc, 'data')
+            var_acc = jax.lax.psum(var_acc, 'data')
+
+            total = jnp.sum(occ)
+            updatable = (
+                (occ > min_gaussian_occupancy)
+                & (occ / jnp.maximum(total, 1e-10)
+                   > min_gaussian_weight))
+            new_w = jnp.where(updatable, occ / total, w_)
+            new_w = new_w / jnp.sum(new_w)
+            safe_occ = jnp.maximum(occ, 1e-10)[:, None]
+            new_m = jnp.where(
+                updatable[:, None], mean_acc / safe_occ, m_)
+            variances = var_acc / safe_occ - (mean_acc / safe_occ) ** 2
+            variances = jnp.maximum(variances, min_variance)
+            new_iv = jnp.where(
+                updatable[:, None], 1.0 / variances, iv_)
+            return like, new_w, new_m, new_iv
+
+        init = (jnp.float32(0.0), weights, means, inv_vars)
+        return jax.lax.fori_loop(0, num_iters, body, init)
+
+    return jax.jit(shard_map(
+        shard_steps, mesh=mesh,
+        in_specs=(P('data'), P('data'), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_rep=False))
+
+
+def make_accumulate_step(mesh):
+    """Mesh-wide EM statistic accumulation (for host-side updates).
+
+    Returns (flat, fweights, weights, means, inv_vars) -> (tot_like,
+    occupancy, mean_acc, var_acc) with the frame axis sharded over
+    ``'data'`` and the statistics psum'd — the distributed final
+    iteration of UBM training, whose component-removing update must
+    run on the host (shapes change).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from shennong_tpu.ops import gmm as gmm_ops
+
+    def shard_acc(flat, fweights, weights, means, inv_vars):
+        like, occ, mean_acc, var_acc = gmm_ops.accumulate_stats(
+            flat, fweights, weights, means, inv_vars)
+        return (jax.lax.psum(like, 'data'),
+                jax.lax.psum(occ, 'data'),
+                jax.lax.psum(mean_acc, 'data'),
+                jax.lax.psum(var_acc, 'data'))
+
+    return jax.jit(shard_map(
+        shard_acc, mesh=mesh,
+        in_specs=(P('data'), P('data'), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_rep=False))
+
+
+def make_lvtln_round_step(mesh, num_groups, num_gselect=15,
+                          norm_type='offset', logdet_scale=0.0,
+                          default_class=0):
+    """One distributed LVTLN estimation round over a data-parallel mesh.
+
+    Returns a function (feats, fweights, gid, base, warps, gmm_weights,
+    gmm_means, gmm_inv_vars) -> (transforms [S, D, D+1], warps_out [S],
+    best_class [S], objf_impr [S], beta [S]): each device selects
+    gaussians and computes posteriors for its shard of frames, the
+    per-group fMLLR statistics psum over the mesh, and every device
+    solves the identical per-(group, warp-class) objective — the
+    distributed twin of one ``lvtln_rounds`` estimation round (the
+    reference fans the same round out over SLURM tasks,
+    ``examples/vtln_training/run.sh:16-23``).
+
+    ``feats`` [N, D] / ``fweights`` [N] / ``gid`` [N] are sharded over
+    ``'data'``; the warp-class bases and the GMM are replicated.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from shennong_tpu.ops import fmllr as fmllr_ops
+    from shennong_tpu.ops import gmm as gmm_ops
+
+    def shard_round(feats, fweights, gid, base, warps,
+                    weights, means, inv_vars):
+        _, gsel = gmm_ops.gaussian_selection(
+            feats, weights, means, inv_vars, num_gselect)
+        _, post = gmm_ops.posteriors_preselect(
+            feats, gsel, weights, means, inv_vars)
+        post = post * fweights[:, None]
+
+        beta, K, G = fmllr_ops.fmllr_stats_groups(
+            feats, gsel, post, gid, means, inv_vars, num_groups)
+        beta = jax.lax.psum(beta, 'data')
+        K = jax.lax.psum(K, 'data')
+        G = jax.lax.psum(G, 'data')
+
+        sign_b, logdet_base = jnp.linalg.slogdet(base)
+        valid_base = sign_b > 0
+        logdet_base = jnp.where(valid_base, logdet_base, 0.0)
+        return fmllr_ops.solve_warp_classes(
+            beta, K, G, base, warps, valid_base, logdet_base,
+            norm_type=norm_type, logdet_scale=logdet_scale,
+            default_class=default_class)
+
+    return jax.jit(shard_map(
+        shard_round, mesh=mesh,
+        in_specs=(P('data'), P('data'), P('data'), P(), P(), P(),
+                  P(), P()),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_rep=False))

@@ -120,3 +120,102 @@ def test_shard_round_robin_covers_everything(corpus):
             corpus, process_index=process, process_count=3)
         names.extend(utt.name for utt in shard)
     assert sorted(names) == sorted(utt.name for utt in corpus)
+
+
+def test_em_train_steps_mesh_equals_single_device():
+    """The mesh EM trainer (psum'd statistics per fused iteration)
+    matches the single-device ``em_steps`` fusion."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from shennong_tpu.ops import gmm as gmm_ops
+    from shennong_tpu.parallel.fused import make_em_train_steps
+
+    rng = np.random.RandomState(1)
+    n, dim, num_gauss = 512, 6, 4
+    flat = rng.randn(n, dim).astype(np.float32) * 3
+    fweights = (rng.rand(n) > 0.2).astype(np.float32)
+    weights = np.full(num_gauss, 1.0 / num_gauss, np.float32)
+    means = rng.randn(num_gauss, dim).astype(np.float32)
+    inv_vars = np.full((num_gauss, dim), 0.5, np.float32)
+
+    _, w1, m1, iv1 = gmm_ops.em_steps(
+        jnp.asarray(flat), jnp.asarray(fweights),
+        jnp.asarray(weights), jnp.asarray(means),
+        jnp.asarray(inv_vars), num_iters=3)
+
+    mesh = data_mesh(jax.devices())
+    step = make_em_train_steps(mesh, num_iters=3)
+    shard = NamedSharding(mesh, P('data'))
+    repl = NamedSharding(mesh, P())
+    _, w2, m2, iv2 = step(
+        jax.device_put(flat, shard), jax.device_put(fweights, shard),
+        jax.device_put(weights, repl), jax.device_put(means, repl),
+        jax.device_put(inv_vars, repl))
+
+    np.testing.assert_allclose(
+        np.asarray(w2), np.asarray(w1), rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(m2), np.asarray(m1), rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(iv2), np.asarray(iv1), rtol=2e-3, atol=1e-4)
+
+
+def test_lvtln_round_step_mesh_equals_unsharded():
+    """The distributed LVTLN estimation round (psum'd fMLLR stats +
+    replicated warp-class solve) matches the unsharded computation."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from shennong_tpu.ops import fmllr as fmllr_ops
+    from shennong_tpu.ops import gmm as gmm_ops
+    from shennong_tpu.parallel.fused import make_lvtln_round_step
+
+    rng = np.random.RandomState(2)
+    n, dim, num_gauss, num_groups, num_classes = 256, 4, 6, 3, 5
+    feats = rng.randn(n, dim).astype(np.float32)
+    fweights = (rng.rand(n) > 0.1).astype(np.float32)
+    gid = rng.randint(0, num_groups, n).astype(np.int32)
+    weights = np.full(num_gauss, 1.0 / num_gauss, np.float32)
+    means = rng.randn(num_gauss, dim).astype(np.float32)
+    inv_vars = np.full((num_gauss, dim), 1.0, np.float32)
+    base = np.stack([
+        np.eye(dim) + 0.05 * rng.randn(dim, dim)
+        for _ in range(num_classes)]).astype(np.float32)
+    warps = np.linspace(0.9, 1.1, num_classes).astype(np.float32)
+
+    # unsharded reference: same posterior + stats + solve pipeline
+    k = 4
+    _, gsel = gmm_ops.gaussian_selection(
+        jnp.asarray(feats), jnp.asarray(weights), jnp.asarray(means),
+        jnp.asarray(inv_vars), k)
+    _, post = gmm_ops.posteriors_preselect(
+        jnp.asarray(feats), gsel, jnp.asarray(weights),
+        jnp.asarray(means), jnp.asarray(inv_vars))
+    post = post * fweights[:, None]
+    beta, K, G = fmllr_ops.fmllr_stats_groups(
+        jnp.asarray(feats), gsel, post, jnp.asarray(gid),
+        jnp.asarray(means), jnp.asarray(inv_vars), num_groups)
+    sign_b, logdet_b = jnp.linalg.slogdet(jnp.asarray(base))
+    t1, w1, c1, i1, b1 = fmllr_ops.solve_warp_classes(
+        beta, K, G, jnp.asarray(base), jnp.asarray(warps),
+        sign_b > 0, jnp.where(sign_b > 0, logdet_b, 0.0))
+
+    mesh = data_mesh(jax.devices())
+    step = make_lvtln_round_step(mesh, num_groups, num_gselect=k)
+    shard = NamedSharding(mesh, P('data'))
+    repl = NamedSharding(mesh, P())
+    t2, w2, c2, i2, b2 = step(
+        jax.device_put(feats, shard), jax.device_put(fweights, shard),
+        jax.device_put(gid, shard), jax.device_put(base, repl),
+        jax.device_put(warps, repl), jax.device_put(weights, repl),
+        jax.device_put(means, repl), jax.device_put(inv_vars, repl))
+
+    np.testing.assert_array_equal(np.asarray(c2), np.asarray(c1))
+    np.testing.assert_array_equal(np.asarray(w2), np.asarray(w1))
+    np.testing.assert_allclose(
+        np.asarray(b2), np.asarray(b1), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(t2), np.asarray(t1), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(i2), np.asarray(i1), rtol=1e-3, atol=1e-3)
