@@ -154,3 +154,304 @@ def extract_features(configuration, utterances, njobs=1,
             manager.cmvn_stats, global_keys)
 
     return pipe._batched_pass_two(manager, pass_one, log)
+
+
+def allreduce_f64(array):
+    """Bit-exact float64 sum of a host array over every process.
+
+    The float64 words cross the collective as uint32 views (x64-safe)
+    and the sum over the gathered stack runs in the same order on
+    every process, so the result is bit-identical everywhere —
+    distributed model updates stay in lockstep without a broadcast.
+    """
+    import numpy as np
+
+    arr = np.ascontiguousarray(
+        np.atleast_1d(np.asarray(array, dtype=np.float64)))
+    if jax.process_count() == 1:
+        return arr
+
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    bits = arr.view(np.uint32)
+    gathered = np.asarray(
+        multihost_utils.process_allgather(jnp.asarray(bits)))
+    return np.ascontiguousarray(gathered).view(
+        np.float64).sum(axis=0)
+
+
+def _global_data_mesh():
+    """A 1-axis ``'data'`` mesh over every device of every process."""
+    import numpy as np
+
+    from jax.sharding import Mesh
+
+    return Mesh(np.asarray(jax.devices()), ('data',))
+
+
+def _shard_rows(mesh, *arrays):
+    """Global row-sharded arrays from per-process local rows.
+
+    Pads each process's rows to the global per-process maximum (a
+    multiple of the local device count), marking padding with zero
+    weight — callers pass 0/1 weight vectors alongside the data, so
+    padded rows are inert. Returns the global arrays, sharded over
+    the mesh's ``'data'`` axis.
+    """
+    import numpy as np
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    local_rows = arrays[0].shape[0]
+    ndev_local = max(jax.local_device_count(), 1)
+    # per-process row counts, exchanged once
+    counts = np.zeros(jax.process_count())
+    counts[jax.process_index()] = local_rows
+    counts = allreduce_f64(counts)
+    rows_max = int(counts.max())
+    rows_max += (-rows_max) % ndev_local
+
+    sharding = NamedSharding(mesh, P('data'))
+    out = []
+    for arr in arrays:
+        arr = np.asarray(arr)
+        pad = [(0, rows_max - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+        out.append(jax.make_array_from_process_local_data(
+            sharding, np.pad(arr, pad)))
+    return out
+
+
+def train_ubm(ubm, utterances, njobs=1,
+              log=get_logger('distributed', 'info')):
+    """Multi-process UBM-GMM training (``DiagUbmProcessor.process``).
+
+    Every process receives the FULL utterance collection, streams the
+    feature front-end over its round-robin shard only, and the
+    training statistics cross process boundaries as collectives — the
+    TPU-native replacement for the reference's SLURM fan-out with
+    filesystem accumulator merges (``examples/vtln_training/run.sh``):
+
+    - the reservoir subset, the random init means and the global data
+      variance are computed against the GLOBAL voiced-frame order
+      (per-utterance voiced counts are exchanged once), so the
+      initialization consumes the seeded RNG exactly like the
+      single-process trainer;
+    - every EM iteration (init loop with splits, then the main loop)
+      runs as one fused mesh program whose statistics psum over all
+      devices of all processes
+      (:func:`shennong_tpu.parallel.fused.make_em_train_steps`);
+    - host-side steps (splits, the component-removing final update)
+      see bit-identical inputs everywhere, so the model stays in
+      lockstep without any broadcast.
+
+    Mutates ``ubm.gmm`` (identically on every process) like
+    ``process()`` does. With one process this reduces to the
+    single-process device path.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from shennong_tpu.ops import gmm as gmm_ops
+    from shennong_tpu.parallel.fused import (
+        make_accumulate_step, make_em_train_steps)
+    from shennong_tpu.processor.ubm import DiagGmm, stream_frontend
+
+    utterances = list(utterances)
+    if jax.process_count() > len(utterances):
+        raise ValueError(
+            'only %d utterances for %d processes'
+            % (len(utterances), jax.process_count()))
+    shard = shard_utterances(utterances)
+
+    log.info(
+        'Training UBM across %d processes (%d global devices)',
+        jax.process_count(), jax.device_count())
+    front = stream_frontend(
+        ubm.features, ubm.vad, ubm.subsample, shard, njobs=njobs,
+        signal_cache=getattr(ubm, '_signal_cache', None))
+    if front is None:
+        raise ValueError(
+            'distributed UBM training needs the fused MFCC front-end '
+            '(plain MFCC features, single sample rate, utterances '
+            'under the chunking limit)')
+    flat, w_init, w_em, num_read_local, layout = front
+
+    # -------- global voiced-frame order (one counts exchange) -------
+    # global voiced index = position in the concatenation of every
+    # utterance's voiced frames, utterances in full sorted order: the
+    # exact order the single-process front-end produces
+    w_init_h = np.asarray(w_init)
+    local_voiced = {}      # name -> local flat row indices, in order
+    for names, frames_per_row, offset in layout:
+        for j, name in enumerate(names):
+            rows = np.flatnonzero(
+                w_init_h[offset + j * frames_per_row:
+                         offset + (j + 1) * frames_per_row])
+            local_voiced[name] = rows + offset + j * frames_per_row
+
+    order = [utt.name for utt in utterances]
+    counts = np.zeros(len(order))
+    for i, name in enumerate(order):
+        if name in local_voiced:
+            counts[i] = len(local_voiced[name])
+    counts = allreduce_f64(counts).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    num_read = int(counts.sum())
+    assert num_read == int(allreduce_f64(
+        np.array([float(num_read_local)]))[0])
+
+    owned_globals = np.concatenate([
+        np.arange(offsets[i], offsets[i] + counts[i], dtype=np.int64)
+        for i, name in enumerate(order) if name in local_voiced]
+        or [np.zeros(0, np.int64)])
+    owned_rows = np.concatenate([
+        local_voiced[name]
+        for name in order if name in local_voiced]
+        or [np.zeros(0, np.int64)])
+
+    def rows_of(global_idx):
+        """(mask, local rows) of the globally-indexed voiced frames
+        this process owns."""
+        pos = np.searchsorted(owned_globals, global_idx)
+        pos_c = np.minimum(pos, max(len(owned_globals) - 1, 0))
+        mask = (pos < len(owned_globals)) & (
+            owned_globals[pos_c] == global_idx)
+        return mask, owned_rows[pos_c[mask]]
+
+    # ----------------- initialization (same RNG draws) ---------------
+    num_gauss_init = int(
+        ubm.initial_gauss_proportion * ubm.num_gauss)
+    log.info('Initializing model')
+    if num_read > ubm.num_frames:
+        kept = ubm._reservoir_indices(num_read)
+        avail = ubm.num_frames
+        mask, rows_kept = rows_of(kept)
+        sel = np.zeros(flat.shape[0], np.float32)
+        sel[rows_kept] = 1.0
+        sel_dev = jnp.asarray(sel)
+    else:
+        kept = None
+        avail = num_read
+        sel_dev = w_init
+    if avail < 10 * num_gauss_init:
+        raise ValueError(
+            f'Too few frames to train on ({avail} frames)')
+
+    kwargs = dict(
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    sums = allreduce_f64(np.asarray(
+        jnp.einsum('nd,n->d', flat, sel_dev, **kwargs), np.float64))
+    sqsums = allreduce_f64(np.asarray(
+        jnp.einsum('nd,nd,n->d', flat, flat, sel_dev, **kwargs),
+        np.float64))
+    mean = sums / avail
+    var = sqsums / avail - mean ** 2
+    if var.max() <= 0:
+        raise ValueError(
+            f'Features do not have positive variance {var}')
+
+    chosen = ubm._rng.choice(avail, num_gauss_init, replace=False)
+    global_chosen = kept[chosen] if kept is not None else chosen
+    mask, rows_chosen = rows_of(np.asarray(global_chosen))
+    means0 = np.zeros((num_gauss_init, flat.shape[1]))
+    if mask.any():
+        means0[np.flatnonzero(mask)] = np.asarray(
+            jnp.take(flat, jnp.asarray(rows_chosen), axis=0),
+            np.float64)
+    means0 = allreduce_f64(means0)
+    ubm.gmm = DiagGmm(
+        np.full(num_gauss_init, 1.0 / num_gauss_init), means0,
+        np.tile(1.0 / var, (num_gauss_init, 1)))
+
+    # ------------------- mesh-fused EM iterations --------------------
+    mesh = _global_data_mesh()
+    flat_g, sel_g, wem_g = _shard_rows(mesh, flat, sel_dev, w_em)
+    replicated = NamedSharding(mesh, P())
+    steps_cache = {}
+
+    def em_on(weights_g):
+        def em_fn(params, num_iters):
+            if num_iters not in steps_cache:
+                steps_cache[num_iters] = make_em_train_steps(
+                    mesh, num_iters=num_iters,
+                    min_gaussian_weight=ubm._min_gaussian_weight)
+            params = [
+                jax.device_put(np.asarray(p, np.float32), replicated)
+                for p in params]
+            return steps_cache[num_iters](
+                flat_g, weights_g, *params)
+        return em_fn
+
+    ubm._init_em_loop(
+        None, None, num_gauss_init, avail, em_fn=em_on(sel_g))
+
+    log.info('Training for %s iterations', ubm.num_iters)
+    em_fn = em_on(wem_g)
+    params = ubm.gmm.as_jax()
+    if ubm.num_iters > 0 and ubm.remove_low_count_gaussians:
+        if ubm.num_iters > 1:
+            _, *params = em_fn(params, ubm.num_iters - 1)
+        acc = make_accumulate_step(mesh)
+        _, occ, mean_acc, var_acc = acc(
+            flat_g, wem_g, *[
+                jax.device_put(np.asarray(p, np.float32), replicated)
+                for p in params])
+        ubm.gmm = DiagGmm(*[
+            np.asarray(p, dtype=np.float64) for p in params])
+        ubm.estimate((
+            np.asarray(occ, dtype=np.float64),
+            np.asarray(mean_acc, dtype=np.float64),
+            np.asarray(var_acc, dtype=np.float64)))
+    elif ubm.num_iters > 0:
+        _, *params = em_fn(params, ubm.num_iters)
+        ubm.gmm = DiagGmm(*[
+            np.asarray(p, dtype=np.float64) for p in params])
+    log.info('Done training UBM.')
+    return ubm.gmm
+
+
+def estimate_vtln(vtln, ubm, feats_collection, posteriors, utt2speak,
+                  log=get_logger('distributed', 'info')):
+    """Multi-process ``VtlnProcessor.estimate``: one LVTLN round.
+
+    ``feats_collection``/``posteriors`` hold THIS process's utterance
+    shard; ``utt2speak`` maps the FULL collection (every process passes
+    the same one, so the global group list is known everywhere). The
+    per-group fMLLR statistics accumulate locally on device, allreduce
+    bit-exactly across processes and every process solves the identical
+    per-(group, warp-class) objective. Returns (transforms, warps)
+    over ALL groups, identical on every process.
+    """
+    import numpy as np
+
+    groups_all = {}
+    for utt, spk in utt2speak.items():
+        groups_all.setdefault(spk, []).append(utt)
+    local_groups = {
+        spk: [utt for utt in utts if utt in feats_collection]
+        for spk, utts in groups_all.items()}
+
+    group_stats = vtln._accumulate_group_stats(
+        ubm, feats_collection, posteriors, local_groups)
+    names = sorted(group_stats)
+    beta = allreduce_f64([group_stats[g].beta for g in names])
+    K = allreduce_f64(np.stack([group_stats[g].K for g in names]))
+    G = allreduce_f64(np.stack([group_stats[g].G for g in names]))
+
+    transforms, warps = {}, {}
+    for i, group in enumerate(names):
+        stats = group_stats[group]
+        stats.beta, stats.K, stats.G = beta[i], K[i], G[i]
+        class_idx, _, transform, objf_impr, count = (
+            vtln.lvtln.compute_transform(
+                stats, vtln.norm_type, vtln.logdet_scale))
+        transforms[group] = transform
+        warps[group] = vtln.lvtln.get_warp(class_idx)
+        log.debug(
+            '%s: auxf-impr from LVTLN is %s, over %s frames',
+            group, objf_impr / max(count, 1e-10), count)
+    return transforms, warps

@@ -310,13 +310,20 @@ class DiagUbmProcessor(BaseProcessor):
             num_gauss_init, feats.shape[0])
 
     def _init_em_loop(self, feats_dev, weights_dev, num_gauss_init,
-                      nframes_log):
+                      nframes_log, em_fn=None):
         """The init EM-with-splitting loop on device-resident data.
 
         ``weights_dev`` holds 0/1 per-frame selection weights (1 for
         every sampled frame), so the same loop serves the host path
         (all rows real) and the fully device-resident path (voiced
         frames marked within the padded flat matrix).
+
+        ``em_fn(params, num_iters) -> (tot_like, weights, means,
+        inv_vars)`` overrides how the EM iterations between splits
+        execute — the multi-process trainer
+        (:func:`shennong_tpu.parallel.distributed.train_ubm`) plugs in
+        a mesh-sharded step whose statistics psum across hosts; the
+        default runs on the local device data.
         """
         cur_num_gauss = num_gauss_init
         gauss_inc = int((self.num_gauss - num_gauss_init)
@@ -345,6 +352,16 @@ class DiagUbmProcessor(BaseProcessor):
             ).as_jax()
 
         ones_dev = weights_dev
+        if em_fn is None:
+            def em_fn(params, num_iters):
+                if num_iters == 1:
+                    return gmm_ops.em_step(
+                        feats_dev, ones_dev, *params,
+                        min_gaussian_weight=self._min_gaussian_weight)
+                return gmm_ops.em_steps(
+                    feats_dev, ones_dev, *params, num_iters=num_iters,
+                    min_gaussian_weight=self._min_gaussian_weight)
+
         params = pad_params(
             self.gmm.weights, self.gmm.means, self.gmm.inv_vars)
         i = 0
@@ -356,16 +373,12 @@ class DiagUbmProcessor(BaseProcessor):
                 if self.log.isEnabledFor(10):  # logging.DEBUG
                     self.log.debug('Iterations %s..%s (fused)',
                                    i, self.num_iters_init - 1)
-                tot_like, *params = gmm_ops.em_steps(
-                    feats_dev, ones_dev, *params, num_iters=run,
-                    min_gaussian_weight=self._min_gaussian_weight)
+                tot_like, *params = em_fn(params, run)
                 i += run
             else:
                 if self.log.isEnabledFor(10):
                     self.log.debug('Iteration %s', i)
-                tot_like, *params = gmm_ops.em_step(
-                    feats_dev, ones_dev, *params,
-                    min_gaussian_weight=self._min_gaussian_weight)
+                tot_like, *params = em_fn(params, 1)
                 i += 1
             if self.log.isEnabledFor(10):
                 self.log.debug(

@@ -79,3 +79,96 @@ def test_two_process_extraction_equals_single(tmp_path, corpus):
         np.testing.assert_allclose(
             merged[name].data, single[name].data, atol=2e-4,
             err_msg=name)
+
+
+def test_two_process_training_equals_single(tmp_path, corpus):
+    """Distributed TRAINING, not just extraction: two real OS
+    processes train the UBM (per-shard front-ends, psum'd EM
+    statistics over the global mesh) and run one LVTLN estimation
+    round (local fMLLR stats, bit-exact allreduce, identical solve).
+    Both processes must produce the identical model, and it must match
+    single-process training. Replaces the reference's SLURM VTLN
+    fan-out (``examples/vtln_training/run.sh:16-23``)."""
+    import warnings
+
+    utts_file = str(tmp_path / 'utts.txt')
+    corpus.save(utts_file)
+
+    coordinator = f'127.0.0.1:{_free_port()}'
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    env['PYTHONPATH'] = os.pathsep.join(
+        [repo] + env.get('PYTHONPATH', '').split(os.pathsep))
+    env.pop('XLA_FLAGS', None)  # no virtual-device fan-out in workers
+    outs = [str(tmp_path / f'model{i}.npz') for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, utts_file, outs[i],
+             coordinator, '2', str(i), 'train'],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    logs = [proc.communicate(timeout=600)[0] for proc in procs]
+    for proc, log in zip(procs, logs):
+        assert proc.returncode == 0, log.decode(errors='replace')
+
+    models = [dict(np.load(out, allow_pickle=True)) for out in outs]
+    # the collectives are bit-exact and the updates host-identical:
+    # both processes hold the very same model
+    for key in models[0]:
+        np.testing.assert_array_equal(
+            models[0][key], models[1][key], err_msg=key)
+    dist = models[0]
+
+    # single-process reference (same seed, same deterministic
+    # features): the distributed run must match it
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'distributed_worker', WORKER)
+    worker_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(worker_mod)
+    UBM_PARAMS, make_lvtln = worker_mod.UBM_PARAMS, worker_mod.make_lvtln
+    from shennong_tpu import pipeline
+    from shennong_tpu.processor.ubm import DiagUbmProcessor
+    from shennong_tpu.processor.vtln import VtlnProcessor
+
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        ubm = DiagUbmProcessor(**UBM_PARAMS)
+        ubm.features['mfcc']['dither'] = 0
+        ubm.process(corpus)
+    np.testing.assert_allclose(
+        dist['weights'], ubm.gmm.weights, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(
+        dist['means'], ubm.gmm.means, rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        dist['inv_vars'], ubm.gmm.inv_vars, rtol=2e-3, atol=2e-3)
+
+    # the LVTLN round, single-process, with the DISTRIBUTED GMM (so
+    # only the stat accumulation path differs)
+    from shennong_tpu.processor.ubm import DiagGmm
+    ubm.gmm = DiagGmm(
+        dist['weights'], dist['means'], dist['inv_vars'])
+    ubm.selection = None
+    config = pipeline.init_config({'mfcc': {'dither': 0}, 'delta': {}})
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        feats = pipeline.extract_features(config, corpus)
+        ubm.gaussian_selection(feats)
+        posteriors = ubm.gaussian_selection_to_post(feats)
+        vtln = VtlnProcessor(ubm=ubm.get_params())
+        vtln.lvtln = make_lvtln(ubm.gmm.dim())
+        utt2speak = {utt.name: utt.speaker for utt in corpus}
+        transforms, warps = vtln.estimate(
+            ubm, feats, posteriors, utt2speak)
+
+    groups = sorted(transforms)
+    assert list(dist['groups']) == groups
+    np.testing.assert_allclose(
+        dist['warps'],
+        np.array([warps[g] for g in groups]), atol=1e-12)
+    # the float64 stats sum over different chunk boundaries per
+    # process, so the solved transforms agree to rounding, not bits
+    np.testing.assert_allclose(
+        dist['transforms'],
+        np.stack([transforms[g] for g in groups]),
+        rtol=1e-4, atol=1e-6)
