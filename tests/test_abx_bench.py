@@ -1,0 +1,89 @@
+"""The standing ABX benchmark: magnitude locks and evaluator scale.
+
+VERDICT r3 items 1 and 7: the quality anchor must assert direction
+AND magnitude (not just 'CMVN helps'), and the evaluator must be
+demonstrated beyond toy scale (>= 10^4 segment pairs through one
+compiled shape)."""
+
+import warnings
+
+import numpy as np
+import pytest
+
+from shennong_tpu.eval.abx import dtw_divergences, pairwise_distances
+from shennong_tpu.eval.abx_bench import benchmark
+
+
+@pytest.fixture(scope='module')
+def ci_result():
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        return benchmark('ci', seed=0, features=('mfcc',))
+
+
+def test_ci_benchmark_magnitudes(ci_result):
+    """The ci-configuration mfcc row is locked to the recorded values
+    (doc/performance.md): the corpus is fully deterministic per seed,
+    so the bands only absorb cross-platform float drift. Direction
+    (raw > +CMVN > VTLN+CMVN on the across task) is implied by the
+    non-overlapping bands."""
+    across = ci_result['errors']['across']['mfcc']
+    within = ci_result['errors']['within']['mfcc']
+
+    # recorded ci values: across raw 31.0 / +cmvn 6.5 / vtln+cmvn 3.8,
+    # within raw 6.9 / +cmvn 2.4 / vtln+cmvn 2.3 (percent)
+    assert abs(across['raw'] - 0.310) < 0.025, across
+    assert abs(across['+cmvn'] - 0.065) < 0.020, across
+    assert abs(across['vtln+cmvn'] - 0.038) < 0.018, across
+    assert abs(within['raw'] - 0.069) < 0.025, within
+    assert abs(within['+cmvn'] - 0.024) < 0.015, within
+    assert abs(within['vtln+cmvn'] - 0.023) < 0.015, within
+
+    # explicit direction statements of the published Buckeye table
+    assert across['raw'] > across['+cmvn'] > across['vtln+cmvn']
+    assert within['raw'] > within['+cmvn']
+
+
+def test_ci_benchmark_warps_track_vocal_tract(ci_result):
+    """The learned warps must be monotone in the true per-speaker
+    formant scaling (warp ~ 1/alpha: decreasing) and genuinely move
+    across the speaker range."""
+    warps, alphas = ci_result['warps'], ci_result['alphas']
+    ordered = [warps[s] for s in sorted(alphas, key=alphas.get)]
+    assert all(a >= b for a, b in zip(ordered, ordered[1:])), ordered
+    assert ordered[0] - ordered[-1] >= 0.15, ordered
+
+
+def test_pairwise_distances_at_scale_one_compiled_shape():
+    """>= 10^4 segment pairs stream through pairwise_distances with
+    O(1) compiled programs and bounded host memory (the full cost
+    tensor would be ~25x the batched working set)."""
+    import tracemalloc
+
+    rng = np.random.RandomState(0)
+    count, dim = 150, 13
+    segments = [
+        rng.randn(rng.randint(40, 57), dim).astype(np.float32)
+        for _ in range(count)]
+    npairs = count * (count - 1) // 2
+    assert npairs >= 10_000
+
+    # warm the (batch, padded_len) program so compilation buffers do
+    # not count against the streaming working set
+    warm = pairwise_distances(segments[:2], batch=512)
+    assert warm.shape == (2, 2)
+
+    before = dtw_divergences._cache_size()
+    tracemalloc.start()
+    distances = pairwise_distances(segments, batch=512)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+
+    assert distances.shape == (count, count)
+    assert np.allclose(distances, distances.T)
+    assert (distances[~np.eye(count, dtype=bool)] > 0).all()
+    # one padded shape serves all 10^4+ pairs: nothing new compiles
+    assert dtw_divergences._cache_size() == before
+    # bounded host memory: the padded segment store + one batch of
+    # cost matrices, far under the dense all-pairs tensor (~100 MB)
+    assert peak < 60 * 2 ** 20, peak
