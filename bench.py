@@ -64,12 +64,21 @@ def build_corpus(path, n_utterances=512, sample_rate=16000):
     return Utterances(entries), total
 
 
-def bench_end_to_end(n_utterances=512):
+def bench_end_to_end(n_utterances=512, warm_runs=5):
     """Warm xRT of the full extract_features path: WAVs on disk ->
     YAML pipeline (MFCC + CMVN/VAD + delta + Kaldi pitch) ->
-    serializer write. Returns a dict for the JSON line."""
+    serializer write. Returns a dict for the JSON line.
+
+    Self-evidencing: every warm run carries its cost decomposition
+    from :data:`shennong_tpu.parallel.profiler.counters` (decode /
+    dispatch / fetch / pass-2 seconds, bytes moved, dispatch count),
+    and ``device_xrt`` — audio seconds over the wall time provably
+    blocked on the device path — separates pipeline regressions from
+    relay weather without rereading prose.
+    """
     from shennong_tpu import pipeline
     from shennong_tpu.features_collection import FeaturesCollection
+    from shennong_tpu.parallel.profiler import counters
 
     workdir = tempfile.mkdtemp(prefix='shennong_bench_')
     try:
@@ -81,10 +90,10 @@ def bench_end_to_end(n_utterances=512):
 
         # cold run compiles every bucket program; the warm runs are
         # the serving steady state (compiles are per-process on this
-        # backend: a fresh process cannot start warm). Take the best
-        # of three warm runs: the host-device relay is shared
-        # infrastructure whose latency fluctuates run to run, and the
-        # best run is the one reflecting the pipeline, not the relay.
+        # backend: a fresh process cannot start warm). Headline = best
+        # warm run, median quoted alongside: the host-device relay is
+        # shared infrastructure whose latency fluctuates run to run,
+        # and the best run is the one reflecting the pipeline.
         t_cold = time.perf_counter()
         pipeline.extract_features(config, utterances, njobs=njobs)
         cold = time.perf_counter() - t_cold
@@ -93,17 +102,40 @@ def bench_end_to_end(n_utterances=512):
         # reference's own published table (this host has one CPU, so
         # a zlib-bound format would time zlib, not the pipeline)
         out = os.path.join(workdir, 'features.pkl')
-        warm_times = []
-        for _ in range(3):
+        runs = []
+        for _ in range(warm_runs):
             if os.path.exists(out):
                 os.remove(out)
             os.sync()  # run N's writeback must not bill run N+1
+            counters.reset()
             start = time.perf_counter()
             features = pipeline.extract_features(
                 config, utterances, njobs=njobs)
+            extract_s = time.perf_counter() - start
             features.save(out)
-            warm_times.append(time.perf_counter() - start)
-        elapsed = min(warm_times)
+            total_s = time.perf_counter() - start
+            stats = counters.snapshot()
+            device_wall = (
+                stats.get('dispatch_s', 0.0) + stats.get('fetch_s', 0.0))
+            runs.append({
+                'seconds': round(total_s, 2),
+                'extract_s': round(extract_s, 2),
+                'serialize_s': round(total_s - extract_s, 2),
+                'decode_s': round(stats.get('decode_s', 0.0), 2),
+                'dispatch_s': round(stats.get('dispatch_s', 0.0), 2),
+                'fetch_s': round(stats.get('fetch_s', 0.0), 2),
+                'pass2_s': round(stats.get('pass2_s', 0.0), 2),
+                'device_wall_s': round(device_wall, 2),
+                'dispatches': int(stats.get('dispatches', 0)),
+                'mb_up': round(stats.get('bytes_up', 0) / 2 ** 20, 1),
+                'mb_down': round(
+                    stats.get('bytes_down', 0) / 2 ** 20, 1),
+            })
+
+        times = sorted(run['seconds'] for run in runs)
+        best = times[0]
+        median = times[len(times) // 2]
+        best_run = min(runs, key=lambda run: run['seconds'])
 
         # sanity: everything extracted, output readable
         assert len(features) == n_utterances
@@ -111,15 +143,84 @@ def bench_end_to_end(n_utterances=512):
         ndims = loaded[next(iter(loaded))].ndims
         assert ndims == 42, ndims  # 13 mfcc x3 (delta) + 3 pitch
 
-        return {
+        result = {
             'utterances': n_utterances,
             'audio_seconds': round(audio_seconds, 1),
-            'xrt_warm': round(audio_seconds / elapsed, 1),
+            'xrt_warm': round(audio_seconds / best, 1),
+            'xrt_warm_median': round(audio_seconds / median, 1),
             'xrt_cold': round(audio_seconds / cold, 1),
-            'seconds_warm': round(elapsed, 2),
-            'seconds_warm_all': [round(t, 2) for t in warm_times]}
+            'device_xrt': round(
+                audio_seconds / max(best_run['device_wall_s'], 1e-9),
+                1),
+            'seconds_warm': round(best, 2),
+            'runs': runs}
+
+        # cold-start mitigation: a FRESH process that calls
+        # pipeline.warmup() at startup (compiling the corpus
+        # geometries before traffic) then serves its first request
+        try:
+            warmed = _measure_warmed_cold(workdir, utterances, config)
+            result['warmup_s'] = round(warmed['warmup_s'], 1)
+            result['xrt_cold_warmed'] = round(
+                audio_seconds / warmed['first_extract_s'], 1)
+        except Exception as err:
+            result['warmed_cold_error'] = (
+                f'{type(err).__name__}: {err}')
+        return result
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+_WARMED_COLD_RUNNER = '''
+import json, sys, time
+import jax
+from shennong_tpu import pipeline
+from shennong_tpu.utterances import Utterances
+
+utts = Utterances.load(sys.argv[1])
+warm = pipeline.warmup(sys.argv[2], utts)
+start = time.perf_counter()
+features = pipeline.extract_features(sys.argv[2], utts)
+elapsed = time.perf_counter() - start
+assert len(features) == len(list(utts))
+print(json.dumps(
+    {"warmup_s": warm["seconds"], "first_extract_s": elapsed}))
+'''
+
+
+def _measure_warmed_cold(workdir, utterances, config):
+    """warmup() + first extraction in a fresh OS process.
+
+    Measures the production cold-start story: a server that
+    precompiles its corpus geometry at startup serves its first
+    request at (close to) warm speed."""
+    import subprocess
+
+    import yaml
+
+    from shennong_tpu import utils
+
+    utts_file = os.path.join(workdir, 'warmed_cold_utts.txt')
+    utterances.save(utts_file)
+    config_file = os.path.join(workdir, 'warmed_cold_config.yaml')
+    with open(config_file, 'w') as fp:
+        # the config dict carries numpy scalars; the package's numpy
+        # JSON codec canonicalizes them to plain python first
+        yaml.safe_dump(json.loads(utils.json_dumps(config)), fp)
+
+    import shennong_tpu
+    env = dict(os.environ)
+    env['PYTHONPATH'] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(
+            os.path.abspath(shennong_tpu.__file__)))]
+        + env.get('PYTHONPATH', '').split(os.pathsep))
+    proc = subprocess.run(
+        [sys.executable, '-c', _WARMED_COLD_RUNNER,
+         utts_file, config_file],
+        capture_output=True, text=True, timeout=3600, env=env)
+    if proc.returncode != 0:
+        raise RuntimeError(proc.stderr[-500:])
+    return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
 def main():

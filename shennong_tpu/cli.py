@@ -163,6 +163,44 @@ def _command_extract(args):
     features.save(output_file)
 
 
+def _parser_warmup(subparsers, epilog):
+    parser = subparsers.add_parser(
+        'warmup',
+        description=(
+            'Precompile the pipeline device programs for a corpus '
+            'geometry (batch rows x signal buckets derived from the '
+            'audio headers) into the in-process and persistent '
+            'compilation caches. Run it at deploy time — or call '
+            'shennong_tpu.pipeline.warmup() at server startup — so '
+            'the first real extraction runs at warm speed instead of '
+            'paying seconds-to-minutes of per-shape compiles.'),
+        epilog=epilog,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    parser.add_argument(
+        '-j', '--njobs', type=int, default=1, metavar='<int>',
+        help='number of parallel jobs to use, default to %(default)s')
+    parser.add_argument(
+        'config', metavar='<input-config>', type=str,
+        help='pipeline configuration file in YAML format, as generated '
+        "by the 'speech-features config' command")
+    parser.add_argument(
+        'utterances', metavar='<input-utterances>', type=str,
+        help='utterances index whose corpus geometry to precompile')
+
+
+def _command_warmup(args):
+    log = logger.get_logger(name='speech-features', level='info')
+    for filename in (args.config, args.utterances):
+        if not os.path.exists(filename):
+            log.error('input file not found: %s', filename)
+            return
+    out = pipeline.warmup(
+        args.config, Utterances.load(args.utterances),
+        njobs=args.njobs, log=log)
+    print(f'warmed {out["programs"]} pipeline geometries '
+          f'in {out["seconds"]}s')
+
+
 def _parser_convert_crepe(subparsers, epilog):
     parser = subparsers.add_parser(
         'convert-crepe',
@@ -235,6 +273,7 @@ def main():
 
     _parser_config(subparsers, epilog)
     _parser_extract(subparsers, epilog)
+    _parser_warmup(subparsers, epilog)
     _parser_convert_crepe(subparsers, epilog)
 
     args = parser.parse_args()
@@ -242,6 +281,8 @@ def main():
         _command_config(args)
     elif args.command == 'extract':
         _command_extract(args)
+    elif args.command == 'warmup':
+        _command_warmup(args)
     elif args.command == 'convert-crepe':
         _command_convert_crepe(args)
 

@@ -23,6 +23,7 @@ from shennong_tpu.ops import spectral
 from shennong_tpu.ops.framing import num_frames
 from shennong_tpu.parallel import mesh as meshing
 from shennong_tpu.parallel import stream as streaming
+from shennong_tpu.parallel.profiler import counters
 
 
 class FusedPipelineExecutor:
@@ -129,36 +130,44 @@ class FusedPipelineExecutor:
             # through the host-device link (cache-replayed batches are
             # device arrays, converted once at population time)
             upload = streaming.as_int16_if_lossless(signals)
-            if sharding is not None:
-                dev_signals = jax.device_put(upload, sharding)
-                dev_nsamples = jax.device_put(nsamples, sharding)
-            else:
-                dev_signals = jax.device_put(upload)
-                dev_nsamples = jax.device_put(nsamples)
-            mel, eql = self._mel_inputs(names, signals.shape[0])
-            kwargs = dict(static)
-            kwargs['nframes_max'] = num_frames(
-                signals.shape[1], frame_opts)
-            if self.pitch_proc is not None:
-                kwargs['pitch_frames_max'] = \
-                    pitch_ops.num_pitch_frames(
-                        signals.shape[1], kwargs['pitch_opts'])
-            if needs_key:
-                from shennong_tpu.processor.base import _fresh_key
-                kwargs['key'] = _fresh_key()
-            out = pass_one_program(
-                dev_signals, dev_nsamples, mel, eql, **kwargs)
-            for arr in out.values():  # overlap fetch with compute
-                if hasattr(arr, 'copy_to_host_async'):
-                    arr.copy_to_host_async()
+            with counters.timed('dispatch_s'):
+                if isinstance(upload, np.ndarray):  # not cache-replayed
+                    counters.add(
+                        'bytes_up', upload.nbytes + nsamples.nbytes)
+                if sharding is not None:
+                    dev_signals = jax.device_put(upload, sharding)
+                    dev_nsamples = jax.device_put(nsamples, sharding)
+                else:
+                    dev_signals = jax.device_put(upload)
+                    dev_nsamples = jax.device_put(nsamples)
+                mel, eql = self._mel_inputs(names, signals.shape[0])
+                kwargs = dict(static)
+                kwargs['nframes_max'] = num_frames(
+                    signals.shape[1], frame_opts)
+                if self.pitch_proc is not None:
+                    kwargs['pitch_frames_max'] = \
+                        pitch_ops.num_pitch_frames(
+                            signals.shape[1], kwargs['pitch_opts'])
+                if needs_key:
+                    from shennong_tpu.processor.base import _fresh_key
+                    kwargs['key'] = _fresh_key()
+                out = pass_one_program(
+                    dev_signals, dev_nsamples, mel, eql, **kwargs)
+                counters.add('dispatches')
+                for arr in out.values():  # overlap fetch with compute
+                    if hasattr(arr, 'copy_to_host_async'):
+                        arr.copy_to_host_async()
             return names, nsamples, out, signals
 
         def drain(names, nsamples, out, signals):
-            feats = np.asarray(out['feats'])
-            vad = (np.asarray(out['vad'])
-                   if 'vad' in out else None)
-            pitch = (np.asarray(out['pitch'])
-                     if 'pitch' in out else None)
+            with counters.timed('fetch_s'):
+                feats = np.asarray(out['feats'])
+                vad = (np.asarray(out['vad'])
+                       if 'vad' in out else None)
+                pitch = (np.asarray(out['pitch'])
+                         if 'pitch' in out else None)
+            counters.add('bytes_down', feats.nbytes + sum(
+                a.nbytes for a in (vad, pitch) if a is not None))
             for row, name in enumerate(names):
                 nframes = self.feat_proc.output_frames(
                     int(nsamples[row]))

@@ -64,3 +64,55 @@ def trace(logdir):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+class Counters:
+    """Process-global performance counters for the extraction plane.
+
+    The end-to-end benchmark (``bench.py``) reads these to decompose a
+    corpus run into its cost centers — so a regressed number can be
+    attributed to the pipeline or to host/link weather without rerunning
+    under a profiler. Keys written by the instrumented seams:
+
+    - ``decode_s``: host audio decode (CPU-thread seconds: decoding
+      overlaps the device work, so this can exceed its wall share);
+    - ``dispatch_s`` / ``dispatches``: wall seconds and count of device
+      program dispatches (through a relay each dispatch blocks for the
+      transport round trip);
+    - ``fetch_s`` / ``bytes_down``: wall seconds blocked fetching device
+      outputs, and the fetched volume;
+    - ``bytes_up``: host->device upload volume (int16-packed signals);
+    - ``pass2_s``: host pass 2 (CMVN apply + delta + assembly).
+
+    ``dispatch_s + fetch_s`` is the wall time provably spent waiting on
+    the device path — the relay-sensitive share; ``audio_seconds`` over
+    it is the relay-independent device xRT the benchmark reports.
+    """
+
+    def __init__(self):
+        import threading
+        self._data = {}
+        self._lock = threading.Lock()  # decode runs on pool threads
+
+    def reset(self):
+        with self._lock:
+            self._data.clear()
+
+    def add(self, key, value=1.0):
+        with self._lock:
+            self._data[key] = self._data.get(key, 0.0) + value
+
+    @contextlib.contextmanager
+    def timed(self, key):
+        start = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.add(key, time.perf_counter() - start)
+
+    def snapshot(self):
+        return dict(self._data)
+
+
+#: The process-global counter set (reset it around a measured region).
+counters = Counters()

@@ -158,6 +158,13 @@ def decode_batch(chunk, rows, njobs=4):
     *decoded* maximum (scan estimates for compressed formats can be
     off by a few samples; the decoded truth keeps payloads exact).
     """
+    from shennong_tpu.parallel.profiler import counters
+
+    with counters.timed('decode_s'):
+        return _decode_batch(chunk, rows, njobs)
+
+
+def _decode_batch(chunk, rows, njobs=4):
     from shennong_tpu.parallel import batch as batching
 
     plan = _native_plan(chunk)

@@ -21,7 +21,7 @@ import numpy as np
 import yaml
 
 from shennong_tpu import Features, FeaturesCollection
-from shennong_tpu.logger import get_logger
+from shennong_tpu.logger import get_logger, null_logger
 from shennong_tpu.utils import get_njobs
 from shennong_tpu.pipeline_manager import PipelineManager
 
@@ -664,6 +664,13 @@ def _batched_pass_two(manager, triplets, log, tolerance=2):
     (``shennong/pipeline.py:552-567``); outputs are identical to the
     per-utterance :func:`_extract_pass_two`.
     """
+    from shennong_tpu.parallel.profiler import counters
+
+    with counters.timed('pass2_s'):
+        return _batched_pass_two_impl(manager, triplets, log, tolerance)
+
+
+def _batched_pass_two_impl(manager, triplets, log, tolerance=2):
     config = manager.config
 
     staged = []
@@ -827,3 +834,104 @@ def _config_to_yaml(config, comments=True):
         prev_offset = offset
 
     return '\n'.join(commented) + '\n'
+
+
+def warmup(configuration, utterances, njobs=1,
+           log=get_logger('pipeline', 'info')):
+    """Precompile the pipeline's device programs for a corpus geometry.
+
+    First-run compiles cost seconds to minutes per shape bucket
+    (SURVEY §7 step 9: production starts cold). This entry point pays
+    them up front: it derives the exact batch geometries
+    ``extract_features`` would dispatch for ``utterances`` (row count
+    x signal bucket, from audio headers — no decoding) and runs the
+    full pipeline once over a tiny synthetic corpus with those
+    geometries, compiling every program into the in-process jit cache
+    and the persistent compilation cache
+    (:func:`shennong_tpu.utils.enable_compilation_cache`).
+
+    Call it at server startup — before traffic arrives — so the first
+    real request runs at warm speed; on backends whose persistent
+    cache replays across processes the compile cost is paid once per
+    machine instead.
+
+    A ``vtln`` section is warmed as the warped extraction path (unit
+    warps): training itself compiles its own programs on first use.
+
+    Returns a dict: the distinct ``geometries`` ([rows, samples]
+    pairs), the ``programs`` count and the warmup ``seconds``.
+    """
+    import shutil
+    import tempfile
+    import time as _time
+
+    import scipy.io.wavfile
+
+    from shennong_tpu import utils
+    from shennong_tpu.audio import Audio
+    from shennong_tpu.ops.framing import bucket_size
+    from shennong_tpu.parallel.stream import _scan_count, plan_batches
+    from shennong_tpu.utterances import Utterances
+
+    utils.enable_compilation_cache()
+    config = init_config(configuration, log=null_logger())
+
+    utterances = list(Utterances(utterances)
+                      if not isinstance(utterances, Utterances)
+                      else utterances)
+    sample_rate = Audio.scan(utterances[0].audio_file).sample_rate
+
+    # the geometries extract_features would dispatch (executor batch
+    # size 64, row-sorted grouping, geometric signal buckets)
+    geometries = {}
+    for chunk, rows in plan_batches(utterances, batch_size=64):
+        bucket = bucket_size(max(_scan_count(u) for u in chunk))
+        geometries[(rows, bucket)] = True
+    geometries = sorted(geometries)
+    log.info(
+        'warming %d pipeline geometr%s for %d utterances',
+        len(geometries), 'y' if len(geometries) == 1 else 'ies',
+        len(utterances))
+
+    # synthetic corpus reproducing those geometries: equal-length
+    # groups sort adjacent, so the planner re-creates each (rows,
+    # bucket) batch exactly; speech-like noise keeps every program
+    # numerically live (VAD finds voiced frames, pitch locks)
+    with_warps = 'vtln' in config
+    if with_warps:
+        config = {k: v for k, v in config.items() if k != 'vtln'}
+    workdir = tempfile.mkdtemp(prefix='shennong_warmup_')
+    start = _time.perf_counter()
+    try:
+        entries = []
+        rng = np.random.RandomState(0)
+        for index, (rows, bucket) in enumerate(geometries):
+            t = np.arange(bucket) / sample_rate
+            signal = (
+                np.sin(2 * np.pi * 120 * t)
+                * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))
+                + rng.randn(bucket) * 0.05)
+            wav = os.path.join(workdir, f'geom{index}.wav')
+            scipy.io.wavfile.write(
+                wav, int(sample_rate),
+                (signal / np.abs(signal).max() * 12000).astype(
+                    np.int16))
+            entries.extend(
+                (f'warm{index}-{row}', wav, f'spk{row % 2}')
+                for row in range(rows))
+        synthetic = Utterances(entries)
+        warps = (
+            {utt.name: 1.0 for utt in synthetic} if with_warps
+            else None)
+        extract_features(
+            config, synthetic, warps=warps, njobs=njobs,
+            log=null_logger())
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    seconds = _time.perf_counter() - start
+    log.info('warmup done in %.1fs', seconds)
+    return {
+        'geometries': [list(geom) for geom in geometries],
+        'programs': len(geometries),
+        'seconds': round(seconds, 2)}

@@ -592,7 +592,11 @@ def write_ark_matrix(fp, key, matrix):
     fp.write(b'\x04' + struct.pack('<i', rows))
     fp.write(b'\x04' + struct.pack('<i', cols))
     # zero-copy: hand the array's own buffer to the writer instead of
-    # materializing a bytes duplicate of the whole matrix
+    # materializing a bytes duplicate of the whole matrix. This
+    # assumes fp copies synchronously (regular buffered files do):
+    # callers like _save_one_ark reuse the buffer for the next
+    # record, so a file-like object that RETAINS the memoryview would
+    # see later records' data
     fp.write(memoryview(matrix).cast('B'))
     return offset
 
@@ -700,16 +704,25 @@ class KaldiSerializer(FeaturesSerializer):
         offsets = {}
         # convert non-double matrices into ONE reused scratch buffer:
         # allocate-per-record astype() pays a fresh-page fault for every
-        # byte of the archive, the pooled pages are touched once
-        scratch = np.empty(
-            max((np.asarray(m).size for _, m in items), default=0),
-            dtype=np.float64)
+        # byte of the archive, the pooled pages are touched once. Sized
+        # over the records that need conversion only (an all-double
+        # collection allocates nothing), lazily on first use
+        items = [(key, np.ascontiguousarray(m)) for key, m in items]
+        scratch_size = max(
+            (m.size for _, m in items if m.dtype != np.float64),
+            default=0)
+        scratch = None
         with open(path, 'wb') as fp:
             for key, matrix in items:
-                matrix = np.ascontiguousarray(matrix)
                 if matrix.dtype != np.float64:
+                    if scratch is None:
+                        scratch = np.empty(scratch_size, np.float64)
                     view = scratch[:matrix.size].reshape(matrix.shape)
-                    np.copyto(view, matrix)
+                    # casting='unsafe' preserves the historical
+                    # astype(float64) semantics for exotic dtypes
+                    # (complex input writes its real part, like the
+                    # reference's DoubleMatrixWriter path)
+                    np.copyto(view, matrix, casting='unsafe')
                     matrix = view
                 offsets[key] = write_ark_matrix(fp, key, matrix)
         if scp:

@@ -101,3 +101,17 @@ def test_extract_output_formats(monkeypatch, tmpdir, wav_file, ext):
     assert list(features.keys()) == ['utt1']
     assert features['utt1'].nframes > 0
     assert np.all(np.isfinite(features['utt1'].data))
+
+
+def test_warmup_command(monkeypatch, tmpdir, wav_file, capsys):
+    """'speech-features warmup' precompiles the corpus geometry."""
+    config = str(tmpdir.join('config.yaml'))
+    run_cli(monkeypatch, 'config', 'mfcc', '-o', config)
+
+    utts = str(tmpdir.join('utterances.txt'))
+    with open(utts, 'wt') as fp:
+        fp.write(f'utt1 {wav_file} spk1 0 0.6\n')
+        fp.write(f'utt2 {wav_file} spk2 0.2 0.9\n')
+
+    run_cli(monkeypatch, 'warmup', config, utts)
+    assert 'warmed' in capsys.readouterr().out

@@ -211,3 +211,38 @@ def test_fused_pass_one_matches_stagewise(wav_file, features,
                 == sorted(stagewise[name].properties))
         assert (fused[name].properties['pipeline']
                 == stagewise[name].properties['pipeline'])
+
+
+def test_warmup_precompiles_and_preserves_outputs(utterances):
+    """pipeline.warmup derives the corpus geometries from headers,
+    compiles the pipeline over a synthetic stand-in, and a following
+    real extraction equals an unwarmed one (warmup is purely a
+    compile-cache effect, never a semantic one)."""
+    from shennong_tpu import pipeline
+
+    config = get_default_config('mfcc', with_delta=True)
+    config['mfcc']['dither'] = 0
+
+    out = pipeline.warmup(config, utterances)
+    assert out['programs'] >= 1
+    assert out['seconds'] > 0
+    assert all(
+        rows >= 1 and bucket >= 1 for rows, bucket in out['geometries'])
+
+    warmed = extract_features(config, utterances)
+    plain = extract_features(config, utterances)
+    assert sorted(warmed.keys()) == sorted(plain.keys())
+    for name in plain:
+        np.testing.assert_array_equal(
+            warmed[name].data, plain[name].data)
+
+
+def test_warmup_vtln_config_warms_warped_path(utterances):
+    """A vtln section warms the warped extraction path (per-utterance
+    mel inputs) without training anything on the synthetic corpus."""
+    from shennong_tpu import pipeline
+
+    config = get_default_config('mfcc', with_vtln='simple')
+    config['mfcc']['dither'] = 0
+    out = pipeline.warmup(config, utterances)
+    assert out['programs'] >= 1

@@ -216,3 +216,25 @@ def test_h5f_cross_library():
                 groupname='features')
         loaded = FeaturesCollection.load(theirs)
         assert loaded.is_close(collection)
+
+
+def test_ark_complex_input_writes_real_part(tmp_path):
+    """Exotic (complex) matrices keep the historical astype(float64)
+    semantics through the reused-scratch writer: the real part is
+    written (advisor r3: np.copyto default casting would raise)."""
+    import logging
+
+    from shennong_tpu.serializers import KaldiSerializer, read_ark
+
+    path = str(tmp_path / 'complex.ark')
+    serializer = KaldiSerializer(
+        FeaturesCollection, str(tmp_path / 'f.ark'),
+        log=logging.getLogger('test'))
+    data = (np.arange(6, dtype=np.float64)
+            + 1j * np.ones(6)).reshape(2, 3)
+    serializer._save_one_ark(
+        path, [('a', data), ('b', np.ones((2, 2), np.float32))],
+        scp=False)
+    loaded = dict(read_ark(path))
+    np.testing.assert_array_equal(loaded['a'], data.real)
+    np.testing.assert_array_equal(loaded['b'], np.ones((2, 2)))
