@@ -89,13 +89,19 @@ def main():
     collection = make_collection(nfiles, total_frames)
 
     # the CSV serializer writes a folder, selected by an
-    # extension-less target (one .csv file per utterance inside)
-    formats = ['.pkl', '.h5f', '.npz', '.mat', '.ark', 'csv-folder']
+    # extension-less target (one .csv file per utterance inside);
+    # '.ark compact' is the opt-in float32 ark layout (half the bytes
+    # of the reference-compatible double layout, still valid Kaldi)
+    formats = [
+        ('.pkl', {}), ('.h5f', {}), ('.npz', {}), ('.mat', {}),
+        ('.ark', {}), ('.ark compact', {'compact': True}),
+        ('csv-folder', {})]
     results = []
-    for ext in formats:
+    for ext, save_kwargs in formats:
         target = os.path.join(
             args.outdir,
-            'features_csv' if ext == 'csv-folder' else 'features' + ext)
+            'features_csv' if ext == 'csv-folder'
+            else 'features' + ext.split(' ')[0])
         for stale in (target, target.replace('.ark', '.times.ark'),
                       target.replace('.ark', '.properties.json')):
             if os.path.isdir(stale):
@@ -108,7 +114,7 @@ def main():
         os.sync()
 
         start = time.perf_counter()
-        collection.save(target)
+        collection.save(target, **save_kwargs)
         write_time = time.perf_counter() - start
 
         start = time.perf_counter()
@@ -121,7 +127,7 @@ def main():
             loaded[name].data, collection[name].data, atol=1e-5), ext
 
         size = path_size(target)
-        if ext == '.ark':
+        if ext.startswith('.ark'):
             for sidecar in ('features.times.ark',
                             'features.properties.json'):
                 sidecar = os.path.join(args.outdir, sidecar)

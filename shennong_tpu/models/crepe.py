@@ -251,6 +251,19 @@ def forward_audio_chunk(params, segments, last_owner, hop,
 
 
 @jax.jit
+def pack_stats(argmax, amax):
+    """One fetch payload for the per-frame statistics.
+
+    [..., 2] float32 carrying (argmax bin, max salience): bin indices
+    (<= 360) are exact in float32 so the unpacked argmax is
+    bit-identical — and through a device relay ONE fetch costs one
+    round trip where two cost two (async device-to-host copies do not
+    overlap through the relay transport).
+    """
+    return jnp.stack([argmax.astype(jnp.float32), amax], axis=-1)
+
+
+@jax.jit
 def gather_neighborhood(salience, centers):
     """salience [n, S], centers [n] -> [n, 9] values at bins
     centers-4 .. centers+4, zeros outside the bin range."""

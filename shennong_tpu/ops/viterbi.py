@@ -52,7 +52,8 @@ def _band_matrix(log_trans, halfwidth):
 
 
 def viterbi_host_banded_obs(log_start, log_trans, observations,
-                            uniform_weight, self_weight, halfwidth):
+                            uniform_weight, self_weight, halfwidth,
+                            band=None):
     """:func:`viterbi_host_banded` for two-valued observation models.
 
     State j at frame t weighs ``self_weight`` when
@@ -60,15 +61,20 @@ def viterbi_host_banded_obs(log_start, log_trans, observations,
     CREPE smoothing prior): the native kernel then never needs the
     dense [T, S] observation matrix (~1 GB per hour of audio). The
     numpy fallback materializes it.
+
+    ``band`` optionally passes a precomputed
+    ``_band_matrix(log_trans, halfwidth)`` — callers decoding many
+    rows under one prior skip rebuilding it per row.
     """
     log_trans = np.asarray(log_trans, dtype=np.float64)
     nstates = log_trans.shape[0]
     observations = np.asarray(observations)
     if observations.shape[0] > 1:
         from shennong_tpu import native
+        if band is None:
+            band = _band_matrix(log_trans, halfwidth)
         path = native.viterbi_banded_two(
-            np.asarray(log_start, dtype=np.float64),
-            _band_matrix(log_trans, halfwidth),
+            np.asarray(log_start, dtype=np.float64), band,
             uniform_weight, self_weight, observations, nstates)
         if path is not None:
             return path

@@ -9,6 +9,7 @@ rather than a per-frame bisection loop.
 """
 
 import copy
+import functools
 import warnings
 
 import numpy as np
@@ -70,19 +71,24 @@ class _DeviceSalience:
     def neighborhoods(self, centers):
         """[n, 9] salience values around per-frame center bins,
         zeros outside the bin range."""
+        import concurrent.futures
+
         pending, lo = [], 0
-        for sal, keep in zip(self.chunks, self.counts):
-            c = np.zeros(sal.shape[0], np.int32)
-            c[:keep] = centers[lo:lo + keep]
-            # dispatch all gathers before fetching any
-            pending.append(
-                crepe.gather_neighborhood(sal, jnp.asarray(c)))
-            lo += keep
-        if not pending:
-            return np.zeros((0, 9), np.float32)
-        return np.concatenate([
-            np.asarray(g)[:keep]
-            for g, keep in zip(pending, self.counts)])
+        with concurrent.futures.ThreadPoolExecutor(4) as fetch_pool:
+            for sal, keep in zip(self.chunks, self.counts):
+                c = np.zeros(sal.shape[0], np.int32)
+                c[:keep] = centers[lo:lo + keep]
+                # dispatch all gathers before fetching any; the
+                # fetches overlap each other on the pool
+                pending.append(fetch_pool.submit(
+                    np.asarray,
+                    crepe.gather_neighborhood(sal, jnp.asarray(c))))
+                lo += keep
+            if not pending:
+                return np.zeros((0, 9), np.float32)
+            return np.concatenate([
+                fut.result()[:keep]
+                for fut, keep in zip(pending, self.counts)])
 
 
 def _crepe_prior(nstates):
@@ -99,6 +105,24 @@ def _crepe_prior(nstates):
     return start, transition, emission
 
 
+@functools.lru_cache(maxsize=4)
+def _crepe_prior_logs(nstates):
+    """Cached log-domain prior pieces for :func:`_viterbi_bin_path`.
+
+    The prior depends only on the state count, but building the
+    [S, S] matrices, their logs and the transition band cost ~4 ms —
+    once per decoded ROW that is 10% of a warm corpus run."""
+    from shennong_tpu.ops.viterbi import _band_matrix
+
+    start, transition, emission = _crepe_prior(nstates)
+    with np.errstate(divide='ignore'):
+        log_trans = np.log(transition)
+        return (np.log(start), log_trans,
+                float(np.log(emission[1, 0])),
+                float(np.log(emission[0, 0])),
+                _band_matrix(log_trans, 11))
+
+
 def _to_viterbi_cents(salience):
     """Viterbi-smoothed cents decode (360-state banded prior)."""
     observations = np.argmax(salience, axis=1)
@@ -113,14 +137,14 @@ def _viterbi_bin_path(observations, nstates):
     decoder applies — bit-identical to the dense one at 1/16 the
     work.
     """
-    start, transition, emission = _crepe_prior(nstates)
+    (log_start, log_trans, uniform_w, self_w,
+     band) = _crepe_prior_logs(nstates)
     # emission columns are two-valued (self bin vs uniform), so the
     # decoder takes the argmax sequence plus the two log weights and
     # never builds the [T, S] observation matrix
-    with np.errstate(divide='ignore'):
-        return viterbi_host_banded_obs(
-            np.log(start), np.log(transition), observations,
-            np.log(emission[1, 0]), np.log(emission[0, 0]), 11)
+    return viterbi_host_banded_obs(
+        log_start, log_trans, observations, uniform_w, self_w, 11,
+        band=band)
 
 
 def _nccf_to_pov(x):
@@ -360,22 +384,30 @@ class CrepePitchProcessor(FeaturesProcessor):
         buf[pad_left:pad_left + len(audio)] = audio
 
         # dispatch every chunk before fetching anything: uploads and
-        # CNN programs overlap under JAX's async dispatch, the host
-        # only waits once at the end
+        # CNN programs overlap under JAX's async dispatch. The
+        # argmax/max statistics travel as one packed payload per
+        # chunk, fetched on a thread pool so the relay round trips of
+        # consecutive chunks overlap each other
+        import concurrent.futures
+
         chunks, counts, pending = [], [], []
-        for f0 in range(0, nframes, chunk):
-            segment = jnp.asarray(
-                buf[f0 * hop:f0 * hop + seg_len])[None]
-            owner = jnp.full((1,), nframes - 1 - f0 + halo, jnp.int32)
-            sal, am, mx = crepe.forward_audio_chunk(
-                params, segment, owner, hop, chunk, halo)
-            chunks.append(sal[0])
-            counts.append(min(chunk, nframes - f0))
-            pending.append((am, mx))
-        argm = [np.asarray(am)[0, :keep]
-                for (am, _), keep in zip(pending, counts)]
-        amax = [np.asarray(mx)[0, :keep]
-                for (_, mx), keep in zip(pending, counts)]
+        with concurrent.futures.ThreadPoolExecutor(4) as fetch_pool:
+            for f0 in range(0, nframes, chunk):
+                segment = jnp.asarray(
+                    buf[f0 * hop:f0 * hop + seg_len])[None]
+                owner = jnp.full(
+                    (1,), nframes - 1 - f0 + halo, jnp.int32)
+                sal, am, mx = crepe.forward_audio_chunk(
+                    params, segment, owner, hop, chunk, halo)
+                chunks.append(sal[0])
+                counts.append(min(chunk, nframes - f0))
+                pending.append(fetch_pool.submit(
+                    np.asarray, crepe.pack_stats(am, mx)))
+            stats = [fut.result() for fut in pending]
+        argm = [s[0, :keep, 0].astype(np.int32)
+                for s, keep in zip(stats, counts)]
+        amax = [np.ascontiguousarray(s[0, :keep, 1])
+                for s, keep in zip(stats, counts)]
         return _DeviceSalience(
             chunks, counts, np.concatenate(argm), np.concatenate(amax))
 
@@ -436,7 +468,11 @@ class CrepePitchProcessor(FeaturesProcessor):
         # round trip on top of the compute it waits for, so the CNN
         # for slice N+1..N+depth dispatches before slice N's
         # argmax/max is fetched and decoded, and the neighborhood
-        # gather of slice N overlaps slice N+1's decode. depth bounds
+        # gather of slice N overlaps slice N+1's decode. Fetches run
+        # on a small thread pool (device-to-host copies release the
+        # GIL) so the round trips of consecutive slices overlap each
+        # other too, and argmax/max travel as ONE packed payload
+        # (crepe.pack_stats) — one round trip, not two. depth bounds
         # the device-resident salience (each slice holds
         # [rows, bucket, 360] float32, ~24 MB)
         import collections as _collections
@@ -444,8 +480,9 @@ class CrepePitchProcessor(FeaturesProcessor):
         import os as _os
 
         depth = 3
-        inflight = _collections.deque()  # (part, bucket, sal, am, mx)
-        gathers = _collections.deque()   # (part, bucket, mx, centers, neigh)
+        fetch_pool = concurrent.futures.ThreadPoolExecutor(4)
+        inflight = _collections.deque()  # (part, bucket, sal, stats_fut)
+        gathers = _collections.deque()   # (part, bucket, mx, centers, neigh_fut)
         pending = []                     # (name, confidence, cents, nsamples)
 
         # the banded decoders are independent per row and the native
@@ -457,8 +494,10 @@ class CrepePitchProcessor(FeaturesProcessor):
             if self.viterbi and workers > 1 else None)
 
         def decode_slice():
-            part, bucket, sal, am, mx = inflight.popleft()
-            am, mx = np.asarray(am), np.asarray(mx)
+            part, bucket, sal, stats_fut = inflight.popleft()
+            stats = stats_fut.result()
+            am = stats[..., 0].astype(np.int32)
+            mx = np.ascontiguousarray(stats[..., 1])
             rows = am.shape[0]
             centers = np.zeros((rows, bucket), np.int32)
 
@@ -480,12 +519,14 @@ class CrepePitchProcessor(FeaturesProcessor):
             neigh_dev = crepe.gather_neighborhood(
                 sal.reshape(-1, sal.shape[-1]),
                 jnp.asarray(centers.reshape(-1)))
-            gathers.append((part, bucket, mx, centers, neigh_dev))
+            gathers.append((
+                part, bucket, mx, centers,
+                fetch_pool.submit(np.asarray, neigh_dev)))
 
         def assemble_slice():
-            part, bucket, mx, centers, neigh_dev = gathers.popleft()
+            part, bucket, mx, centers, neigh_fut = gathers.popleft()
             rows = centers.shape[0]
-            neigh = np.asarray(neigh_dev).reshape(rows, bucket, 9)
+            neigh = neigh_fut.result().reshape(rows, bucket, 9)
             for i, (name, nsamples, _, nframes) in enumerate(part):
                 cents = _local_average_from_neighborhoods(
                     neigh[i, :nframes], centers[i, :nframes])
@@ -499,8 +540,16 @@ class CrepePitchProcessor(FeaturesProcessor):
                 # bound the frames per device program (the first conv
                 # layer materializes ~128 KB per frame); pad the last
                 # slice to the same row count so the program compiles
-                # once
-                rows = max(1, 16384 // bucket)
+                # once. Small groups also split into ~depth+1 slices
+                # so the CNN of later slices overlaps the host Viterbi
+                # of earlier ones (one big slice has nothing to
+                # pipeline against); row counts quantize to geometric
+                # buckets to keep the compiled-shape set bounded
+                rows = max(1, min(
+                    16384 // bucket,
+                    bucket_size(
+                        -(-len(items) // (depth + 1)), minimum=4)
+                    if len(items) > 1 else 1))
                 for lo in range(0, len(items), rows):
                     part = items[lo:lo + rows]
                     segments = np.zeros((rows, seg_len), np.float32)
@@ -512,10 +561,10 @@ class CrepePitchProcessor(FeaturesProcessor):
                     sal, am, mx = crepe.forward_audio_chunk(
                         params, jnp.asarray(segments),
                         jnp.asarray(owners), hop, bucket, halo)
-                    for arr in (am, mx):
-                        if hasattr(arr, 'copy_to_host_async'):
-                            arr.copy_to_host_async()
-                    inflight.append((part, bucket, sal, am, mx))
+                    inflight.append((
+                        part, bucket, sal,
+                        fetch_pool.submit(
+                            np.asarray, crepe.pack_stats(am, mx))))
                     if len(inflight) >= depth:
                         decode_slice()
                     if len(gathers) >= depth:
@@ -527,6 +576,7 @@ class CrepePitchProcessor(FeaturesProcessor):
         finally:
             if decode_pool is not None:
                 decode_pool.shutdown()
+            fetch_pool.shutdown()
         for name, feats in self._finish_decode_batch(pending):
             collection[name] = feats
         return collection

@@ -238,3 +238,30 @@ def test_ark_complex_input_writes_real_part(tmp_path):
     loaded = dict(read_ark(path))
     np.testing.assert_array_equal(loaded['a'], data.real)
     np.testing.assert_array_equal(loaded['b'], np.ones((2, 2)))
+
+
+def test_ark_compact_float32_roundtrip(tmp_path):
+    """compact=True writes float32 data as native FM records: near
+    half the archive bytes of the double layout (times stay double),
+    bit-exact round trip through the dtype sidecar."""
+    import os
+
+    rng = np.random.RandomState(3)
+    fc = FeaturesCollection({
+        f'u{i}': Features(
+            rng.randn(200, 13).astype(np.float32),
+            np.arange(200, dtype=float))
+        for i in range(4)})
+    double = str(tmp_path / 'double.ark')
+    compact = str(tmp_path / 'compact.ark')
+    fc.save(double)
+    fc.save(compact, compact=True)
+
+    assert os.path.getsize(compact) < 0.6 * os.path.getsize(double)
+    loaded = FeaturesCollection.load(compact)
+    assert sorted(loaded) == sorted(fc)
+    for name in fc:
+        assert loaded[name].dtype == fc[name].dtype
+        np.testing.assert_array_equal(loaded[name].data, fc[name].data)
+        np.testing.assert_array_equal(
+            loaded[name].times, fc[name].times)
