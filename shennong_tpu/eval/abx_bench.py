@@ -249,7 +249,10 @@ def benchmark(config='full', seed=0, features=('mfcc',), workdir=None,
         for label, segments in conditions.items():
             log.info('scoring %s %s (%d segments)',
                      feature, label, len(segments))
-            distances = pairwise_distances(segments)
+            # large pair batches: the full configuration scores 320k
+            # pairs per condition, and each dispatch pays a fixed
+            # host-device round trip
+            distances = pairwise_distances(segments, batch=4096)
             for task in ('across', 'within'):
                 errors[task][feature][label] = abx_error(
                     distances, phone_labels, speaker_labels, task=task)
