@@ -157,6 +157,23 @@ def dtw_divergences(x, nx, y, ny, metric='cosine'):
 
 # ----------------------------------------------------- distance matrices
 
+@functools.partial(jax.jit, static_argnames=('metric',))
+def _dtw_pairs(padded, lengths, left, right, metric):
+    """DTW divergences of indexed segment pairs.
+
+    The pair gather happens INSIDE the program: the segment store
+    uploads to the device once and every batch ships only its [B]
+    index vectors — indexing on the host would re-upload each
+    segment once per pair it appears in (~N times), which through a
+    host-device relay dominates the entire evaluation.
+    """
+    return dtw_divergences(
+        jnp.take(padded, left, axis=0),
+        jnp.take(lengths, left),
+        jnp.take(padded, right, axis=0),
+        jnp.take(lengths, right), metric=metric)
+
+
 def pairwise_distances(segments, metric='cosine', batch=512):
     """Symmetric DTW divergence matrix over a list of segments.
 
@@ -173,6 +190,8 @@ def pairwise_distances(segments, metric='cosine', batch=512):
     -------
     distances : [N, N] float numpy array, zero diagonal.
     """
+    import concurrent.futures
+
     segments = [np.asarray(seg, dtype=np.float32) for seg in segments]
     if not segments:
         return np.zeros((0, 0))
@@ -189,20 +208,33 @@ def pairwise_distances(segments, metric='cosine', batch=512):
     for index, seg in enumerate(segments):
         padded[index, :seg.shape[0]] = seg
 
+    # the segment store crosses the host-device link ONCE; batches
+    # dispatch back to back and their [B]-sized results fetch on a
+    # thread pool so the relay round trips overlap
+    padded_dev = jnp.asarray(padded)
+    lengths_dev = jnp.asarray(lengths)
     left, right = np.triu_indices(count, k=1)
-    distances = np.zeros((count, count), np.float64)
-    for start in range(0, len(left), batch):
-        li = left[start:start + batch]
-        ri = right[start:start + batch]
-        rows = len(li)
-        if rows < batch:  # pad the final chunk: one compiled shape
-            li = np.concatenate([li, np.zeros(batch - rows, np.int64)])
-            ri = np.concatenate([ri, np.zeros(batch - rows, np.int64)])
-        div = np.asarray(dtw_divergences(
-            padded[li], lengths[li], padded[ri], lengths[ri],
-            metric=metric))[:rows]
-        distances[left[start:start + batch],
-                  right[start:start + batch]] = div
+    starts = list(range(0, len(left), batch))
+    futures = []
+    with concurrent.futures.ThreadPoolExecutor(4) as fetch_pool:
+        for start in starts:
+            li = left[start:start + batch]
+            ri = right[start:start + batch]
+            rows = len(li)
+            if rows < batch:  # pad the final chunk: one compiled shape
+                li = np.concatenate(
+                    [li, np.zeros(batch - rows, np.int64)])
+                ri = np.concatenate(
+                    [ri, np.zeros(batch - rows, np.int64)])
+            div = _dtw_pairs(
+                padded_dev, lengths_dev, jnp.asarray(li),
+                jnp.asarray(ri), metric)
+            futures.append(fetch_pool.submit(np.asarray, div))
+        distances = np.zeros((count, count), np.float64)
+        for start, fut in zip(starts, futures):
+            rows = len(left[start:start + batch])
+            distances[left[start:start + batch],
+                      right[start:start + batch]] = fut.result()[:rows]
     return distances + distances.T
 
 

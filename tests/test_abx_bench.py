@@ -10,7 +10,7 @@ import warnings
 import numpy as np
 import pytest
 
-from shennong_tpu.eval.abx import dtw_divergences, pairwise_distances
+from shennong_tpu.eval.abx import pairwise_distances
 from shennong_tpu.eval.abx_bench import benchmark
 
 
@@ -60,6 +60,8 @@ def test_pairwise_distances_at_scale_one_compiled_shape():
     tensor would be ~25x the batched working set)."""
     import tracemalloc
 
+    from shennong_tpu.eval.abx import _dtw_pairs
+
     rng = np.random.RandomState(0)
     count, dim = 150, 13
     segments = [
@@ -68,22 +70,23 @@ def test_pairwise_distances_at_scale_one_compiled_shape():
     npairs = count * (count - 1) // 2
     assert npairs >= 10_000
 
-    # warm the (batch, padded_len) program so compilation buffers do
-    # not count against the streaming working set
-    warm = pairwise_distances(segments[:2], batch=512)
-    assert warm.shape == (2, 2)
+    # first run compiles exactly ONE (batch, padded_len) program for
+    # all 10^4+ pairs (plus warms its buffers)
+    before = _dtw_pairs._cache_size()
+    first = pairwise_distances(segments, batch=512)
+    assert _dtw_pairs._cache_size() - before <= 1
 
-    before = dtw_divergences._cache_size()
     tracemalloc.start()
     distances = pairwise_distances(segments, batch=512)
     _, peak = tracemalloc.get_traced_memory()
     tracemalloc.stop()
 
     assert distances.shape == (count, count)
+    np.testing.assert_array_equal(distances, first)
     assert np.allclose(distances, distances.T)
     assert (distances[~np.eye(count, dtype=bool)] > 0).all()
-    # one padded shape serves all 10^4+ pairs: nothing new compiles
-    assert dtw_divergences._cache_size() == before
+    # the warmed shape serves the whole rerun: nothing new compiles
+    assert _dtw_pairs._cache_size() - before <= 1
     # bounded host memory: the padded segment store + one batch of
     # cost matrices, far under the dense all-pairs tensor (~100 MB)
     assert peak < 60 * 2 ** 20, peak
