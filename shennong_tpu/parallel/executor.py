@@ -351,10 +351,18 @@ class BatchExecutor:
             signal_cache, utterances, self.batch_size,
             self._pad_multiple(), njobs=njobs)
         for names, signals, nsamples, nvalid in source:
+            with counters.timed('dispatch_s'):
+                if isinstance(signals, np.ndarray):
+                    counters.add(
+                        'bytes_up', signals.nbytes + nsamples.nbytes)
+                counters.add('dispatches')
+                out = self._run_batch(
+                    names, signals, nsamples, vtln_warp)
             # one host fetch for the whole batch: per-row slicing
             # would pay one relay round trip per utterance
-            feats = np.asarray(self._run_batch(
-                names, signals, nsamples, vtln_warp))
+            with counters.timed('fetch_s'):
+                feats = np.asarray(out)
+            counters.add('bytes_down', feats.nbytes)
             for row, utt_name in enumerate(names):
                 nframes = proc.output_frames(int(nsamples[row]))
                 data = feats[row, :nframes]
