@@ -76,16 +76,16 @@ def warp_class_mapping_moments(signals, nsamples, nframes, mel_weights,
     return beta, mu_x, mu_y, Cxx, Cyx
 
 
-def solve_mapping_from_moments(moments):
-    """Merge per-batch centered moments and solve every warp class.
+def merge_moments(moments):
+    """Merge per-batch centered moments into one equivalent tuple.
 
     ``moments`` is a list of the tuples returned by
     :func:`warp_class_mapping_moments` (numpy, any dtype — merged in
     float64 with the standard parallel-covariance corrections).
-    Returns the [C, D, D] transforms with the same per-dimension
-    variance normalization as :func:`compute_mapping_transform` (the
-    centered reformulation yields the identical least-squares
-    solution).
+    Returns a single (beta, mu_x, mu_y, Cxx, Cyx) float64 tuple — the
+    merge is associative, so multi-host training can merge each
+    host's batches locally, allgather the per-host tuples and merge
+    those identically everywhere.
     """
     moments = [
         tuple(np.asarray(m, dtype=np.float64) for m in batch)
@@ -106,6 +106,20 @@ def solve_mapping_from_moments(moments):
         Cxx += Cxx_b + beta_b * np.outer(dx, dx)
         Cyx += Cyx_b + beta_b * np.einsum(
             'cd,e->cde', mu_y_b - mu_y, dx)
+    return beta, mu_x, mu_y, Cxx, Cyx
+
+
+def solve_mapping_from_moments(moments):
+    """Merge per-batch centered moments and solve every warp class.
+
+    ``moments`` is a list of :func:`warp_class_mapping_moments`
+    tuples (see :func:`merge_moments`). Returns the [C, D, D]
+    transforms with the same per-dimension variance normalization as
+    :func:`compute_mapping_transform` (the centered reformulation
+    yields the identical least-squares solution).
+    """
+    beta, mu_x, mu_y, Cxx, Cyx = merge_moments(moments)
+    nclasses, dim = mu_y.shape
 
     Cxx_inv = np.linalg.inv(Cxx)
     transforms = np.zeros((nclasses, dim, dim))
@@ -490,12 +504,12 @@ def solve_warp_classes(beta, K, G, base, warps, valid_base,
     jax.jit,
     static_argnames=(
         'num_groups', 'num_iters', 'norm_type', 'default_class',
-        'min_gaussian_weight'))
+        'min_gaussian_weight', 'axis_name'))
 def lvtln_rounds(feats, fweights, gid, gsel, base, warps,
                  gmm_weights, gmm_means, gmm_inv_vars,
                  num_groups, num_iters, norm_type='offset',
                  logdet_scale=0.0, default_class=0,
-                 min_gaussian_weight=1e-4):
+                 min_gaussian_weight=1e-4, axis_name=None):
     """The whole LVTLN estimation loop as ONE device program.
 
     Fuses the reference's per-iteration sequence (apply transforms ->
@@ -513,6 +527,13 @@ def lvtln_rounds(feats, fweights, gid, gsel, base, warps,
     (padded; ``fweights`` [N] zero on padding), ``gid`` [N] speaker
     index per frame, ``gsel`` [N, k] fixed gaussian-selection indices,
     ``base`` [C, D, D] warp-class base transforms, ``warps`` [C].
+
+    Under ``shard_map`` pass ``axis_name`` to train across a device
+    mesh: the frame axis (feats/fweights/gid/gsel) shards over that
+    axis, everything else replicates, and the fMLLR statistics and EM
+    accumulators psum per round — every device steps the identical
+    model and transforms (the multi-host twin of the reference's
+    SLURM VTLN fan-out, ``examples/vtln_training/run.sh:16-23``).
 
     Returns (weights, means, inv_vars, transforms [S, D, D+1],
     warps_out [S], best_class [S], objf_impr [S], beta [S]): the
@@ -564,6 +585,10 @@ def lvtln_rounds(feats, fweights, gid, gsel, base, warps,
             'nq,ng->qg',
             (onehot[:, :, None] * wi[:, None, :]).reshape(n, -1),
             xx, **kwargs).reshape(num_groups, dim, dim + 1, dim + 1)
+        if axis_name is not None:
+            beta = jax.lax.psum(beta, axis_name)
+            K = jax.lax.psum(K, axis_name)
+            G = jax.lax.psum(G, axis_name)
 
         # per-(speaker, class) objective: transform the stats through
         # aplus_c = [[A_c, 0], [0, 1]] and solve the secondary
@@ -587,7 +612,8 @@ def lvtln_rounds(feats, fweights, gid, gsel, base, warps,
         x = apply_transforms(transforms)
         _, w2, m2, iv2 = gmm_ops.em_step(
             x, fweights, w_, m_, iv_,
-            min_gaussian_weight=min_gaussian_weight)
+            min_gaussian_weight=min_gaussian_weight,
+            axis_name=axis_name)
         est = estimate_transforms((w2, m2, iv2), x)
         return (w2, m2, iv2) + est
 

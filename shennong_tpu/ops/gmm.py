@@ -137,10 +137,11 @@ def accumulate_stats(feats, frame_weights, weights, means, inv_vars):
 
 @functools.partial(
     jax.jit, static_argnames=(
-        'min_gaussian_weight', 'min_gaussian_occupancy', 'min_variance'))
+        'min_gaussian_weight', 'min_gaussian_occupancy', 'min_variance',
+        'axis_name'))
 def em_step(feats, frame_weights, weights, means, inv_vars,
             min_gaussian_weight=1e-4, min_gaussian_occupancy=10.0,
-            min_variance=0.001):
+            min_variance=0.001, axis_name=None):
     """One full EM iteration on device: accumulate + MLE update.
 
     The training loops keep the data and the model device-resident and
@@ -151,10 +152,19 @@ def em_step(feats, frame_weights, weights, means, inv_vars,
     :func:`mle_update` (component removal, which changes shapes, stays
     host-side on the final iteration).
 
+    Under ``shard_map`` pass ``axis_name`` to psum the statistics over
+    that mesh axis before the update (the frame axis sharded across
+    devices/hosts, the model replicated).
+
     Returns (tot_like, new_weights, new_means, new_inv_vars).
     """
     tot_like, occupancy, mean_acc, var_acc = accumulate_stats(
         feats, frame_weights, weights, means, inv_vars)
+    if axis_name is not None:
+        tot_like = jax.lax.psum(tot_like, axis_name)
+        occupancy = jax.lax.psum(occupancy, axis_name)
+        mean_acc = jax.lax.psum(mean_acc, axis_name)
+        var_acc = jax.lax.psum(var_acc, axis_name)
 
     total = jnp.sum(occupancy)
     updatable = (

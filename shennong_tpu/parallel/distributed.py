@@ -455,3 +455,221 @@ def estimate_vtln(vtln, ubm, feats_collection, posteriors, utt2speak,
             '%s: auxf-impr from LVTLN is %s, over %s frames',
             group, objf_impr / max(count, 1e-10), count)
     return transforms, warps
+
+
+def _allgather_host(vector):
+    """[P, L] gather of a per-process float64 host vector (identical
+    result on every process; no summing — rank order preserved)."""
+    import numpy as np
+
+    vector = np.ascontiguousarray(np.asarray(vector, np.float64))
+    if jax.process_count() == 1:
+        return vector[None]
+
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    bits = vector.view(np.uint32)
+    gathered = np.asarray(
+        multihost_utils.process_allgather(jnp.asarray(bits)))
+    return np.ascontiguousarray(gathered).view(np.float64)
+
+
+def train_vtln(vtln, utterances, group_by='utterance', njobs=1,
+               log=get_logger('distributed', 'info')):
+    """Multi-process ``VtlnProcessor.process``: full LVTLN training.
+
+    The complete training flow of the fused single-process path
+    (``VtlnProcessor._device_body``) with every corpus reduction
+    crossing process boundaries as a collective:
+
+    - the UBM trains through :func:`train_ubm` (per-shard front-ends,
+      psum'd EM statistics);
+    - the warp-class base transforms come from per-shard centered LS
+      moments, merged bit-identically on every process (the merge is
+      associative, :func:`shennong_tpu.ops.fmllr.merge_moments`);
+    - every estimation round runs as ONE mesh program whose fMLLR
+      statistics and EM accumulators psum over all devices of all
+      processes (:func:`...fused.make_lvtln_train_steps`).
+
+    Every process ends up holding the identical model, transforms and
+    warps — the reference's SLURM VTLN fan-out
+    (``examples/vtln_training/run.sh:16-23``) without a filesystem
+    merge. Returns the warp dict (by utterance or speaker, like
+    ``process()``); ``vtln.transforms`` / ``vtln.warps`` are set.
+    Requires the fused path (plain MFCC features, no shape-changing
+    UBM updates).
+    """
+    import copy
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from shennong_tpu import pipeline as pipe
+    from shennong_tpu.logger import null_logger
+    from shennong_tpu.ops import gmm as gmm_ops
+    from shennong_tpu.ops.fmllr import (
+        LinearVtln, merge_moments, solve_mapping_from_moments)
+    from shennong_tpu.parallel.fused import make_lvtln_train_steps
+    from shennong_tpu.processor.ubm import (
+        DiagGmm, DiagUbmProcessor, stream_frontend)
+
+    if group_by not in ('utterance', 'speaker'):
+        raise ValueError(
+            f'group_by must be "utterance" or "speaker", '
+            f'it is: {group_by}')
+    if group_by == 'speaker' and not vtln.by_speaker:
+        raise ValueError(
+            'Asking to group warps by speaker but they are computed '
+            'per utterance, please set VtlnProcessor.by_speaker to '
+            'True')
+    utterances_list = list(utterances)
+    utt2speak = None
+    if vtln.by_speaker:
+        utt2speak = {
+            utt.name: utt.speaker for utt in utterances_list}
+        if any(spk is None for spk in utt2speak.values()):
+            raise ValueError(
+                'Requested speaker based VTLN, but speaker '
+                'information is missing')
+    if vtln.min_warp > vtln.max_warp:
+        raise ValueError(
+            f'Min warp > max warp: {vtln.min_warp} > {vtln.max_warp}')
+
+    # ---------------------------------------------- UBM (distributed)
+    ubm = DiagUbmProcessor(**vtln.ubm)
+    ubm.log.setLevel(log.getEffectiveLevel())
+    if ubm.remove_low_count_gaussians:
+        raise ValueError(
+            'distributed VTLN training needs a fixed-size UBM: set '
+            'ubm.remove_low_count_gaussians to False')
+    train_ubm(ubm, utterances_list, njobs=njobs, log=log)
+    vtln.ubm = ubm.get_params()
+
+    log.info('Initializing base LVTLN transforms')
+    dim = ubm.gmm.dim()
+    num_classes = int(
+        1.5 + (vtln.max_warp - vtln.min_warp) / vtln.warp_step)
+    default_class = int(0.5 + (1 - vtln.min_warp) / vtln.warp_step)
+    vtln.lvtln = LinearVtln(dim, num_classes, default_class)
+    class_warps = [
+        vtln.min_warp + c * vtln.warp_step for c in range(num_classes)]
+
+    # ------------------------------------- front-end on the shard
+    shard = shard_utterances(utterances_list)
+    features_config = copy.deepcopy(vtln.features)
+    front = stream_frontend(
+        features_config, ubm.vad, vtln.subsample, shard, njobs=njobs)
+    if front is None:
+        raise ValueError(
+            'distributed VTLN training needs the fused MFCC '
+            'front-end (plain MFCC features, single sample rate, '
+            'utterances under the chunking limit)')
+    flat, _, w_em, _, layout = front
+    w_host = np.asarray(w_em)
+
+    # --------------------- warp-class base transforms (allgathered)
+    keep = {}
+    for names, frames_per_row, offset in layout:
+        for row, name in enumerate(names):
+            start = offset + row * frames_per_row
+            keep[name] = w_host[start:start + frames_per_row]
+    base_features = {
+        k: v for k, v in vtln.features.items()
+        if k != 'sliding_window_cmvn'}
+    moments = pipe.accumulate_warp_mapping_stats(
+        base_features, shard, class_warps, keep, null_logger(),
+        njobs=njobs)
+    if moments is None:
+        raise ValueError(
+            'distributed VTLN training needs the fused warp-moment '
+            'pass (plain single-rate MFCC features)')
+    local = merge_moments(moments)
+    sizes = [np.asarray(m, np.float64).size for m in local]
+    flat_local = np.concatenate(
+        [np.asarray(m, np.float64).reshape(-1) for m in local])
+    gathered = _allgather_host(flat_local)
+    merged = []
+    for rank_vec in gathered:
+        parts, pos = [], 0
+        for template, size in zip(local, sizes):
+            shape = np.asarray(template).shape
+            parts.append(rank_vec[pos:pos + size].reshape(shape))
+            pos += size
+        merged.append(tuple(parts))
+    log.info(
+        'Computing base transforms for %s warp classes '
+        '(fused device pass, %d processes)', num_classes,
+        jax.process_count())
+    matrices = solve_mapping_from_moments(merged)
+    for c, this_warp in enumerate(class_warps):
+        vtln.lvtln.set_transform(c, matrices[c])
+        vtln.lvtln.set_warp(c, this_warp)
+
+    # --------------------------- group ids against the GLOBAL list
+    def group_of(name):
+        return utt2speak[name] if utt2speak is not None else name
+
+    group_names = sorted(
+        {group_of(utt.name) for utt in utterances_list})
+    gindex = {g: i for i, g in enumerate(group_names)}
+    gid = np.zeros(flat.shape[0], dtype=np.int32)
+    for names, frames_per_row, offset in layout:
+        for row, name in enumerate(names):
+            start = offset + row * frames_per_row
+            gid[start:start + frames_per_row] = gindex[group_of(name)]
+
+    if ubm.num_gselect > ubm.gmm.num_gauss():
+        ubm.num_gselect = ubm.gmm.num_gauss()
+    _, gsel = gmm_ops.gaussian_selection(
+        flat, *ubm.gmm.as_jax(), ubm.num_gselect)
+
+    # ------------------------------- mesh-fused estimation rounds
+    log.info(
+        'Computing LVTLN transforms (%s iterations, %d global '
+        'devices)', vtln.num_iters, jax.device_count())
+    mesh = _global_data_mesh()
+    flat_g, wem_g, gid_g, gsel_g = _shard_rows(
+        mesh, flat, w_em, gid, gsel)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    replicated = NamedSharding(mesh, P())
+    rounds = make_lvtln_train_steps(
+        mesh, num_groups=len(group_names), num_iters=vtln.num_iters,
+        norm_type=vtln.norm_type, logdet_scale=vtln.logdet_scale,
+        default_class=default_class,
+        min_gaussian_weight=ubm.min_gaussian_weight)
+    out = rounds(
+        flat_g, wem_g, gid_g, gsel_g,
+        jax.device_put(np.asarray(
+            vtln.lvtln.transforms, np.float32), replicated),
+        jax.device_put(np.asarray(
+            vtln.lvtln.warps, np.float32), replicated),
+        *[jax.device_put(np.asarray(p, np.float32), replicated)
+          for p in ubm.gmm.as_jax()])
+    (gmm_w, gmm_m, gmm_iv, transforms, _, best, impr, beta) = (
+        np.asarray(o) for o in out)
+
+    ubm.gmm = DiagGmm(
+        gmm_w.astype(np.float64), gmm_m.astype(np.float64),
+        gmm_iv.astype(np.float64))
+    vtln.transforms = {
+        name: transforms[i].astype(np.float64)
+        for i, name in enumerate(group_names)}
+    vtln.warps = {
+        name: float(vtln.lvtln.warps[best[i]])
+        for i, name in enumerate(group_names)}
+    log.debug(
+        'overall LVTLN auxf-impr per frame is %s over %s frames',
+        impr.sum() / max(beta.sum(), 1e-10), beta.sum())
+
+    if vtln.by_speaker:
+        vtln.transforms = {
+            utt: vtln.transforms[spk] for utt, spk in utt2speak.items()}
+        vtln.warps = {
+            utt: vtln.warps[spk] for utt, spk in utt2speak.items()}
+    log.info('Done training LVTLN model')
+    if group_by == 'utterance':
+        return dict(vtln.warps)
+    return {
+        spk: vtln.warps[utts[0].name]
+        for spk, utts in utterances.by_speaker().items()}

@@ -339,28 +339,11 @@ def make_em_train_steps(mesh, num_iters, min_gaussian_weight=1e-4,
     def shard_steps(flat, fweights, weights, means, inv_vars):
         def body(_, carry):
             _, w_, m_, iv_ = carry
-            like, occ, mean_acc, var_acc = gmm_ops.accumulate_stats(
-                flat, fweights, w_, m_, iv_)
-            like = jax.lax.psum(like, 'data')
-            occ = jax.lax.psum(occ, 'data')
-            mean_acc = jax.lax.psum(mean_acc, 'data')
-            var_acc = jax.lax.psum(var_acc, 'data')
-
-            total = jnp.sum(occ)
-            updatable = (
-                (occ > min_gaussian_occupancy)
-                & (occ / jnp.maximum(total, 1e-10)
-                   > min_gaussian_weight))
-            new_w = jnp.where(updatable, occ / total, w_)
-            new_w = new_w / jnp.sum(new_w)
-            safe_occ = jnp.maximum(occ, 1e-10)[:, None]
-            new_m = jnp.where(
-                updatable[:, None], mean_acc / safe_occ, m_)
-            variances = var_acc / safe_occ - (mean_acc / safe_occ) ** 2
-            variances = jnp.maximum(variances, min_variance)
-            new_iv = jnp.where(
-                updatable[:, None], 1.0 / variances, iv_)
-            return like, new_w, new_m, new_iv
+            return gmm_ops.em_step(
+                flat, fweights, w_, m_, iv_,
+                min_gaussian_weight=min_gaussian_weight,
+                min_gaussian_occupancy=min_gaussian_occupancy,
+                min_variance=min_variance, axis_name='data')
 
         init = (jnp.float32(0.0), weights, means, inv_vars)
         return jax.lax.fori_loop(0, num_iters, body, init)
@@ -452,4 +435,44 @@ def make_lvtln_round_step(mesh, num_groups, num_gselect=15,
         in_specs=(P('data'), P('data'), P('data'), P(), P(), P(),
                   P(), P()),
         out_specs=(P(), P(), P(), P(), P()),
+        check_rep=False))
+
+
+def make_lvtln_train_steps(mesh, num_groups, num_iters,
+                           norm_type='offset', logdet_scale=0.0,
+                           default_class=0, min_gaussian_weight=1e-4):
+    """The WHOLE LVTLN estimation loop over a data-parallel mesh.
+
+    Returns a function (feats, fweights, gid, gsel, base, warps,
+    gmm_weights, gmm_means, gmm_inv_vars) -> the ``lvtln_rounds``
+    outputs: the frame axis (first four arguments) shards over the
+    mesh's ``'data'`` axis, everything else replicates, and every
+    round's fMLLR statistics and EM accumulators psum across all
+    devices of all processes — one compiled program for the full
+    ``num_iters`` training loop, the multi-host twin of
+    :func:`shennong_tpu.ops.fmllr.lvtln_rounds` (the reference fans
+    this loop out as SLURM tasks merging through the filesystem,
+    ``examples/vtln_training/run.sh:16-23``).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from shennong_tpu.ops import fmllr as fmllr_ops
+
+    def shard_rounds(feats, fweights, gid, gsel, base, warps,
+                     weights, means, inv_vars):
+        return fmllr_ops.lvtln_rounds(
+            feats, fweights, gid, gsel, base, warps,
+            weights, means, inv_vars,
+            num_groups=num_groups, num_iters=num_iters,
+            norm_type=norm_type, logdet_scale=logdet_scale,
+            default_class=default_class,
+            min_gaussian_weight=min_gaussian_weight,
+            axis_name='data')
+
+    return jax.jit(shard_map(
+        shard_rounds, mesh=mesh,
+        in_specs=(P('data'), P('data'), P('data'), P('data'),
+                  P(), P(), P(), P(), P()),
+        out_specs=(P(),) * 8,
         check_rep=False))

@@ -42,8 +42,26 @@ def make_lvtln(dim):
     return lvtln
 
 
+def make_train_vtln():
+    """The VtlnProcessor configuration of the full-training test
+    (shared by the workers and the single-process reference)."""
+    from shennong_tpu.processor.ubm import DiagUbmProcessor
+    from shennong_tpu.processor.vtln import VtlnProcessor
+
+    ubm_params = DiagUbmProcessor(
+        **dict(UBM_PARAMS, remove_low_count_gaussians=False)
+    ).get_params()
+    ubm_params['features']['mfcc']['dither'] = 0
+    vtln = VtlnProcessor(
+        num_iters=2, min_warp=0.9, max_warp=1.1, warp_step=0.05,
+        subsample=2, ubm=ubm_params)
+    vtln.features['mfcc']['dither'] = 0
+    return vtln
+
+
 def run_train(utts_file, outfile):
-    """Distributed UBM training + one LVTLN estimation round."""
+    """Distributed UBM training + one LVTLN estimation round + the
+    FULL distributed VTLN training."""
     from shennong_tpu import Utterances, pipeline
     from shennong_tpu.parallel import distributed
     from shennong_tpu.processor.ubm import DiagUbmProcessor
@@ -67,6 +85,14 @@ def run_train(utts_file, outfile):
     transforms, warps = distributed.estimate_vtln(
         vtln, ubm, feats, posteriors, utt2speak)
 
+    # full VTLN training across the processes (UBM + base transforms
+    # + every estimation round as mesh programs)
+    full = make_train_vtln()
+    full_warps = distributed.train_vtln(
+        full, utterances, group_by='speaker')
+    full_speakers = sorted(full_warps)
+    full_utts = sorted(full.transforms)
+
     groups = sorted(transforms)
     np.savez(
         outfile,
@@ -74,7 +100,12 @@ def run_train(utts_file, outfile):
         inv_vars=ubm.gmm.inv_vars,
         groups=np.array(groups),
         warps=np.array([warps[g] for g in groups]),
-        transforms=np.stack([transforms[g] for g in groups]))
+        transforms=np.stack([transforms[g] for g in groups]),
+        full_speakers=np.array(full_speakers),
+        full_warps=np.array(
+            [full_warps[s] for s in full_speakers]),
+        full_transforms=np.stack(
+            [full.transforms[u] for u in full_utts]))
 
 
 def run_extract(utts_file, outfile):

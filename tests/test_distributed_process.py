@@ -172,3 +172,24 @@ def test_two_process_training_equals_single(tmp_path, corpus):
         dist['transforms'],
         np.stack([transforms[g] for g in groups]),
         rtol=1e-4, atol=1e-6)
+
+    # the FULL distributed VTLN training (UBM + base transforms +
+    # mesh-fused rounds across both processes) must match plain
+    # single-process VtlnProcessor.process
+    plain = worker_mod.make_train_vtln()
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        warps_plain = plain.process(corpus, group_by='speaker')
+    assert list(dist['full_speakers']) == sorted(warps_plain)
+    np.testing.assert_allclose(
+        dist['full_warps'],
+        np.array([warps_plain[s] for s in sorted(warps_plain)]),
+        atol=1e-12)
+    # transform entries span O(1) diagonals to O(1e-5) cross terms;
+    # the two-process UBM differs from single-process at the float32
+    # accumulation level, so near-zero entries only agree absolutely
+    np.testing.assert_allclose(
+        dist['full_transforms'],
+        np.stack([
+            plain.transforms[u] for u in sorted(plain.transforms)]),
+        rtol=3e-2, atol=3e-3)

@@ -219,3 +219,36 @@ def test_lvtln_round_step_mesh_equals_unsharded():
         np.asarray(t2), np.asarray(t1), rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(
         np.asarray(i2), np.asarray(i1), rtol=1e-3, atol=1e-3)
+
+
+def test_train_vtln_mesh_equals_plain(corpus):
+    """distributed.train_vtln (mesh-fused rounds with psum'd fMLLR/EM
+    statistics, allgathered base-transform moments) equals the plain
+    single-process VtlnProcessor.process."""
+    from shennong_tpu.parallel.distributed import train_vtln
+    from shennong_tpu.processor.ubm import DiagUbmProcessor
+    from shennong_tpu.processor.vtln import VtlnProcessor
+
+    ubm_params = DiagUbmProcessor(
+        num_gauss=4, num_iters=2, num_iters_init=2, num_frames=120,
+        seed=0, vad={'energy_threshold': 5.0},
+        remove_low_count_gaussians=False).get_params()
+    ubm_params['features']['mfcc']['dither'] = 0
+
+    def make_vtln():
+        proc = VtlnProcessor(
+            num_iters=2, min_warp=0.9, max_warp=1.1, warp_step=0.05,
+            subsample=2, ubm=ubm_params)
+        proc.features['mfcc']['dither'] = 0
+        return proc
+
+    plain = make_vtln()
+    warps_plain = plain.process(corpus, group_by='speaker')
+    dist = make_vtln()
+    warps_dist = train_vtln(dist, corpus, group_by='speaker')
+
+    assert warps_dist == warps_plain
+    for utt in plain.transforms:
+        np.testing.assert_allclose(
+            dist.transforms[utt], plain.transforms[utt],
+            rtol=5e-3, atol=5e-4, err_msg=utt)
