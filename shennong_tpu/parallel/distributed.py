@@ -111,9 +111,11 @@ def extract_features(configuration, utterances, njobs=1,
     run) and returns the features of its own shard. The union of the
     per-process collections equals the single-process output.
 
-    VTLN warps, when configured, are trained on the full collection in
-    every process — duplicated work, but byte-identical warps on every
-    host without a broadcast.
+    VTLN warps, when configured, train distributed
+    (:func:`train_vtln` — per-shard front-ends, psum'd statistics)
+    whenever the configuration takes the fused path; otherwise every
+    process trains on the full collection — duplicated work, but
+    byte-identical warps on every host without a broadcast.
     """
     from shennong_tpu import pipeline as pipe
 
@@ -136,8 +138,20 @@ def extract_features(configuration, utterances, njobs=1,
     manager = pipe.PipelineManager(config, shard, log=log)
     if 'vtln' in config:
         from shennong_tpu import Utterances
-        manager.warps = manager.make('vtln').process(
-            Utterances(utterances), njobs=njobs)
+        vtln_proc = manager.make('vtln')
+        # the eligibility checks inside train_vtln are functions of
+        # the FULL collection and the configuration, so every process
+        # takes the same branch
+        try:
+            manager.warps = train_vtln(
+                vtln_proc, Utterances(utterances), njobs=njobs,
+                log=log)
+        except ValueError as err:
+            log.info(
+                'distributed VTLN unavailable (%s): training on the '
+                'full collection in every process', err)
+            manager.warps = vtln_proc.process(
+                Utterances(utterances), njobs=njobs)
 
     pass_one = pipe._batched_pass_one(manager, list(shard), log, njobs)
     if pass_one is None:
@@ -266,17 +280,23 @@ def train_ubm(ubm, utterances, njobs=1,
             % (len(utterances), jax.process_count()))
     shard = shard_utterances(utterances)
 
+    # eligibility decided on the FULL collection so every process
+    # raises (or proceeds) consistently — a per-shard gate could fail
+    # on one process only and deadlock the collectives
+    from shennong_tpu.processor.ubm import fused_frontend_supported
+    if not fused_frontend_supported(ubm.features, utterances):
+        raise ValueError(
+            'distributed UBM training needs the fused MFCC front-end '
+            '(plain MFCC features, single sample rate, utterances '
+            'under the chunking limit)')
+
     log.info(
         'Training UBM across %d processes (%d global devices)',
         jax.process_count(), jax.device_count())
     front = stream_frontend(
         ubm.features, ubm.vad, ubm.subsample, shard, njobs=njobs,
         signal_cache=getattr(ubm, '_signal_cache', None))
-    if front is None:
-        raise ValueError(
-            'distributed UBM training needs the fused MFCC front-end '
-            '(plain MFCC features, single sample rate, utterances '
-            'under the chunking limit)')
+    assert front is not None  # gated above on the full collection
     flat, w_init, w_em, num_read_local, layout = front
 
     # -------- global voiced-frame order (one counts exchange) -------
@@ -556,15 +576,19 @@ def train_vtln(vtln, utterances, group_by='utterance', njobs=1,
         vtln.min_warp + c * vtln.warp_step for c in range(num_classes)]
 
     # ------------------------------------- front-end on the shard
-    shard = shard_utterances(utterances_list)
-    features_config = copy.deepcopy(vtln.features)
-    front = stream_frontend(
-        features_config, ubm.vad, vtln.subsample, shard, njobs=njobs)
-    if front is None:
+    # eligibility decided on the FULL collection (consistent raise on
+    # every process; see train_ubm)
+    from shennong_tpu.processor.ubm import fused_frontend_supported
+    if not fused_frontend_supported(vtln.features, utterances_list):
         raise ValueError(
             'distributed VTLN training needs the fused MFCC '
             'front-end (plain MFCC features, single sample rate, '
             'utterances under the chunking limit)')
+    shard = shard_utterances(utterances_list)
+    features_config = copy.deepcopy(vtln.features)
+    front = stream_frontend(
+        features_config, ubm.vad, vtln.subsample, shard, njobs=njobs)
+    assert front is not None  # gated above on the full collection
     flat, _, w_em, _, layout = front
     w_host = np.asarray(w_em)
 

@@ -846,6 +846,50 @@ class DiagUbmProcessor(BaseProcessor):
         self.log.info('Done training UBM.')
 
 
+def fused_frontend_supported(features_config, utterances):
+    """True when :func:`stream_frontend` can serve this corpus.
+
+    Mirrors the gating at the top of :func:`stream_frontend` (keep
+    them in sync) without streaming anything. Multi-process trainers
+    call this on the FULL collection before sharding: a per-shard
+    gate could pass on one process and fail on another (e.g. an
+    hour-scale utterance landing in one shard), and an asymmetric
+    raise would leave the other processes blocked in a collective.
+    """
+    from shennong_tpu.audio import Audio
+    from shennong_tpu.utterances import Utterances
+
+    if 'mfcc' not in features_config:
+        return False
+    if set(features_config) - {'mfcc', 'delta', 'sliding_window_cmvn'}:
+        return False
+    utterances = list(utterances)
+    if not utterances:
+        return False
+    rates = {
+        Audio.scan(utt.audio_file).sample_rate for utt in utterances}
+    if len(rates) != 1:
+        return False
+
+    config = {
+        k: copy.deepcopy(v) for k, v in features_config.items()
+        if k != 'sliding_window_cmvn'}
+    config = pipeline.init_config(config, log=null_logger())
+    manager = pipeline.PipelineManager(
+        config, Utterances(utterances), log=null_logger())
+    proc = manager.make('features', utterances[0])
+    if proc.name != 'mfcc':
+        return False
+    limit = getattr(proc, 'AUTO_CHUNK_FRAMES', None)
+    if limit:
+        for utt in utterances:
+            frames = proc.output_frames(
+                int(utt.duration * float(proc.sample_rate)))
+            if frames > limit:
+                return False
+    return True
+
+
 def stream_frontend(features_config, vad_params, subsample,
                     utterances, njobs=1, batch_size=64,
                     signal_cache=None):

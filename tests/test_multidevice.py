@@ -252,3 +252,28 @@ def test_train_vtln_mesh_equals_plain(corpus):
         np.testing.assert_allclose(
             dist.transforms[utt], plain.transforms[utt],
             rtol=5e-3, atol=5e-4, err_msg=utt)
+
+
+def test_distributed_extract_features_vtln_wiring(corpus):
+    """distributed.extract_features with a vtln config routes through
+    train_vtln (fused-path configs) and equals the single-process
+    run, warps included."""
+    from shennong_tpu.parallel import distributed
+
+    config = get_default_config('mfcc', with_vtln='full')
+    config['mfcc']['dither'] = 0
+    config['vtln'].update(num_iters=1, subsample=2)
+    config['vtln']['ubm'].update(
+        num_gauss=4, num_iters=1, num_iters_init=2, num_frames=1000)
+    config['vtln']['features']['mfcc']['dither'] = 0
+    config['vtln']['ubm']['features']['mfcc']['dither'] = 0
+
+    dist = distributed.extract_features(config, corpus)
+    single = extract_features(config, corpus)
+    assert sorted(dist.keys()) == sorted(single.keys())
+    for name in single:
+        assert dist[name].shape == single[name].shape, name
+        assert np.allclose(
+            dist[name].data, single[name].data, atol=2e-4), name
+        assert (dist[name].properties['mfcc']['vtln_warp']
+                == single[name].properties['mfcc']['vtln_warp']), name
