@@ -25,6 +25,7 @@ magnitudes that are locked by tests and recorded in
 """
 
 import os
+import shutil
 import tempfile
 import zlib
 
@@ -197,12 +198,19 @@ def benchmark(config='full', seed=0, features=('mfcc',), workdir=None,
     phones = phone_formants(params['nphones'])
     profiles = speaker_profiles(params['nspeakers'])
 
-    if workdir is None:
+    created_workdir = workdir is None
+    if created_workdir:
         workdir = tempfile.mkdtemp(prefix='abx_bench_')
     log.info('training VTLN warps (%d speakers)', len(profiles))
-    warps = train_warps(
-        workdir, phones, profiles, params['train_tokens'], seed,
-        njobs=njobs, log=log)
+    try:
+        warps = train_warps(
+            workdir, phones, profiles, params['train_tokens'], seed,
+            njobs=njobs, log=log)
+    finally:
+        if created_workdir:
+            # the training WAVs are corpus-sized; do not leak one
+            # directory per run
+            shutil.rmtree(workdir, ignore_errors=True)
 
     log.info('synthesizing evaluation tokens')
     audios, phone_labels, speaker_labels = [], [], []

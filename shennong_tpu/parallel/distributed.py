@@ -35,7 +35,7 @@ def initialize(coordinator_address=None, num_processes=None,
 
 def shard_utterances(utterances, process_index=None,
                      process_count=None):
-    """The contiguous slice of ``utterances`` owned by this host.
+    """The subset of ``utterances`` owned by this host.
 
     Utterances are split round-robin after sorting (the collection
     iterates in sorted order), balancing counts across hosts; features
@@ -72,9 +72,6 @@ def reduce_cmvn_stats(local_stats, group_keys):
     """
     import numpy as np
 
-    import jax.numpy as jnp
-    from jax.experimental import multihost_utils
-
     if not group_keys:
         return {}
     if not local_stats:
@@ -84,19 +81,10 @@ def reduce_cmvn_stats(local_stats, group_keys):
     stacked = np.stack([
         np.asarray(local_stats[key]) if key in local_stats
         else template for key in group_keys])
-    if jax.process_count() == 1:
-        total = stacked.astype(np.float64)
-    else:
-        # gather the float64 statistics bit-exactly: view the bytes
-        # as uint32 words (x64-safe over the collective), then view
-        # back and sum in float64 so multi-process normalization
-        # matches the single-process run beyond float32 rounding
-        bits = np.ascontiguousarray(
-            stacked.astype(np.float64)).view(np.uint32)
-        gathered = np.asarray(
-            multihost_utils.process_allgather(jnp.asarray(bits)))
-        total = np.ascontiguousarray(gathered).view(
-            np.float64).sum(axis=0)
+    # bit-exact float64 sum over processes, so multi-process
+    # normalization matches the single-process run beyond float32
+    # rounding
+    total = allreduce_f64(stacked)
     return {key: total[i] for i, key in enumerate(group_keys)}
 
 
@@ -182,17 +170,10 @@ def allreduce_f64(array):
 
     arr = np.ascontiguousarray(
         np.atleast_1d(np.asarray(array, dtype=np.float64)))
-    if jax.process_count() == 1:
-        return arr
-
-    import jax.numpy as jnp
-    from jax.experimental import multihost_utils
-
-    bits = arr.view(np.uint32)
-    gathered = np.asarray(
-        multihost_utils.process_allgather(jnp.asarray(bits)))
-    return np.ascontiguousarray(gathered).view(
-        np.float64).sum(axis=0)
+    # summing the [P, ...] gathered stack in the same rank order on
+    # every process keeps the result bit-identical everywhere
+    return _allgather_host(arr.reshape(-1)).sum(
+        axis=0).reshape(arr.shape)
 
 
 def _global_data_mesh():
@@ -301,8 +282,12 @@ def train_ubm(ubm, utterances, njobs=1,
 
     # -------- global voiced-frame order (one counts exchange) -------
     # global voiced index = position in the concatenation of every
-    # utterance's voiced frames, utterances in full sorted order: the
-    # exact order the single-process front-end produces
+    # utterance's voiced frames, utterances in the full collection's
+    # STREAMING order (length-sorted, ties by collection order): the
+    # exact order the single-process front-end produces — indexing by
+    # collection order instead would pick different reservoir/init
+    # frames whenever name order differs from length order
+    from shennong_tpu.parallel.stream import streamed_order
     w_init_h = np.asarray(w_init)
     local_voiced = {}      # name -> local flat row indices, in order
     for names, frames_per_row, offset in layout:
@@ -312,7 +297,8 @@ def train_ubm(ubm, utterances, njobs=1,
                          offset + (j + 1) * frames_per_row])
             local_voiced[name] = rows + offset + j * frames_per_row
 
-    order = [utt.name for utt in utterances]
+    order = [
+        utterances[i].name for i in streamed_order(utterances)]
     counts = np.zeros(len(order))
     for i, name in enumerate(order):
         if name in local_voiced:
@@ -335,6 +321,11 @@ def train_ubm(ubm, utterances, njobs=1,
     def rows_of(global_idx):
         """(mask, local rows) of the globally-indexed voiced frames
         this process owns."""
+        if not len(owned_globals):
+            # a shard of entirely unvoiced utterances owns nothing;
+            # it must still reach the collectives below
+            return (np.zeros(np.shape(global_idx), bool),
+                    np.zeros(0, np.int64))
         pos = np.searchsorted(owned_globals, global_idx)
         pos_c = np.minimum(pos, max(len(owned_globals) - 1, 0))
         mask = (pos < len(owned_globals)) & (
@@ -556,6 +547,24 @@ def train_vtln(vtln, utterances, group_by='utterance', njobs=1,
         raise ValueError(
             f'Min warp > max warp: {vtln.min_warp} > {vtln.max_warp}')
 
+    # eligibility of BOTH front-ends decided up front on the FULL
+    # collection (consistent raise on every process, and before any
+    # training work is spent; see train_ubm for its own ubm.features
+    # gate)
+    from shennong_tpu.processor.ubm import fused_frontend_supported
+    if not fused_frontend_supported(vtln.features, utterances_list):
+        raise ValueError(
+            'distributed VTLN training needs the fused MFCC '
+            'front-end (plain MFCC features, single sample rate, '
+            'utterances under the chunking limit)')
+
+    # one device-signal cache spans every corpus sweep of the flow
+    # (UBM front-end, VTLN front-end, warp moments), like the
+    # single-process VtlnProcessor.process: each process's shard
+    # audio uploads once
+    from shennong_tpu.parallel.stream import SignalCache
+    signal_cache = SignalCache()
+
     # ---------------------------------------------- UBM (distributed)
     ubm = DiagUbmProcessor(**vtln.ubm)
     ubm.log.setLevel(log.getEffectiveLevel())
@@ -563,7 +572,11 @@ def train_vtln(vtln, utterances, group_by='utterance', njobs=1,
         raise ValueError(
             'distributed VTLN training needs a fixed-size UBM: set '
             'ubm.remove_low_count_gaussians to False')
-    train_ubm(ubm, utterances_list, njobs=njobs, log=log)
+    ubm._signal_cache = signal_cache
+    try:
+        train_ubm(ubm, utterances_list, njobs=njobs, log=log)
+    finally:
+        ubm.__dict__.pop('_signal_cache', None)
     vtln.ubm = ubm.get_params()
 
     log.info('Initializing base LVTLN transforms')
@@ -576,18 +589,11 @@ def train_vtln(vtln, utterances, group_by='utterance', njobs=1,
         vtln.min_warp + c * vtln.warp_step for c in range(num_classes)]
 
     # ------------------------------------- front-end on the shard
-    # eligibility decided on the FULL collection (consistent raise on
-    # every process; see train_ubm)
-    from shennong_tpu.processor.ubm import fused_frontend_supported
-    if not fused_frontend_supported(vtln.features, utterances_list):
-        raise ValueError(
-            'distributed VTLN training needs the fused MFCC '
-            'front-end (plain MFCC features, single sample rate, '
-            'utterances under the chunking limit)')
     shard = shard_utterances(utterances_list)
     features_config = copy.deepcopy(vtln.features)
     front = stream_frontend(
-        features_config, ubm.vad, vtln.subsample, shard, njobs=njobs)
+        features_config, ubm.vad, vtln.subsample, shard, njobs=njobs,
+        signal_cache=signal_cache)
     assert front is not None  # gated above on the full collection
     flat, _, w_em, _, layout = front
     w_host = np.asarray(w_em)
@@ -603,7 +609,7 @@ def train_vtln(vtln, utterances, group_by='utterance', njobs=1,
         if k != 'sliding_window_cmvn'}
     moments = pipe.accumulate_warp_mapping_stats(
         base_features, shard, class_warps, keep, null_logger(),
-        njobs=njobs)
+        njobs=njobs, signal_cache=signal_cache)
     if moments is None:
         raise ValueError(
             'distributed VTLN training needs the fused warp-moment '

@@ -111,7 +111,8 @@ class Counters:
             self.add(key, time.perf_counter() - start)
 
     def snapshot(self):
-        return dict(self._data)
+        with self._lock:  # decode threads may be inserting keys
+            return dict(self._data)
 
 
 #: The process-global counter set (reset it around a measured region).

@@ -102,6 +102,20 @@ def _scan_count(utt):
     return int(utt.tstop * meta.sample_rate) - start
 
 
+def streamed_order(utterances):
+    """Indices of ``utterances`` in streaming order.
+
+    The order their rows appear in the concatenated stream output:
+    sorted by scanned sample count, ties keeping collection order
+    (stable sort). Distributed training indexes the GLOBAL voiced
+    frame sequence against this order, so it is the single source of
+    truth shared with :func:`plan_batches`.
+    """
+    utterances = list(utterances)
+    return sorted(range(len(utterances)),
+                  key=lambda i: _scan_count(utterances[i]))
+
+
 def plan_batches(utterances, batch_size, pad_to_multiple=1):
     """Partition utterances into batch plans without decoding audio.
 
@@ -111,8 +125,7 @@ def plan_batches(utterances, batch_size, pad_to_multiple=1):
     header metadata instead of decoded signals.
     """
     utterances = list(utterances)
-    order = sorted(range(len(utterances)),
-                   key=lambda i: _scan_count(utterances[i]))
+    order = streamed_order(utterances)
     plans = []
     for start in range(0, len(order), batch_size):
         chunk = [utterances[i] for i in order[start:start + batch_size]]

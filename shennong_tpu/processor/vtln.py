@@ -308,15 +308,19 @@ class VtlnProcessor(BaseProcessor):
                     np.full(feats.shape[0], group_index[group],
                             dtype=np.int32))
 
-        feats_all = np.concatenate(feats_list).astype(np.float32)
-        idx_all = np.concatenate(idx_list).astype(np.int32)
-        val_all = np.concatenate(val_list).astype(np.float32)
-        gid_all = np.concatenate(gid_list)
-
         dim = self.lvtln.dim
         nspeakers = len(group_names)
         out = {
             name: FmllrStats(dim) for name in group_names}
+        if not feats_list:
+            # every group is empty on this caller (a distributed
+            # process whose shard holds no utterances): zero stats,
+            # merged with the other processes' by the collective
+            return out
+        feats_all = np.concatenate(feats_list).astype(np.float32)
+        idx_all = np.concatenate(idx_list).astype(np.int32)
+        val_all = np.concatenate(val_list).astype(np.float32)
+        gid_all = np.concatenate(gid_list)
         # the model is constant across the chunk loop: convert and
         # upload it once
         means_dev = jnp.asarray(ubm.gmm.means, dtype=jnp.float32)

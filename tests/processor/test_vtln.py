@@ -356,3 +356,27 @@ def test_fused_rounds_match_host(utterances, monkeypatch):
         np.testing.assert_allclose(
             fused.transforms[key], host.transforms[key],
             atol=2e-3, rtol=1e-3)
+
+
+def test_accumulate_group_stats_all_empty_groups():
+    """A caller owning no utterances (a distributed process whose
+    shard is empty or entirely unvoiced) gets zero statistics for
+    every group instead of a np.concatenate crash — its peers hold
+    the data, and the zero stats merge through the collective."""
+    from shennong_tpu.ops.fmllr import LinearVtln
+
+    dim = 5
+    vtln = VtlnProcessor()
+    vtln.lvtln = LinearVtln(dim, num_classes=3, default_class=1)
+    gmm = DiagGmm(
+        np.full(2, 0.5), np.zeros((2, dim)), np.ones((2, dim)))
+    ubm = DiagUbmProcessor(num_gauss=2)
+    ubm.gmm = gmm
+
+    stats = vtln._accumulate_group_stats(
+        ubm, {}, {}, {'spk0': [], 'spk1': []})
+    assert sorted(stats) == ['spk0', 'spk1']
+    for group in stats:
+        assert stats[group].beta == 0
+        np.testing.assert_array_equal(
+            stats[group].K, np.zeros((dim, dim + 1)))

@@ -113,6 +113,48 @@ def test_vtln_pipeline_mesh_equals_single(corpus):
                 == plain[name].properties['mfcc']['vtln_warp']), name
 
 
+def test_train_ubm_equals_process_on_reversed_length_order(wav_file):
+    """distributed.train_ubm must match DiagUbmProcessor.process when
+    the corpus NAME order is opposite to its LENGTH order.
+
+    The global voiced-frame order (which the seeded reservoir/init
+    draws index into) is the streaming order — length-sorted — not
+    the collection order; a corpus whose names sort opposite to its
+    lengths catches any regression conflating the two (the usual
+    fixtures' name order happens to equal their length order)."""
+    import warnings
+
+    from shennong_tpu.parallel.distributed import train_ubm
+    from shennong_tpu.processor.ubm import DiagUbmProcessor
+
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        corpus = Utterances([
+            ('u%d' % i, wav_file, 'spk%d' % (i % 2),
+             0.02 * i, 1.32 - 0.1 * i)
+            for i in range(6)])
+
+    def make_ubm():
+        proc = DiagUbmProcessor(
+            num_gauss=4, num_iters=2, num_iters_init=2,
+            num_frames=120, seed=0, vad={'energy_threshold': 5.0},
+            remove_low_count_gaussians=False)
+        proc.features['mfcc']['dither'] = 0
+        return proc
+
+    single = make_ubm()
+    single.process(corpus)
+    dist = make_ubm()
+    train_ubm(dist, corpus)
+
+    np.testing.assert_allclose(
+        dist.gmm.weights, single.gmm.weights, rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        dist.gmm.means, single.gmm.means, rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        dist.gmm.inv_vars, single.gmm.inv_vars, rtol=2e-3, atol=1e-4)
+
+
 def test_shard_round_robin_covers_everything(corpus):
     names = []
     for process in range(3):
