@@ -126,7 +126,11 @@ class Audio:
         return self.dtype.itemsize * 8
 
     @classmethod
-    @functools.lru_cache()
+    # unbounded: entries are ~100-byte metadata tuples, and corpora
+    # beyond the default 128 entries would otherwise re-read every
+    # header on each of the several full-collection scan sweeps
+    # (batch planning, front-end eligibility, streamed ordering)
+    @functools.lru_cache(maxsize=None)
     def scan(cls, filename):
         """Read audio metadata without loading samples in memory.
 

@@ -74,10 +74,19 @@ def reduce_cmvn_stats(local_stats, group_keys):
 
     if not group_keys:
         return {}
-    if not local_stats:
-        raise ValueError('local_stats is empty: every process must '
-                         'own at least one utterance')
-    template = np.zeros_like(next(iter(local_stats.values())))
+    # a process whose shard produced no statistics must still join
+    # the collective (an asymmetric raise here would deadlock its
+    # peers in the allreduce): exchange the stats width so it can
+    # contribute zeros; if EVERY process is empty, all of them see
+    # width 0 and raise together
+    local_cols = (
+        np.asarray(next(iter(local_stats.values()))).shape[-1]
+        if local_stats else 0)
+    cols = int(_allgather_host([float(local_cols)]).max())
+    if cols == 0:
+        raise ValueError(
+            'no process produced any CMVN statistics')
+    template = np.zeros((2, cols))
     stacked = np.stack([
         np.asarray(local_stats[key]) if key in local_stats
         else template for key in group_keys])
@@ -217,7 +226,7 @@ def _shard_rows(mesh, *arrays):
     return out
 
 
-def train_ubm(ubm, utterances, njobs=1,
+def train_ubm(ubm, utterances, njobs=1, signal_cache=None,
               log=get_logger('distributed', 'info')):
     """Multi-process UBM-GMM training (``DiagUbmProcessor.process``).
 
@@ -276,7 +285,9 @@ def train_ubm(ubm, utterances, njobs=1,
         jax.process_count(), jax.device_count())
     front = stream_frontend(
         ubm.features, ubm.vad, ubm.subsample, shard, njobs=njobs,
-        signal_cache=getattr(ubm, '_signal_cache', None))
+        signal_cache=(
+            signal_cache if signal_cache is not None
+            else getattr(ubm, '_signal_cache', None)))
     assert front is not None  # gated above on the full collection
     flat, w_init, w_em, num_read_local, layout = front
 
@@ -572,11 +583,9 @@ def train_vtln(vtln, utterances, group_by='utterance', njobs=1,
         raise ValueError(
             'distributed VTLN training needs a fixed-size UBM: set '
             'ubm.remove_low_count_gaussians to False')
-    ubm._signal_cache = signal_cache
-    try:
-        train_ubm(ubm, utterances_list, njobs=njobs, log=log)
-    finally:
-        ubm.__dict__.pop('_signal_cache', None)
+    train_ubm(
+        ubm, utterances_list, njobs=njobs,
+        signal_cache=signal_cache, log=log)
     vtln.ubm = ubm.get_params()
 
     log.info('Initializing base LVTLN transforms')

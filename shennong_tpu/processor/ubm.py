@@ -994,8 +994,19 @@ def stream_frontend(features_config, vad_params, subsample,
         num_read += int(np.asarray(count_done))
         streaming.recycle(signals_done)
 
+    # pad batches to the same multiple a BatchExecutor would (the
+    # default mesh's device count): the VTLN flow's warp-moment pass
+    # streams through an executor, and the SignalCache keys on the
+    # pad multiple — mismatched multiples would re-decode and
+    # re-upload the corpus for that pass. Padding rows are inert
+    # here (zero frames -> zero weight, see below)
+    from shennong_tpu.parallel import mesh as meshing
+    default_mesh = meshing.get_default_mesh()
+    pad_to_multiple = (
+        default_mesh.devices.size if default_mesh is not None else 1)
     source = streaming.stream_source(
-        signal_cache, utterances, batch_size, njobs=njobs)
+        signal_cache, utterances, batch_size, pad_to_multiple,
+        njobs=njobs)
     for names, signals, nsamples, nvalid in source:
         nframes_max = num_frames(signals.shape[1], frame_opts)
         key = _fresh_key() if frame_opts.dither != 0 else None

@@ -242,3 +242,41 @@ def test_vtln_mismatched_config_recomputes(corpus, monkeypatch):
     warps = vtln.process(corpus)
     assert len(warps) == len(list(corpus))
     assert len(calls) == 2
+
+
+def test_vtln_decodes_once_with_default_mesh(corpus, monkeypatch):
+    """The decode-once guarantee holds in the mesh-enabled path too.
+
+    With a default mesh set, the warp-moment pass streams through a
+    BatchExecutor that pads batches to the device count; the UBM/VTLN
+    front-ends must use the same pad multiple or the SignalCache
+    (which keys on it) silently re-decodes and re-uploads the corpus
+    for that pass."""
+    import jax
+
+    from shennong_tpu.parallel import data_mesh, set_default_mesh
+    from shennong_tpu.processor.vtln import VtlnProcessor
+
+    decodes = []
+    real_decode = streaming.decode_batch
+
+    def counting_decode(chunk, rows, njobs=4):
+        decodes.append(len(chunk))
+        return real_decode(chunk, rows, njobs)
+
+    monkeypatch.setattr(streaming, 'decode_batch', counting_decode)
+
+    config = _no_dither_features()
+    vtln = VtlnProcessor(
+        num_iters=2, min_warp=0.95, max_warp=1.05, warp_step=0.05,
+        subsample=5, features=config,
+        ubm={'num_gauss': 4, 'num_iters': 1, 'num_iters_init': 2,
+             'num_frames': 1000, 'features': config})
+    set_default_mesh(data_mesh(jax.devices()))
+    try:
+        warps = vtln.process(corpus)
+    finally:
+        set_default_mesh(None)
+    assert sorted(warps.keys()) == [u.name for u in sorted(
+        corpus, key=lambda u: u.name)]
+    assert sum(decodes) == len(list(corpus))
