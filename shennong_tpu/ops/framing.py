@@ -130,15 +130,18 @@ def window_function(window_type, window_size, blackman_coeff=0.42):
 def _reflect_indices(indices, nsamples):
     """Map sample indices into [0, nsamples) by boundary reflection.
 
-    Kaldi reflects around signal edges (-1 -> 0, n -> n-1, ...);
-    two reflection rounds cover every non-pathological case
-    (window <= 2x signal length).
+    Kaldi reflects around signal edges in a loop
+    (-1 -> 0, n -> n-1, ... until in range); the loop's fixed point
+    is the symmetric extension of period ``2 * nsamples``, so the
+    closed form below is exact for ANY index magnitude — a bounded
+    number of unrolled rounds would clip (and silently diverge from
+    Kaldi) once the window exceeds twice the signal length.
     """
-    for _ in range(2):
-        indices = jnp.where(indices < 0, -indices - 1, indices)
-        indices = jnp.where(
-            indices >= nsamples, 2 * nsamples - 1 - indices, indices)
-    return jnp.clip(indices, 0, nsamples - 1)
+    period = jnp.maximum(2 * nsamples, 1)  # guard zero-length rows
+    folded = jnp.mod(indices, period)
+    reflected = jnp.where(
+        folded >= nsamples, 2 * nsamples - 1 - folded, folded)
+    return jnp.clip(reflected, 0, jnp.maximum(nsamples - 1, 0))
 
 
 @functools.partial(jax.jit, static_argnames=('opts', 'nframes_max'))
@@ -226,7 +229,13 @@ def process_frames(frames, opts, key=None):
     """
     size = opts.window_size
 
-    if opts.dither != 0.0 and key is not None:
+    if opts.dither != 0.0 and key is None:
+        # enforce the documented contract instead of silently
+        # skipping the dither (undithered digital silence produces
+        # log(eps) energy spikes Kaldi's always-on dither prevents)
+        raise ValueError(
+            'opts.dither is non-zero but no PRNG key was provided')
+    if opts.dither != 0.0:
         frames = frames + opts.dither * jax.random.normal(
             key, frames.shape, dtype=frames.dtype)
 

@@ -148,9 +148,10 @@ def em_step(feats, frame_weights, weights, means, inv_vars,
     dispatch one program per iteration instead of one accumulation per
     utterance plus a host-side update (the round-1 UBM trainer's
     bottleneck was exactly those per-utterance round trips). Floored
-    components keep their previous parameters, like
-    :func:`mle_update` (component removal, which changes shapes, stays
-    host-side on the final iteration).
+    components keep their previous mean/variance while their weight
+    becomes max(occupancy share, min weight), like :func:`mle_update`
+    and Kaldi MleDiagGmmUpdate (component removal, which changes
+    shapes, stays host-side on the final iteration).
 
     Under ``shard_map`` pass ``axis_name`` to psum the statistics over
     that mesh axis before the update (the frame axis sharded across
@@ -167,12 +168,20 @@ def em_step(feats, frame_weights, weights, means, inv_vars,
         var_acc = jax.lax.psum(var_acc, axis_name)
 
     total = jnp.sum(occupancy)
+    prob = jnp.where(
+        total > 0, occupancy / jnp.maximum(total, 1e-10),
+        1.0 / occupancy.shape[0])
     updatable = (
         (occupancy > min_gaussian_occupancy)
-        & (occupancy / jnp.maximum(total, 1e-10) > min_gaussian_weight))
+        & (prob > min_gaussian_weight))
 
-    new_weights = jnp.where(updatable, occupancy / total, weights)
-    new_weights = new_weights / jnp.sum(new_weights)
+    # Kaldi MleDiagGmmUpdate: a floored component keeps its mean and
+    # variance but its WEIGHT still becomes max(prob, min_weight) —
+    # there is no renormalization pass (renormalizing here would
+    # drift every component's weight, gconst and likelihood away
+    # from a Kaldi run on the same statistics)
+    new_weights = jnp.where(
+        updatable, prob, jnp.maximum(prob, min_gaussian_weight))
     safe_occ = jnp.maximum(occupancy, 1e-10)[:, None]
     new_means = jnp.where(
         updatable[:, None], mean_acc / safe_occ, means)
@@ -226,11 +235,18 @@ def mle_update(occupancy, mean_acc, var_acc, weights, means, inv_vars,
     inv_vars = np.asarray(inv_vars, dtype=np.float64)
 
     total = occupancy.sum()
+    prob = (occupancy / total if total > 0
+            else np.full_like(occupancy, 1.0 / len(occupancy)))
     updatable = (
         (occupancy > min_gaussian_occupancy)
-        & (occupancy / max(total, 1e-10) > min_gaussian_weight))
+        & (prob > min_gaussian_weight))
 
-    new_weights = np.where(updatable, occupancy / total, weights)
+    # Kaldi MleDiagGmmUpdate: a floored-but-kept component keeps its
+    # mean/variance while its weight becomes max(prob, min_weight);
+    # the vector is NOT renormalized (Kaldi only renormalizes when
+    # components are removed, via RemoveComponents(renorm=true))
+    new_weights = np.where(
+        updatable, prob, np.maximum(prob, min_gaussian_weight))
     safe_occ = np.maximum(occupancy, 1e-10)[:, None]
     new_means = np.where(
         updatable[:, None], mean_acc / safe_occ, means)
@@ -239,11 +255,14 @@ def mle_update(occupancy, mean_acc, var_acc, weights, means, inv_vars,
     new_inv = np.where(updatable[:, None], 1.0 / variances, inv_vars)
 
     if remove_low_count_gaussians and not updatable.all():
-        keep = updatable
+        keep = updatable.copy()
+        if not keep.any():
+            # like Kaldi, never remove the last component
+            keep[int(np.argmax(occupancy))] = True
         new_weights = new_weights[keep]
         new_means = new_means[keep]
         new_inv = new_inv[keep]
-    new_weights = new_weights / new_weights.sum()
+        new_weights = new_weights / new_weights.sum()
 
     return new_weights, new_means, new_inv
 

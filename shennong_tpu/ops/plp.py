@@ -167,11 +167,14 @@ def plp_batch(signals, nsamples, mel_weights, equal_loudness, opts,
         preferred_element_type=jnp.float32)
 
     lpc, residual = durbin(autocorr, opts.lpc_order)
-    # the floor applies to the LOG energy, not the energy — matching
-    # the reference verbatim (shennong/processor/plp.py:601-603
-    # floors compute_lpc's log-domain return value with eps), which
-    # itself mirrors Kaldi feature-plp.cc
-    residual_log_energy = jnp.maximum(jnp.log(residual), DBL_EPSILON)
+    # Kaldi's ComputeLpc returns -log(1/E) / 2 = 0.5 * log(E)
+    # ("forms the C0 value", mel-computations.cc), which the
+    # reference floors with DBL epsilon in the LOG domain
+    # (shennong/processor/plp.py:601-603) — note the floor applies
+    # to the log value, not the energy, and the half factor is part
+    # of the contract (visible as C0 when use_energy=False)
+    residual_log_energy = jnp.maximum(
+        0.5 * jnp.log(residual), DBL_EPSILON)
 
     cepstrum = lpc_to_cepstrum(lpc, opts.lpc_order)
 

@@ -220,6 +220,10 @@ def apply_cmvn(feats, stats, norm_vars=True, skip_dims=None,
     Matches Kaldi's ApplyCmvn/ApplyCmvnReverse: per-dim affine
     transform from the mean (and optionally variance) encoded in
     ``stats``; ``skip_dims`` leaves the listed dimensions untouched.
+    Like Kaldi, a non-positive variance floors to 1e-20 with a
+    warning (the dimension is scaled by up to 1e10 — a constant
+    feature dimension is almost certainly a caller bug) and a
+    non-finite scale raises.
     """
     stats = np.asarray(stats, dtype=np.float64)
     dim = stats.shape[1] - 1
@@ -228,8 +232,18 @@ def apply_cmvn(feats, stats, norm_vars=True, skip_dims=None,
     mean = stats[0, :dim] / count
     if norm_vars:
         var = stats[1, :dim] / count - mean * mean
+        floored = var < 1.0e-20
+        if floored.any():
+            import warnings
+            warnings.warn(
+                'flooring zero cepstral variance to 1e-20 in dims '
+                f'{np.flatnonzero(floored).tolist()} (constant '
+                'feature dimension?)')
         var = np.maximum(var, 1.0e-20)
         scale = 1.0 / np.sqrt(var)
+        if not np.isfinite(scale).all():
+            raise ValueError(
+                'NaN or infinity in CMVN variance normalization')
     else:
         scale = np.ones(dim)
     offset = -mean * scale

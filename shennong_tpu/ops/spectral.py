@@ -164,13 +164,25 @@ def _power_and_energy(signals, nsamples, opts, nframes_max, key):
     if jax.default_backend() == 'tpu' and opts.raw_energy:
         raw = framing.extract_frames(
             signals, nsamples, frame, nframes_max)
-        if frame.dither != 0.0 and key is not None:
+        if frame.dither != 0.0 and key is None:
+            # same contract as framing.process_frames: never skip a
+            # configured dither silently
+            raise ValueError(
+                'opts.dither is non-zero but no PRNG key was '
+                'provided')
+        if frame.dither != 0.0:
             raw = raw + frame.dither * jax.random.normal(
                 key, raw.shape, dtype=raw.dtype)
-        ssq = jnp.sum(raw * raw, axis=-1)
         if frame.remove_dc_offset:
-            total = jnp.sum(raw, axis=-1)
-            ssq = ssq - total * total / frame.window_size
+            # energy of the DC-removed frame, summed over CENTERED
+            # values like the sequential path: the algebraic
+            # ssq - s^2/N form catastrophically cancels in float32
+            # for DC-offset frames (a bias of 1e4 makes both terms
+            # ~1e10 and their float32 difference pure noise)
+            mean = jnp.mean(raw, axis=-1, keepdims=True)
+            ssq = jnp.sum(jnp.square(raw - mean), axis=-1)
+        else:
+            ssq = jnp.sum(raw * raw, axis=-1)
         log_energy = jnp.log(jnp.maximum(ssq, FLT_EPSILON))
 
         cos_m, sin_m = _folded_dft_bases(
@@ -222,16 +234,6 @@ def spectrogram_batch(signals, nsamples, opts, nframes_max, key=None):
     feats = jnp.log(jnp.maximum(power, FLT_EPSILON))
     log_energy = _floor_energy(log_energy, opts.energy_floor)
     return feats.at[..., 0].set(log_energy)
-
-
-def _mel_weights(opts, vtln_warp):
-    """Host-built dense mel matrix for these options and warp."""
-    from shennong_tpu.ops import mel as melmod
-    weights, _ = melmod.mel_banks(
-        opts.mel.num_bins, opts.frame.padded_window_size,
-        opts.frame.sample_rate, opts.mel.low_freq, opts.mel.high_freq,
-        opts.mel.vtln_low, opts.mel.vtln_high, float(vtln_warp))
-    return weights
 
 
 @functools.partial(

@@ -109,7 +109,10 @@ def viterbi_host_banded(log_start, log_trans, log_obs, halfwidth):
 
     j = np.arange(nstates)
     score = np.asarray(log_start, dtype=np.float64) + log_obs[0]
-    backptr = np.zeros((nframes, nstates), dtype=np.int8)
+    # int16: the band-relative pointer spans [0, 2 * halfwidth], and
+    # int8 would silently wrap for halfwidth >= 64 (the native kernel
+    # refuses such widths and lands here)
+    backptr = np.zeros((nframes, nstates), dtype=np.int16)
     padded = np.full(nstates + 2 * halfwidth, -np.inf)
     window = np.lib.stride_tricks.as_strided(
         padded, shape=(nstates, 2 * halfwidth + 1),

@@ -110,8 +110,16 @@ class FusedPipelineExecutor:
 
         static = self._static_opts()
         frame_opts = self.feat_proc.frame_options()
+        # every dithering stage of the fused program needs the key:
+        # the energy-VAD stage keeps the EnergyProcessor default
+        # dither even when the features' dither is 0 (the reference
+        # and the stagewise/per-utterance paths dither it too)
+        energy_opts = static.get('energy_opts')
         needs_key = (
-            frame_opts.dither != 0 or static.get('with_noise', False))
+            frame_opts.dither != 0
+            or (energy_opts is not None
+                and energy_opts.frame.dither != 0)
+            or static.get('with_noise', False))
 
         sharding = None
         pad_multiple = 1

@@ -452,7 +452,10 @@ def plp(signal, rate=16000, shift_s=0.01, length_s=0.025, rasta=False,
         dup = np.concatenate([mels[:1], mels, mels[-1:]])
         autocorr = idft @ dup
         lpc, res_energy = durbin(autocorr, lpc_order)
-        res_log_e = max(np.log(res_energy), np.finfo(np.float64).eps)
+        # Kaldi ComputeLpc returns -log(1/E)/2 = 0.5 * log(E); the
+        # reference floors that log-domain value with DBL epsilon
+        res_log_e = max(
+            0.5 * np.log(res_energy), np.finfo(np.float64).eps)
         cep = lpc2cepstrum(lpc_order, lpc)
 
         feat = np.concatenate([[res_log_e], cep[:num_ceps - 1]])

@@ -283,3 +283,30 @@ def test_single_frame_decodes():
         _viterbi_bin_path, predict_voicing)
     assert _viterbi_bin_path(np.array([7]), 360).tolist() == [7]
     assert predict_voicing(np.array([0.9])).tolist() == [1]
+
+
+def test_banded_viterbi_wide_halfwidth_matches_dense():
+    """halfwidth >= 64 exceeds the native kernel's band limit (it
+    refuses and the numpy fallback runs) and would wrap an int8
+    band-relative backpointer — the wide band must still decode
+    exactly like the dense reference."""
+    from shennong_tpu.ops.viterbi import (
+        viterbi_host, viterbi_host_banded)
+
+    nstates = 150
+    halfwidth = 70
+    grid = np.arange(nstates)
+    transition = np.maximum(
+        halfwidth + 1 - np.abs(grid[:, None] - grid[None, :]),
+        0).astype(float)
+    transition /= transition.sum(axis=1, keepdims=True)
+    start = np.full(nstates, 1.0 / nstates)
+
+    rng = np.random.RandomState(11)
+    log_obs = np.log(rng.rand(120, nstates) + 1e-9)
+    with np.errstate(divide='ignore'):
+        dense = viterbi_host(
+            np.log(start), np.log(transition), log_obs)
+        banded = viterbi_host_banded(
+            np.log(start), np.log(transition), log_obs, halfwidth)
+    np.testing.assert_array_equal(banded, dense)

@@ -298,3 +298,57 @@ def test_device_frontend_matches_staged_training(utterances):
     np.testing.assert_allclose(
         device.means[order_d], staged.means[order_s],
         rtol=5e-3, atol=5e-3)
+
+
+def test_mle_update_floored_component_kaldi_weights():
+    """Kaldi MleDiagGmmUpdate semantics for a starved component: its
+    mean/variance stay untouched, its weight becomes
+    max(occupancy share, min_gaussian_weight), and the vector is NOT
+    renormalized (Kaldi only renormalizes on component removal)."""
+    from shennong_tpu.ops import gmm as gmm_ops
+
+    occupancy = np.array([500.0, 2.0])  # second under min_occupancy
+    dim = 3
+    mean_acc = np.stack([
+        np.full(dim, 1000.0), np.full(dim, 4.0)])
+    var_acc = np.stack([
+        np.full(dim, 4000.0), np.full(dim, 9.0)])
+    weights = np.array([0.7, 0.3])
+    means = np.stack([np.zeros(dim), np.full(dim, 7.0)])
+    inv_vars = np.ones((2, dim))
+
+    new_w, new_m, new_iv = gmm_ops.mle_update(
+        occupancy, mean_acc, var_acc, weights, means, inv_vars,
+        min_gaussian_weight=1e-4, min_gaussian_occupancy=10.0)
+
+    # updated component: weight = occupancy share
+    np.testing.assert_allclose(new_w[0], 500.0 / 502.0)
+    # floored component: weight follows occupancy too (not the old
+    # 0.3, and no renormalization of the vector)
+    np.testing.assert_allclose(new_w[1], max(2.0 / 502.0, 1e-4))
+    # floored component keeps mean/variance
+    np.testing.assert_array_equal(new_m[1], means[1])
+    np.testing.assert_array_equal(new_iv[1], inv_vars[1])
+
+    # the device em_step applies the identical weight rule
+    import jax.numpy as jnp
+    rng = np.random.RandomState(0)
+    feats = np.concatenate([
+        rng.randn(500, dim) + 5.0, rng.randn(2, dim) - 5.0]
+        ).astype(np.float32)
+    fw = np.ones(len(feats), np.float32)
+    w0 = np.array([0.6, 0.4], np.float32)
+    m0 = np.stack([np.full(dim, 5.0), np.full(dim, -5.0)]
+                  ).astype(np.float32)
+    iv0 = np.ones((2, dim), np.float32)
+    _, occ, macc, vacc = gmm_ops.accumulate_stats(
+        jnp.asarray(feats), jnp.asarray(fw), jnp.asarray(w0),
+        jnp.asarray(m0), jnp.asarray(iv0))
+    ref_w, _, _ = gmm_ops.mle_update(
+        np.asarray(occ), np.asarray(macc), np.asarray(vacc),
+        w0, m0, iv0)
+    _, dev_w, _, _ = gmm_ops.em_step(
+        jnp.asarray(feats), jnp.asarray(fw), jnp.asarray(w0),
+        jnp.asarray(m0), jnp.asarray(iv0))
+    np.testing.assert_allclose(
+        np.asarray(dev_w), ref_w, rtol=1e-5, atol=1e-7)

@@ -77,8 +77,12 @@ def test_fused_sharded_over_mesh():
         + i for i in range(batch)])
     lengths = np.full(batch, nsamples, dtype=np.int32)
 
+    # dither=0: the sharded and single-device runs must be
+    # deterministic to compare (a non-zero dither now requires a
+    # PRNG key by contract)
     mfcc_opts, pitch_opts, post_opts = (
-        MfccOpts(), PitchOpts(), ProcessPitchOpts())
+        MfccOpts(frame=MfccOpts().frame.__class__(dither=0.0)),
+        PitchOpts(), ProcessPitchOpts())
     mel_weights = melmod.mel_banks(
         23, mfcc_opts.frame.padded_window_size, float(rate),
         20.0, 0.0, 100.0, -500.0, 1.0)[0]

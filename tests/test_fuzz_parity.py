@@ -251,13 +251,53 @@ def test_framing_fuzz(seed):
         jnp.asarray(padded[None]),
         jnp.asarray([nsamples], np.int32), opts, nf))[0]
 
-    # literal per-frame extraction with Kaldi edge reflection
+    # literal per-frame extraction with Kaldi edge reflection (the
+    # actual while-loop, not a bounded number of rounds: short
+    # signals under long windows reflect more than once)
     for t in rng.choice(nf, size=min(nf, 5), replace=False):
         first = (t * shift if snip
                  else t * shift + shift // 2 - length // 2)
-        idx = first + np.arange(length)
-        idx = np.where(idx < 0, -idx - 1, idx)
-        idx = np.where(idx >= nsamples, 2 * nsamples - 1 - idx, idx)
-        ref = signal[np.clip(idx, 0, nsamples - 1)]
+        ref = np.empty(length, np.float32)
+        for k in range(length):
+            i = first + k
+            while i < 0 or i >= nsamples:
+                i = -i - 1 if i < 0 else 2 * nsamples - 1 - i
+            ref[k] = signal[i]
         assert np.array_equal(frames[t], ref), (
             shift_ms, length_ms, snip, nsamples, t)
+
+
+def test_framing_reflection_beyond_two_rounds():
+    """An 80-sample utterance under the default 400-sample window
+    (snip_edges=False) needs more than two reflection rounds at the
+    frame edges; the closed-form reflection must match Kaldi's
+    while-loop exactly for every sample of every frame."""
+    import jax.numpy as jnp
+
+    from shennong_tpu.ops.framing import (
+        FrameOptions, extract_frames, num_frames)
+
+    nsamples = 80
+    opts = FrameOptions(dither=0.0, snip_edges=False)
+    shift, length = opts.window_shift, opts.window_size
+    nf = num_frames(nsamples, opts)
+    assert nf >= 1
+
+    rng = np.random.RandomState(3)
+    signal = rng.randn(nsamples).astype(np.float32) * 100
+    padded = np.zeros(
+        max(nsamples, (nf - 1) * shift + length), np.float32)
+    padded[:nsamples] = signal
+    frames = np.asarray(extract_frames(
+        jnp.asarray(padded[None]),
+        jnp.asarray([nsamples], np.int32), opts, nf))[0]
+
+    for t in range(nf):
+        first = t * shift + shift // 2 - length // 2
+        ref = np.empty(length, np.float32)
+        for k in range(length):
+            i = first + k
+            while i < 0 or i >= nsamples:
+                i = -i - 1 if i < 0 else 2 * nsamples - 1 - i
+            ref[k] = signal[i]
+        np.testing.assert_array_equal(frames[t], ref, err_msg=str(t))

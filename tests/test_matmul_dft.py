@@ -104,3 +104,35 @@ def test_folded_front_end_matches_sequential(monkeypatch):
         assert np.abs(
             np.asarray(fold_energy - seq_energy)).max() < 1e-3, (
                 preemph, dc, wtype)
+
+
+def test_folded_energy_stable_under_dc_offset(monkeypatch):
+    """Raw energy from the folded path must not catastrophically
+    cancel on DC-biased frames: a constant bias of 1e4 (a cheap-mic
+    offset, well inside int16 range) makes sum(x^2) and
+    (sum x)^2 / N both ~1e10, whose float32 difference is pure
+    noise — the energy must be summed over centered values."""
+    import shennong_tpu.ops.spectral as SP
+    from shennong_tpu.ops.framing import FrameOptions, num_frames
+
+    rng = np.random.RandomState(7)
+    # near-silence on a large DC pedestal
+    signals = jnp.asarray(
+        (rng.randn(2, 4000) * 3.0 + 10000.0).astype(np.float32))
+    nsamples = jnp.asarray([4000, 3000], dtype=np.int32)
+    frame = FrameOptions(dither=0.0, remove_dc_offset=True)
+    opts = SP.SpectrogramOpts(frame=frame, raw_energy=True)
+    fmax = num_frames(4000, frame)
+
+    seq_power, seq_energy = SP._power_and_energy(
+        signals, nsamples, opts, fmax, None)
+    monkeypatch.setattr(SP.jax, 'default_backend', lambda: 'tpu')
+    fold_power, fold_energy = SP._power_and_energy(
+        signals, nsamples, opts, fmax, None)
+    monkeypatch.undo()
+
+    # the frames hold real signal power (~ N * var ~ 3600), so a
+    # cancellation to FLT_EPSILON would show as log(eps) ~ -15.9
+    assert float(np.asarray(seq_energy).min()) > 5.0
+    assert np.abs(
+        np.asarray(fold_energy - seq_energy)).max() < 1e-3
