@@ -362,9 +362,12 @@ class LinearVtln:
 
     def save(self, path):
         """Save the transforms and warps to an npz checkpoint"""
-        np.savez(
-            path, transforms=self.transforms, warps=self.warps,
-            default_class=self.default_class)
+        # through an open file object: np.savez(path) silently
+        # appends '.npz' to other extensions, breaking the round-trip
+        with open(path, 'wb') as fp:
+            np.savez(
+                fp, transforms=self.transforms, warps=self.warps,
+                default_class=self.default_class)
 
     @classmethod
     def load(cls, path):

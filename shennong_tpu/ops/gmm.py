@@ -179,9 +179,17 @@ def em_step(feats, frame_weights, weights, means, inv_vars,
     # variance but its WEIGHT still becomes max(prob, min_weight) —
     # there is no renormalization pass (renormalizing here would
     # drift every component's weight, gconst and likelihood away
-    # from a Kaldi run on the same statistics)
+    # from a Kaldi run on the same statistics). Exception: a
+    # component with EXACTLY zero weight and zero occupancy is
+    # padding (the init loop pads the model to its final size so the
+    # split phase keeps one compiled shape; weight 0 makes it
+    # numerically inert) — reviving it at min_weight would let it
+    # accumulate mass. Kaldi never produces exact-zero weights, so
+    # the carve-out is unreachable for real components.
+    dead = (weights == 0) & (occupancy == 0)
     new_weights = jnp.where(
         updatable, prob, jnp.maximum(prob, min_gaussian_weight))
+    new_weights = jnp.where(dead, 0.0, new_weights)
     safe_occ = jnp.maximum(occupancy, 1e-10)[:, None]
     new_means = jnp.where(
         updatable[:, None], mean_acc / safe_occ, means)
@@ -244,9 +252,13 @@ def mle_update(occupancy, mean_acc, var_acc, weights, means, inv_vars,
     # Kaldi MleDiagGmmUpdate: a floored-but-kept component keeps its
     # mean/variance while its weight becomes max(prob, min_weight);
     # the vector is NOT renormalized (Kaldi only renormalizes when
-    # components are removed, via RemoveComponents(renorm=true))
+    # components are removed, via RemoveComponents(renorm=true)).
+    # Exact-zero-weight zero-occupancy components are padding (see
+    # em_step) and stay dead.
+    dead = (weights == 0) & (occupancy == 0)
     new_weights = np.where(
         updatable, prob, np.maximum(prob, min_gaussian_weight))
+    new_weights = np.where(dead, 0.0, new_weights)
     safe_occ = np.maximum(occupancy, 1e-10)[:, None]
     new_means = np.where(
         updatable[:, None], mean_acc / safe_occ, means)

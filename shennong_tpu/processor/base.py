@@ -11,6 +11,7 @@ collections.
 
 import abc
 import copy
+import threading
 
 import numpy as np
 
@@ -25,14 +26,22 @@ from shennong_tpu.ops.spectral import MelOpts
 from shennong_tpu.utils import get_njobs
 
 _DITHER_SEED = np.random.SeedSequence(entropy=20260816)
+_DITHER_LOCK = threading.Lock()
 
 
 def _fresh_key():
     """A fresh PRNG key for dithering (non-reproducible by default,
-    mirroring the reference's use of the C library PRNG)."""
+    mirroring the reference's use of the C library PRNG).
+
+    Locked: ``process()`` runs on threads under ``process_all`` /
+    joblib, and an unlocked read-modify-write of the module seed
+    chain could hand two utterances the identical dither key.
+    """
     global _DITHER_SEED
-    _DITHER_SEED = _DITHER_SEED.spawn(1)[0]
-    return jax.random.PRNGKey(int(_DITHER_SEED.generate_state(1)[0]))
+    with _DITHER_LOCK:
+        _DITHER_SEED = _DITHER_SEED.spawn(1)[0]
+        seed = int(_DITHER_SEED.generate_state(1)[0])
+    return jax.random.PRNGKey(seed)
 
 
 class FeaturesProcessor(BaseProcessor, metaclass=abc.ABCMeta):

@@ -148,7 +148,16 @@ class BottleneckProcessor(FeaturesProcessor):
 
     def _get_weights(self):
         if self.weights not in self._loaded_weights:
-            weights_file = self.available_weights()[self.weights]
+            available = self.available_weights()
+            if self.weights not in available:
+                # the class contract (and the reference behavior):
+                # RuntimeError when the selected weights file is not
+                # installed, even if others are
+                raise RuntimeError(
+                    'weights file for "{}" is not installed (found: '
+                    '{})'.format(
+                        self.weights, ', '.join(sorted(available))))
+            weights_file = available[self.weights]
             self.log.info('loading %s', os.path.basename(weights_file))
             with np.load(weights_file) as data:
                 self._loaded_weights[self.weights] = {

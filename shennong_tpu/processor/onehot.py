@@ -7,6 +7,7 @@ frame by window-weight vote.
 """
 
 import collections
+import copy
 import operator
 
 import numpy as np
@@ -58,14 +59,18 @@ class _OneHotBase(FeaturesProcessor):
                 sorted(self._tokens_set(alignment)))}
 
     def _properties_with_mapping(self, token2index):
-        """Properties dict including the token mapping; temporarily
-        materializes the tokens when they were inferred."""
+        """Properties dict including the token mapping; when the
+        tokens were inferred from the alignment, a shallow COPY of
+        the processor carries them — mutating ``self.tokens``
+        in-place would corrupt a concurrent ``process()`` call on
+        another thread (the API runs on threads under
+        ``process_all``)."""
         try:
             properties = self.get_properties()
         except ValueError:  # tokens inferred from the alignment
-            self.tokens = token2index.keys()
-            properties = self.get_properties()
-            self.tokens = None
+            materialized = copy.copy(self)
+            materialized.tokens = token2index.keys()
+            properties = materialized.get_properties()
         properties[self.name].update({'token2index': token2index})
         return properties
 

@@ -253,9 +253,13 @@ class DiagUbmProcessor(BaseProcessor):
             raise OSError('{}: file already exists'.format(path))
         if not isinstance(self.gmm, DiagGmm):
             raise TypeError('GMM not initialized')
-        np.savez(
-            path, weights=self.gmm.weights, means=self.gmm.means,
-            inv_vars=self.gmm.inv_vars)
+        # through an open file object: np.savez(path) silently
+        # appends '.npz' to other extensions, breaking the
+        # round-trip and the exists guard above
+        with open(path, 'wb') as fp:
+            np.savez(
+                fp, weights=self.gmm.weights, means=self.gmm.means,
+                inv_vars=self.gmm.inv_vars)
 
     def save_kaldi(self, path):
         """Save the GMM in Kaldi's binary DiagGmm format (readable by
@@ -351,6 +355,18 @@ class DiagUbmProcessor(BaseProcessor):
                 np.concatenate([inv_vars, np.ones((short, dim))]),
             ).as_jax()
 
+        # the reference applies the user's remove_low_count_gaussians
+        # option on EVERY init iteration (its init loop passes
+        # self._options to mle_diag_gmm_update, reference
+        # ubm.py:361-365) — removal changes the component count, so
+        # that configuration runs its updates host-side (accumulation
+        # stays one device program per iteration)
+        remove = bool(self.remove_low_count_gaussians)
+        if remove and em_fn is not None:
+            raise ValueError(
+                'remove_low_count_gaussians is not supported with a '
+                'custom em_fn (distributed training requires it off)')
+
         ones_dev = weights_dev
         if em_fn is None:
             def em_fn(params, num_iters):
@@ -364,9 +380,31 @@ class DiagUbmProcessor(BaseProcessor):
 
         params = pad_params(
             self.gmm.weights, self.gmm.means, self.gmm.inv_vars)
+        live = num_gauss_init   # actual components (removal shrinks)
         i = 0
         while i < self.num_iters_init:
-            if cur_num_gauss >= self.num_gauss:
+            if remove:
+                if self.log.isEnabledFor(10):
+                    self.log.debug('Iteration %s', i)
+                tot_like, occ, macc, vacc = gmm_ops.accumulate_stats(
+                    feats_dev, weights_dev, *params)
+                new = gmm_ops.mle_update(
+                    np.asarray(occ, dtype=np.float64)[:live],
+                    np.asarray(macc, dtype=np.float64)[:live],
+                    np.asarray(vacc, dtype=np.float64)[:live],
+                    np.asarray(params[0], dtype=np.float64)[:live],
+                    np.asarray(params[1], dtype=np.float64)[:live],
+                    np.asarray(params[2], dtype=np.float64)[:live],
+                    min_gaussian_weight=self._min_gaussian_weight,
+                    remove_low_count_gaussians=True)
+                if new[0].shape[0] < live:
+                    self.log.debug(
+                        'Removed %s low-count Gaussians during '
+                        'initialization', live - new[0].shape[0])
+                live = new[0].shape[0]
+                params = pad_params(*new)
+                i += 1
+            elif cur_num_gauss >= self.num_gauss:
                 # no more splits ahead: fuse every remaining iteration
                 # into one device program
                 run = self.num_iters_init - i
@@ -387,23 +425,21 @@ class DiagUbmProcessor(BaseProcessor):
 
             next_num_gauss = min(
                 self.num_gauss, cur_num_gauss + gauss_inc)
-            if next_num_gauss > cur_num_gauss:
+            if next_num_gauss > live:
                 self.log.debug(
                     'Splitting to %s Gaussians', next_num_gauss)
                 split = gmm_ops.split_gmm(
-                    np.asarray(params[0],
-                               dtype=np.float64)[:cur_num_gauss],
-                    np.asarray(params[1],
-                               dtype=np.float64)[:cur_num_gauss],
-                    np.asarray(params[2],
-                               dtype=np.float64)[:cur_num_gauss],
+                    np.asarray(params[0], dtype=np.float64)[:live],
+                    np.asarray(params[1], dtype=np.float64)[:live],
+                    np.asarray(params[2], dtype=np.float64)[:live],
                     next_num_gauss, 0.1, self._rng)
                 params = pad_params(*split)
+                live = next_num_gauss
                 cur_num_gauss = next_num_gauss
         self.gmm = DiagGmm(
-            np.asarray(params[0], dtype=np.float64)[:cur_num_gauss],
-            np.asarray(params[1], dtype=np.float64)[:cur_num_gauss],
-            np.asarray(params[2], dtype=np.float64)[:cur_num_gauss])
+            np.asarray(params[0], dtype=np.float64)[:live],
+            np.asarray(params[1], dtype=np.float64)[:live],
+            np.asarray(params[2], dtype=np.float64)[:live])
 
     def _reservoir_indices(self, num_read):
         """Frame indices kept by the reference's reservoir sampling."""
@@ -627,14 +663,7 @@ class DiagUbmProcessor(BaseProcessor):
         post_flat = np.asarray(post_flat[:nrows], dtype=np.float64)
 
         if min_post is not None:
-            pruned = np.where(post_flat < min_post, 0.0, post_flat)
-            totals = pruned.sum(axis=1, keepdims=True)
-            # frames losing all mass keep their best component
-            best = post_flat.argmax(axis=1)
-            empty = totals[:, 0] == 0
-            pruned[empty, best[empty]] = 1.0
-            totals = pruned.sum(axis=1, keepdims=True)
-            post_flat = pruned / totals
+            post_flat = _prune_min_post(post_flat, min_post)
 
         posteriors = {}
         offset = 0
@@ -844,6 +873,36 @@ class DiagUbmProcessor(BaseProcessor):
             self.gmm = DiagGmm(*[
                 np.asarray(p, dtype=np.float64) for p in params])
         self.log.info('Done training UBM.')
+
+
+def _prune_min_post(post, min_post):
+    """The reference's exact sequential min_post pruning
+    (shennong/processor/ubm.py:559-568): component ``j`` is zeroed
+    when its CURRENT — already renormalized — posterior falls under
+    ``min_post``, and the frame renormalizes immediately after every
+    component, so later components are tested against the grown
+    values. A single global prune pass would differ: e.g.
+    [0.35, 0.35, 0.30] at min_post 0.4 becomes [0, 0.538, 0.462]
+    here (renormalizing after zeroing component 0 lifts the others
+    over the threshold), not the all-pruned fallback. A frame losing
+    all mass puts 1 on its pre-prune argmax.
+
+    Vectorized over frames: one pass of vector ops per of the ~15
+    selected components instead of the reference's per-frame python
+    loops.
+    """
+    post = np.array(post, dtype=np.float64)
+    best = post.argmax(axis=1)
+    rows = np.arange(post.shape[0])
+    for j in range(post.shape[1]):
+        post[:, j] = np.where(post[:, j] < min_post, 0.0, post[:, j])
+        totals = post.sum(axis=1)
+        empty = totals == 0
+        if empty.any():
+            post[rows[empty], best[empty]] = 1.0
+            totals[empty] = 1.0
+        post /= totals[:, None]
+    return post
 
 
 def fused_frontend_supported(features_config, utterances):

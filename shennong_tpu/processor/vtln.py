@@ -368,6 +368,16 @@ class VtlnProcessor(BaseProcessor):
         class_counts = np.zeros(self.lvtln.num_classes)
 
         if utt2speak is not None:
+            # every utterance must be mapped — the reference
+            # partitions the collection by utt2speak and raises on
+            # unmapped items (features_collection.py:215-219);
+            # silently dropping them would return wrong warps
+            missing = [
+                utt for utt in feats_collection if utt not in utt2speak]
+            if missing:
+                raise ValueError(
+                    'following items are not defined in the '
+                    'partition index: {}'.format(', '.join(missing)))
             groups = {}
             for utt, spk in utt2speak.items():
                 groups.setdefault(spk, []).append(utt)
@@ -527,6 +537,14 @@ class VtlnProcessor(BaseProcessor):
         front = ubm.__dict__.pop('_frontend_result', None)
 
         if ubm.remove_low_count_gaussians:
+            return False
+
+        # a caller-populated gaussian selection carries Kaldi
+        # --gselect semantics: later selections must REFINE within
+        # the stored per-frame subsets. The fused path computes a
+        # fresh top-k over all components, so route such UBMs
+        # through the staged path (ubm.gaussian_selection refines)
+        if ubm.selection:
             return False
 
         features_config = _copy.deepcopy(self.features)

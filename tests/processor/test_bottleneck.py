@@ -240,3 +240,15 @@ def test_too_short_audio_yields_empty():
     feats = proc.process(audio)
     assert feats.shape == (0, 80)
     assert feats.times.shape == (0, 2)
+
+
+def test_missing_selected_weights_raises_runtime_error(monkeypatch):
+    """Selecting weights whose file is absent while OTHER weights are
+    installed must raise the documented RuntimeError, not a bare
+    KeyError from the availability dict."""
+    proc = BottleneckProcessor(weights='BabelMulti')
+    monkeypatch.setattr(
+        BottleneckProcessor, 'available_weights',
+        classmethod(lambda cls: {'FisherMono': '/nope/FisherMono.npz'}))
+    with pytest.raises(RuntimeError, match='not installed'):
+        proc._get_weights()

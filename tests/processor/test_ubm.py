@@ -352,3 +352,136 @@ def test_mle_update_floored_component_kaldi_weights():
         jnp.asarray(m0), jnp.asarray(iv0))
     np.testing.assert_allclose(
         np.asarray(dev_w), ref_w, rtol=1e-5, atol=1e-7)
+
+
+def test_min_post_prunes_sequentially_like_reference():
+    """min_post pruning renormalizes after EVERY component like the
+    reference's loop (shennong/processor/ubm.py:559-568): zeroing an
+    early component can lift later ones over the threshold, so
+    [0.35, 0.35, 0.30] at min_post 0.4 keeps two components — a
+    single global prune would empty the frame and fall back to its
+    argmax."""
+    from shennong_tpu.processor.ubm import _prune_min_post
+
+    post = np.array([
+        [0.35, 0.35, 0.30],   # incremental: [0, 0.538, 0.462]
+        [0.80, 0.15, 0.05],   # prune tail, keep leader
+        [0.20, 0.20, 0.60],   # leader alone survives
+    ])
+    out = _prune_min_post(post, 0.4)
+    np.testing.assert_allclose(
+        out[0], [0.0, 0.35 / 0.65, 0.30 / 0.65], atol=1e-12)
+    np.testing.assert_allclose(out[1], [1.0, 0.0, 0.0], atol=1e-12)
+    np.testing.assert_allclose(out[2], [0.0, 0.0, 1.0], atol=1e-12)
+
+    # the literal reference loop as oracle on random frames
+    rng = np.random.RandomState(0)
+    raw = rng.rand(50, 7)
+    raw /= raw.sum(axis=1, keepdims=True)
+    ours = _prune_min_post(raw, 0.15)
+    for i in range(raw.shape[0]):
+        vec = raw[i].copy()
+        max_index = int(np.argmax(vec))
+        for j in range(len(vec)):
+            if vec[j] < 0.15:
+                vec[j] = 0.0
+            total = vec.sum()
+            if total == 0:
+                vec[max_index] = 1.0
+            else:
+                vec = vec / total
+        np.testing.assert_allclose(ours[i], vec, atol=1e-12, err_msg=i)
+
+
+def test_init_loop_removes_low_count_gaussians(monkeypatch):
+    """remove_low_count_gaussians applies during the init
+    EM-with-splitting loop like the reference (whose init loop
+    passes the user options to every MLE update,
+    shennong/processor/ubm.py:361-365), not only at the final
+    main-loop update — the trailing split restores the count, so the
+    evidence is the removal events and the diverged trajectory."""
+    from shennong_tpu import Features, FeaturesCollection
+    from shennong_tpu.ops import gmm as gmm_ops
+
+    rng = np.random.RandomState(0)
+    # two tight clusters: 8 requested gaussians at a high weight
+    # floor guarantee starved components after splitting
+    data = np.concatenate([
+        rng.randn(300, 4) * 0.1 + 5.0,
+        rng.randn(300, 4) * 0.1 - 5.0]).astype(np.float32)
+    times = np.arange(len(data), dtype=float)[:, None] * [1, 1] * 0.01
+    fc = FeaturesCollection({'u1': Features(data, times)})
+
+    removals = []
+    real_update = gmm_ops.mle_update
+
+    def spy(occ, *args, **kwargs):
+        out = real_update(occ, *args, **kwargs)
+        if (kwargs.get('remove_low_count_gaussians')
+                and out[0].shape[0] < np.asarray(occ).shape[0]):
+            removals.append(
+                (np.asarray(occ).shape[0], out[0].shape[0]))
+        return out
+
+    monkeypatch.setattr(gmm_ops, 'mle_update', spy)
+
+    def make(remove):
+        return DiagUbmProcessor(
+            num_gauss=8, num_iters_init=4, num_iters=1, seed=0,
+            num_frames=1000, min_gaussian_weight=0.2,
+            remove_low_count_gaussians=remove)
+
+    removing = make(True)
+    removing.initialize_gmm(fc)
+    assert removals, 'no init-loop removal happened'
+
+    keeping = make(False)
+    keeping.initialize_gmm(fc)
+    assert keeping.gmm.num_gauss() == 8
+    # the removals changed the training trajectory
+    assert (removing.gmm.num_gauss() != 8
+            or not np.allclose(removing.gmm.means, keeping.gmm.means))
+
+
+def test_em_step_keeps_padding_components_dead():
+    """A component with exactly zero weight AND zero occupancy is the
+    init loop's shape padding: the MLE update must not revive it at
+    min_gaussian_weight (real starved components, which always carry
+    a non-zero weight, do get the Kaldi floored weight)."""
+    import jax.numpy as jnp
+
+    from shennong_tpu.ops import gmm as gmm_ops
+
+    rng = np.random.RandomState(1)
+    dim = 3
+    feats = (rng.randn(200, dim) + 4.0).astype(np.float32)
+    fw = np.ones(200, np.float32)
+    # one live component + one zero-weight pad
+    w0 = np.array([1.0, 0.0], np.float32)
+    m0 = np.stack([np.full(dim, 4.0), np.zeros(dim)]).astype(np.float32)
+    iv0 = np.ones((2, dim), np.float32)
+
+    _, w1, m1, iv1 = gmm_ops.em_step(
+        jnp.asarray(feats), jnp.asarray(fw), jnp.asarray(w0),
+        jnp.asarray(m0), jnp.asarray(iv0))
+    assert float(np.asarray(w1)[1]) == 0.0
+    np.testing.assert_allclose(float(np.asarray(w1)[0]), 1.0)
+    np.testing.assert_array_equal(np.asarray(m1)[1], m0[1])
+
+
+def test_save_load_without_npz_extension(tmpdir):
+    """save(path) must honor the exact filename: np.savez with a bare
+    path silently appends '.npz', breaking both the round trip and
+    the already-exists guard for any other extension."""
+    import os
+
+    ubm = DiagUbmProcessor(2)
+    ubm.gmm = DiagGmm(
+        np.array([0.5, 0.5]), np.zeros((2, 3)), np.ones((2, 3)))
+    path = str(tmpdir.join('model.ubm'))
+    ubm.save(path)
+    assert os.path.isfile(path)
+    loaded = DiagUbmProcessor.load(path)
+    assert np.array_equal(loaded.gmm.means, ubm.gmm.means)
+    with pytest.raises(OSError, match='already exists'):
+        ubm.save(path)

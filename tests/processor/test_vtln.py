@@ -380,3 +380,43 @@ def test_accumulate_group_stats_all_empty_groups():
         assert stats[group].beta == 0
         np.testing.assert_array_equal(
             stats[group].K, np.zeros((dim, dim + 1)))
+
+
+def test_save_load_lvtln_without_npz_extension(tmpdir):
+    """LinearVtln.save must honor the exact filename (np.savez with a
+    bare path appends '.npz' for other extensions)."""
+    import os
+
+    vtln = VtlnProcessor()
+    vtln.lvtln = LinearVtln(5, 3, 1)
+    path = str(tmpdir.join('model.lvtln'))
+    vtln.save(path)
+    assert os.path.isfile(path)
+    loaded = VtlnProcessor.load(path)
+    assert loaded.lvtln.dim == 5
+
+
+def test_estimate_rejects_unmapped_utterances():
+    """estimate() must raise on utterances missing from utt2speak
+    (the reference's partition raises 'not defined in the partition
+    index') instead of silently dropping them from every group."""
+    from shennong_tpu import Features, FeaturesCollection
+    from shennong_tpu.ops.fmllr import LinearVtln
+
+    dim = 4
+    vtln = VtlnProcessor()
+    vtln.lvtln = LinearVtln(dim, num_classes=3, default_class=1)
+    gmm = DiagGmm(
+        np.full(2, 0.5), np.zeros((2, dim)), np.ones((2, dim)))
+    ubm = DiagUbmProcessor(num_gauss=2)
+    ubm.gmm = gmm
+
+    data = np.zeros((5, dim))
+    times = np.arange(5, dtype=float)[:, None] * [1, 1] * 0.01
+    fc = FeaturesCollection(
+        {'u1': Features(data, times), 'u2': Features(data, times)})
+    posteriors = {
+        name: (np.zeros((5, 2), np.int32), np.full((5, 2), 0.5))
+        for name in fc}
+    with pytest.raises(ValueError, match='not defined in the partition'):
+        vtln.estimate(ubm, fc, posteriors, {'u1': 'spkA'})
