@@ -53,7 +53,7 @@ def worker(args):
     from jax.experimental import multihost_utils
 
     from shennong_tpu.ops import mel as melmod
-    from shennong_tpu.ops.framing import num_frames
+    from shennong_tpu.ops.framing import FrameOptions, num_frames
     from shennong_tpu.ops.spectral import MfccOpts, mfcc_batch
 
     # each process computes the features of its utterance shard; here
@@ -64,7 +64,9 @@ def worker(args):
         (rng.randn(batch, nsamples) * 5000).astype(np.float32))
     lengths = jnp.asarray(np.full(batch, nsamples, np.int32))
 
-    opts = MfccOpts()
+    # dither=0: a configured dither requires a PRNG key, and this
+    # demo wants deterministic per-process features anyway
+    opts = MfccOpts(frame=FrameOptions(dither=0.0))
     mel_weights = jnp.asarray(melmod.mel_banks(
         23, opts.frame.padded_window_size, 16000.0,
         20.0, 0.0, 100.0, -500.0, 1.0)[0])

@@ -63,7 +63,9 @@ class FeaturesCollection(dict):
 
         # iterate the collection (not the index) so a superset index
         # -- e.g. a full-corpus speaker map against a sub-collection
-        # -- partitions cleanly, as in the reference
+        # -- partitions cleanly (the reference documents index.keys()
+        # == self.keys() and would KeyError on extra index entries;
+        # relaxing to a superset only changes that error case)
         groups = collections.defaultdict(list)
         for key in self.keys():
             groups[index[key]].append(key)

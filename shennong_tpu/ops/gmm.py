@@ -269,8 +269,11 @@ def mle_update(occupancy, mean_acc, var_acc, weights, means, inv_vars,
     if remove_low_count_gaussians and not updatable.all():
         keep = updatable.copy()
         if not keep.any():
-            # like Kaldi, never remove the last component
-            keep[int(np.argmax(occupancy))] = True
+            # Kaldi removes starved components in index order while
+            # to_remove.size() < num_gauss-1, so when EVERY component
+            # is starved the final-index one survives (with the
+            # floored weight) — not the highest-occupancy one
+            keep[-1] = True
         new_weights = new_weights[keep]
         new_means = new_means[keep]
         new_inv = new_inv[keep]

@@ -209,11 +209,23 @@ def _shard_rows(mesh, *arrays):
 
     local_rows = arrays[0].shape[0]
     ndev_local = max(jax.local_device_count(), 1)
-    # per-process row counts, exchanged once
-    counts = np.zeros(jax.process_count())
+    # per-process row counts AND local device counts, exchanged once:
+    # every process must agree on rows_max (the global shape depends
+    # on it), which requires the padding multiple to be global too
+    counts = np.zeros(2 * jax.process_count())
     counts[jax.process_index()] = local_rows
+    counts[jax.process_count() + jax.process_index()] = ndev_local
     counts = allreduce_f64(counts)
-    rows_max = int(counts.max())
+    ndevs = counts[jax.process_count():].astype(np.int64)
+    if not (ndevs == ndev_local).all():
+        # every process pads to the SAME rows_max, so unequal local
+        # device counts cannot tile the global array evenly — fail
+        # loudly instead of building conflicting global shapes
+        raise ValueError(
+            'distributed row sharding requires every process to hold '
+            'the same number of local devices, got {}'.format(
+                ndevs.tolist()))
+    rows_max = int(counts[:jax.process_count()].max())
     rows_max += (-rows_max) % ndev_local
 
     sharding = NamedSharding(mesh, P('data'))
@@ -408,8 +420,22 @@ def train_ubm(ubm, utterances, njobs=1, signal_cache=None,
                 flat_g, weights_g, *params)
         return em_fn
 
+    def accumulate_on(weights_g):
+        # psum'd statistics for the component-removing init path:
+        # every process receives bit-identical global accumulators,
+        # so the host-side removal decisions stay in lockstep
+        def accumulate_fn(params):
+            if 'acc' not in steps_cache:
+                steps_cache['acc'] = make_accumulate_step(mesh)
+            params = [
+                jax.device_put(np.asarray(p, np.float32), replicated)
+                for p in params]
+            return steps_cache['acc'](flat_g, weights_g, *params)
+        return accumulate_fn
+
     ubm._init_em_loop(
-        None, None, num_gauss_init, avail, em_fn=em_on(sel_g))
+        None, None, num_gauss_init, avail, em_fn=em_on(sel_g),
+        accumulate_fn=accumulate_on(sel_g))
 
     log.info('Training for %s iterations', ubm.num_iters)
     em_fn = em_on(wem_g)
@@ -417,11 +443,7 @@ def train_ubm(ubm, utterances, njobs=1, signal_cache=None,
     if ubm.num_iters > 0 and ubm.remove_low_count_gaussians:
         if ubm.num_iters > 1:
             _, *params = em_fn(params, ubm.num_iters - 1)
-        acc = make_accumulate_step(mesh)
-        _, occ, mean_acc, var_acc = acc(
-            flat_g, wem_g, *[
-                jax.device_put(np.asarray(p, np.float32), replicated)
-                for p in params])
+        _, occ, mean_acc, var_acc = accumulate_on(wem_g)(params)
         ubm.gmm = DiagGmm(*[
             np.asarray(p, dtype=np.float64) for p in params])
         ubm.estimate((

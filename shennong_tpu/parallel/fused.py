@@ -34,9 +34,10 @@ def mfcc_pitch_pipeline(signals, nsamples, mel_weights, mfcc_opts,
     reference pipeline's pass-2 behavior (CmvnPostProcessor.process
     defaults to norm_vars=True and the reference's own test asserts
     unit output std, test/test_pipeline.py:403-408); every stage is
-    fused into one XLA program. Pass ``key`` to enable dithering
-    when ``mfcc_opts.frame.dither`` is nonzero (without a key the
-    dither is skipped, as in deterministic test runs).
+    fused into one XLA program. A non-zero ``mfcc_opts.frame.dither``
+    REQUIRES a ``key`` (the framing kernel raises rather than
+    silently skipping a configured dither); set ``dither=0`` for
+    deterministic runs.
     """
     feats = spectral.mfcc_batch(
         signals, nsamples, mel_weights, mfcc_opts, nframes_max,
@@ -266,6 +267,11 @@ def make_gmm_training_step(mesh, mfcc_opts, nframes_max):
     statistics psum over the 'data' axis before the on-device MLE
     update (the TPU-native equivalent of the reference's multithreaded
     C++ accumulation, ``shennong/processor/ubm.py:656``).
+
+    A non-zero ``mfcc_opts.frame.dither`` changes the signature: the
+    returned function takes a trailing PRNG ``key`` argument (the
+    framing kernel refuses to silently skip a configured dither);
+    fold a step counter into the key between calls for fresh noise.
     """
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
@@ -278,10 +284,17 @@ def make_gmm_training_step(mesh, mfcc_opts, nframes_max):
         mfcc_opts.frame.sample_rate, mfcc_opts.mel.low_freq,
         mfcc_opts.mel.high_freq, mfcc_opts.mel.vtln_low,
         mfcc_opts.mel.vtln_high, 1.0)[0])
+    dithered = mfcc_opts.frame.dither != 0.0
 
-    def shard_step(signals, nsamples, weights, means, inv_vars):
+    def shard_step(signals, nsamples, weights, means, inv_vars,
+                   key=None):
+        if key is not None:
+            # independent dither noise per shard: the replicated key
+            # would otherwise draw the SAME pattern on every device
+            key = jax.random.fold_in(key, jax.lax.axis_index('data'))
         feats = spectral.mfcc_batch(
-            signals, nsamples, mel_weights, mfcc_opts, nframes_max)
+            signals, nsamples, mel_weights, mfcc_opts, nframes_max,
+            key=key)
 
         shift = mfcc_opts.frame.window_shift
         length = mfcc_opts.frame.window_size
@@ -308,8 +321,18 @@ def make_gmm_training_step(mesh, mfcc_opts, nframes_max):
             var_acc / safe - new_means ** 2, 1e-3)
         return new_weights, new_means, 1.0 / new_vars
 
+    if dithered:
+        return jax.jit(shard_map(
+            shard_step, mesh=mesh,
+            in_specs=(P('data'), P('data'), P(), P(), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_rep=False))
+
+    def undithered_step(signals, nsamples, weights, means, inv_vars):
+        return shard_step(signals, nsamples, weights, means, inv_vars)
+
     return jax.jit(shard_map(
-        shard_step, mesh=mesh,
+        undithered_step, mesh=mesh,
         in_specs=(P('data'), P('data'), P(), P(), P()),
         out_specs=(P(), P(), P()),
         check_rep=False))

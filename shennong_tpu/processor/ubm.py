@@ -314,7 +314,7 @@ class DiagUbmProcessor(BaseProcessor):
             num_gauss_init, feats.shape[0])
 
     def _init_em_loop(self, feats_dev, weights_dev, num_gauss_init,
-                      nframes_log, em_fn=None):
+                      nframes_log, em_fn=None, accumulate_fn=None):
         """The init EM-with-splitting loop on device-resident data.
 
         ``weights_dev`` holds 0/1 per-frame selection weights (1 for
@@ -328,6 +328,13 @@ class DiagUbmProcessor(BaseProcessor):
         (:func:`shennong_tpu.parallel.distributed.train_ubm`) plugs in
         a mesh-sharded step whose statistics psum across hosts; the
         default runs on the local device data.
+
+        ``accumulate_fn(params) -> (tot_like, occupancy, mean_acc,
+        var_acc)`` overrides statistic accumulation for the
+        ``remove_low_count_gaussians`` path, whose component-removing
+        MLE update always runs on the host (shapes shrink); a
+        distributed caller supplies psum'd statistics so every
+        process takes identical removal decisions in lockstep.
         """
         cur_num_gauss = num_gauss_init
         gauss_inc = int((self.num_gauss - num_gauss_init)
@@ -362,10 +369,15 @@ class DiagUbmProcessor(BaseProcessor):
         # that configuration runs its updates host-side (accumulation
         # stays one device program per iteration)
         remove = bool(self.remove_low_count_gaussians)
-        if remove and em_fn is not None:
+        if remove and em_fn is not None and accumulate_fn is None:
             raise ValueError(
-                'remove_low_count_gaussians is not supported with a '
-                'custom em_fn (distributed training requires it off)')
+                'remove_low_count_gaussians with a custom em_fn '
+                'requires a matching accumulate_fn (the removal '
+                'update runs host-side on its statistics)')
+        if remove and accumulate_fn is None:
+            def accumulate_fn(params):
+                return gmm_ops.accumulate_stats(
+                    feats_dev, weights_dev, *params)
 
         ones_dev = weights_dev
         if em_fn is None:
@@ -386,8 +398,7 @@ class DiagUbmProcessor(BaseProcessor):
             if remove:
                 if self.log.isEnabledFor(10):
                     self.log.debug('Iteration %s', i)
-                tot_like, occ, macc, vacc = gmm_ops.accumulate_stats(
-                    feats_dev, weights_dev, *params)
+                tot_like, occ, macc, vacc = accumulate_fn(params)
                 new = gmm_ops.mle_update(
                     np.asarray(occ, dtype=np.float64)[:live],
                     np.asarray(macc, dtype=np.float64)[:live],

@@ -485,3 +485,29 @@ def test_save_load_without_npz_extension(tmpdir):
     assert np.array_equal(loaded.gmm.means, ubm.gmm.means)
     with pytest.raises(OSError, match='already exists'):
         ubm.save(path)
+
+
+def test_mle_update_all_starved_keeps_last_component():
+    """When EVERY component is starved and removal is on, Kaldi's
+    index-order removal loop (guarded by to_remove.size() <
+    num_gauss-1) keeps the FINAL component — not the one with the
+    highest occupancy."""
+    from shennong_tpu.ops import gmm as gmm_ops
+
+    dim = 2
+    occ = np.array([5.0, 2.0, 3.0])          # argmax is component 0
+    weights = np.array([0.5, 0.2, 0.3])
+    means = np.arange(3 * dim, dtype=np.float64).reshape(3, dim)
+    inv_vars = np.ones((3, dim))
+    mean_acc = means * occ[:, None]
+    var_acc = (means ** 2 + 1.0) * occ[:, None]
+
+    new_w, new_m, new_iv = gmm_ops.mle_update(
+        occ, mean_acc, var_acc, weights, means, inv_vars,
+        min_gaussian_occupancy=10.0,       # starves all three
+        remove_low_count_gaussians=True)
+    assert new_w.shape == (1,)
+    # the survivor is component 2 (last index): its mean/variance are
+    # kept untouched since it was not updatable
+    np.testing.assert_array_equal(new_m[0], means[2])
+    np.testing.assert_array_equal(new_iv[0], inv_vars[2])

@@ -102,3 +102,50 @@ def test_fused_sharded_over_mesh():
         jax.device_put(lengths, sharding))
     assert len(sharded_out.sharding.device_set) == 8
     assert np.allclose(np.asarray(sharded_out), plain, atol=1e-5)
+
+
+def test_gmm_training_step_with_dither_takes_key():
+    """A dithered MfccOpts changes make_gmm_training_step's contract:
+    the returned step takes a trailing PRNG key (per-shard folded)
+    instead of crashing at trace time; dither=0 keeps the key-less
+    signature."""
+    import jax
+    from jax.sharding import Mesh
+
+    from shennong_tpu.ops.framing import FrameOptions
+    from shennong_tpu.parallel.fused import make_gmm_training_step
+
+    mesh = Mesh(np.asarray(jax.devices()), ('data',))
+    num_gauss, dim = 3, 13
+    batch, nsamples = 8, 4000
+    rng = np.random.RandomState(0)
+    signals = jnp.asarray(
+        (rng.randn(batch, nsamples) * 5000).astype(np.float32))
+    lengths = jnp.asarray(np.full(batch, nsamples, np.int32))
+    weights = jnp.asarray(np.full(num_gauss, 1 / num_gauss, np.float32))
+    means = jnp.asarray(rng.randn(num_gauss, dim).astype(np.float32))
+    inv_vars = jnp.asarray(np.ones((num_gauss, dim), np.float32))
+
+    opts = MfccOpts(frame=FrameOptions(dither=1.0))
+    fmax = num_frames(nsamples, opts.frame)
+    step = make_gmm_training_step(mesh, opts, fmax)
+    out = step(signals, lengths, weights, means, inv_vars,
+               jax.random.PRNGKey(0))
+    w1 = np.asarray(out[0])
+    np.testing.assert_allclose(w1.sum(), 1.0, rtol=1e-5)
+    assert np.all(np.isfinite(np.asarray(out[1])))
+
+    # two different keys give (slightly) different statistics, the
+    # same key reproduces them exactly
+    again = step(signals, lengths, weights, means, inv_vars,
+                 jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(w1, np.asarray(again[0]))
+    other = step(signals, lengths, weights, means, inv_vars,
+                 jax.random.PRNGKey(7))
+    assert not np.array_equal(w1, np.asarray(other[0]))
+
+    # undithered factory keeps the historical 5-argument signature
+    quiet = MfccOpts(frame=FrameOptions(dither=0.0))
+    step0 = make_gmm_training_step(mesh, quiet, fmax)
+    out0 = step0(signals, lengths, weights, means, inv_vars)
+    assert np.all(np.isfinite(np.asarray(out0[1])))

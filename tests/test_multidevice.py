@@ -319,3 +319,42 @@ def test_distributed_extract_features_vtln_wiring(corpus):
             dist[name].data, single[name].data, atol=2e-4), name
         assert (dist[name].properties['mfcc']['vtln_warp']
                 == single[name].properties['mfcc']['vtln_warp']), name
+
+
+def test_train_ubm_with_removal_equals_process(wav_file):
+    """distributed.train_ubm with remove_low_count_gaussians=True must
+    run (the removal init loop consumes psum'd statistics, host
+    updates in lockstep) and match single-process training."""
+    import warnings
+
+    from shennong_tpu.parallel.distributed import train_ubm
+    from shennong_tpu.processor.ubm import DiagUbmProcessor
+
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        corpus = Utterances([
+            ('u%d' % i, wav_file, 'spk%d' % (i % 2),
+             0.02 * i, 1.32 - 0.1 * i)
+            for i in range(6)])
+
+    def make_ubm():
+        proc = DiagUbmProcessor(
+            num_gauss=4, num_iters=2, num_iters_init=3,
+            num_frames=120, seed=0, vad={'energy_threshold': 5.0},
+            min_gaussian_weight=0.01,
+            remove_low_count_gaussians=True)
+        proc.features['mfcc']['dither'] = 0
+        return proc
+
+    single = make_ubm()
+    single.process(corpus)
+    dist = make_ubm()
+    train_ubm(dist, corpus)
+
+    assert dist.gmm.num_gauss() == single.gmm.num_gauss()
+    np.testing.assert_allclose(
+        dist.gmm.weights, single.gmm.weights, rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        dist.gmm.means, single.gmm.means, rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        dist.gmm.inv_vars, single.gmm.inv_vars, rtol=2e-3, atol=1e-4)
