@@ -126,18 +126,29 @@ class Audio:
         return self.dtype.itemsize * 8
 
     @classmethod
-    # unbounded: entries are ~100-byte metadata tuples, and corpora
-    # beyond the default 128 entries would otherwise re-read every
-    # header on each of the several full-collection scan sweeps
-    # (batch planning, front-end eligibility, streamed ordering)
-    @functools.lru_cache(maxsize=None)
     def scan(cls, filename):
         """Read audio metadata without loading samples in memory.
 
         Returns a namedtuple with fields nchannels, sample_rate,
         nsamples and duration. Raises ValueError on unreadable files.
+        Cached on (filename, mtime, size) so repeated collection
+        sweeps (batch planning, front-end eligibility, streamed
+        ordering) never re-read a header, while a file rewritten on
+        disk is re-scanned instead of served stale metadata.
         """
         filename = str(filename)
+        try:
+            stat = os.stat(filename)
+        except OSError:
+            raise ValueError(f'{filename}: file not found')
+        return cls._scan_cached(filename, stat.st_mtime_ns, stat.st_size)
+
+    @classmethod
+    # unbounded: entries are ~100-byte metadata tuples, and corpora
+    # beyond the default 128 entries would otherwise re-read every
+    # header on each of the several full-collection scan sweeps
+    @functools.lru_cache(maxsize=None)
+    def _scan_cached(cls, filename, _mtime_ns, _size):
         if not os.path.isfile(filename):
             raise ValueError(f'{filename}: file not found')
 

@@ -272,12 +272,21 @@ def mle_update(occupancy, mean_acc, var_acc, weights, means, inv_vars,
             # Kaldi removes starved components in index order while
             # to_remove.size() < num_gauss-1, so when EVERY component
             # is starved the final-index one survives (with the
-            # floored weight) — not the highest-occupancy one
-            keep[-1] = True
+            # floored weight) — not the highest-occupancy one. A dead
+            # padding component (exact-zero weight AND occupancy) must
+            # not be the survivor: its weight is 0 and the renorm
+            # below would divide by zero
+            live = np.flatnonzero(~dead)
+            if live.size == 0:
+                raise ValueError(
+                    'every GMM component is dead padding: nothing to keep')
+            keep[live[-1]] = True
         new_weights = new_weights[keep]
         new_means = new_means[keep]
         new_inv = new_inv[keep]
-        new_weights = new_weights / new_weights.sum()
+        total_kept = new_weights.sum()
+        assert total_kept > 0, 'kept components have zero total weight'
+        new_weights = new_weights / total_kept
 
     return new_weights, new_means, new_inv
 

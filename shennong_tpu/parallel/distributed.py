@@ -79,14 +79,15 @@ def reduce_cmvn_stats(local_stats, group_keys):
     # peers in the allreduce): exchange the stats width so it can
     # contribute zeros; if EVERY process is empty, all of them see
     # width 0 and raise together
-    local_cols = (
-        np.asarray(next(iter(local_stats.values()))).shape[-1]
-        if local_stats else 0)
-    cols = int(_allgather_host([float(local_cols)]).max())
+    local_shape = (
+        np.asarray(next(iter(local_stats.values()))).shape
+        if local_stats else (0, 0))
+    shapes = _allgather_host([float(d) for d in local_shape])
+    rows, cols = (int(v) for v in shapes.max(axis=0))
     if cols == 0:
         raise ValueError(
             'no process produced any CMVN statistics')
-    template = np.zeros((2, cols))
+    template = np.zeros((rows, cols))
     stacked = np.stack([
         np.asarray(local_stats[key]) if key in local_stats
         else template for key in group_keys])

@@ -243,6 +243,14 @@ class DiagUbmProcessor(BaseProcessor):
             with np.load(path) as data:
                 gmm = DiagGmm(
                     data['weights'], data['means'], data['inv_vars'])
+        # the device EM treats exact-zero-weight zero-occupancy
+        # components as inert shape padding (ops/gmm.py em_step); a
+        # loaded model containing a real zero-weight component would
+        # be silently frozen instead of floored, so reject it here
+        # (Kaldi itself never produces exact-zero weights)
+        if np.any(gmm.weights == 0):
+            raise ValueError(
+                '{}: GMM contains zero-weight components'.format(path))
         ubm = DiagUbmProcessor(gmm.num_gauss())
         ubm.gmm = gmm
         return ubm
