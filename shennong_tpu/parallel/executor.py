@@ -46,7 +46,7 @@ class FusedPipelineExecutor:
     def __init__(self, feat_proc, warps=None, energy_proc=None,
                  vad_proc=None, pitch_proc=None, pitch_post=None,
                  batch_size=64, mesh=None, depth=2,
-                 signal_cache=None):
+                 signal_cache=None, fetch_dtype='float32'):
         self.feat_proc = feat_proc
         self.warps = warps
         self.energy_proc = energy_proc
@@ -58,6 +58,7 @@ class FusedPipelineExecutor:
         self.mesh = mesh if mesh is not None else \
             meshing.get_default_mesh()
         self.signal_cache = signal_cache
+        self.fetch_dtype = _check_fetch_dtype(fetch_dtype)
 
     def _static_opts(self):
         """The per-run static configuration of the fused program."""
@@ -133,6 +134,8 @@ class FusedPipelineExecutor:
             FeaturesCollection() if self.pitch_proc is not None
             else None)
 
+        from shennong_tpu.parallel.fused import pack_payload
+
         def dispatch(names, signals, nsamples):
             # integer-valued audio uploads as int16: half the bytes
             # through the host-device link (cache-replayed batches are
@@ -161,21 +164,24 @@ class FusedPipelineExecutor:
                     kwargs['key'] = _fresh_key()
                 out = pass_one_program(
                     dev_signals, dev_nsamples, mel, eql, **kwargs)
-                counters.add('dispatches')
-                for arr in out.values():  # overlap fetch with compute
-                    if hasattr(arr, 'copy_to_host_async'):
-                        arr.copy_to_host_async()
-            return names, nsamples, out, signals
+                # every output packs into ONE uint8 payload on device:
+                # a single host fetch per batch instead of one relay
+                # round trip per output array
+                layout = _payload_layout(out, self.fetch_dtype)
+                payload = pack_payload(
+                    tuple(out[name] for name, _, _ in layout),
+                    dtype=self.fetch_dtype)
+                counters.add('dispatches', 2)
+                payload.copy_to_host_async()  # overlap with compute
+            return names, nsamples, layout, payload, signals
 
-        def drain(names, nsamples, out, signals):
+        def drain(names, nsamples, layout, payload, signals):
             with counters.timed('fetch_s'):
-                feats = np.asarray(out['feats'])
-                vad = (np.asarray(out['vad'])
-                       if 'vad' in out else None)
-                pitch = (np.asarray(out['pitch'])
-                         if 'pitch' in out else None)
-            counters.add('bytes_down', feats.nbytes + sum(
-                a.nbytes for a in (vad, pitch) if a is not None))
+                out = _unpack_payload(np.asarray(payload), layout)
+            feats = out['feats']
+            vad = out.get('vad')
+            pitch = out.get('pitch')
+            counters.add('bytes_down', payload.nbytes)
             for row, name in enumerate(names):
                 nframes = self.feat_proc.output_frames(
                     int(nsamples[row]))
@@ -235,6 +241,54 @@ def _check_sample_rates(utterances, proc):
             raise ValueError(
                 'processor and signal mismatch in sample rates: '
                 '{} != {}'.format(proc.sample_rate, rate))
+
+
+#: fetch dtypes accepted by the packed-payload path ('float16' /
+#: 'bfloat16' halve the fetched bytes; opt-in, not bit-exact)
+_FETCH_DTYPES = ('float32', 'float16', 'bfloat16')
+
+
+def _check_fetch_dtype(fetch_dtype):
+    """Canonical numpy dtype for a fetch precision name."""
+    name = str(np.dtype(fetch_dtype)) if fetch_dtype != 'bfloat16' \
+        else 'bfloat16'
+    if name not in _FETCH_DTYPES:
+        raise ValueError(
+            'fetch_dtype must be one of {}, got {}'.format(
+                ', '.join(_FETCH_DTYPES), fetch_dtype))
+    if name == 'bfloat16':
+        import ml_dtypes
+        return np.dtype(ml_dtypes.bfloat16)
+    return np.dtype(name)
+
+
+def _payload_layout(out, fetch_dtype):
+    """(name, shape, host dtype) triplets in payload pack order.
+
+    Must mirror the iteration order of
+    :func:`shennong_tpu.parallel.fused.pack_payload`: float arrays
+    carry ``fetch_dtype``, uint8 arrays (VAD) pass through.
+    """
+    layout = [('feats', out['feats'].shape, fetch_dtype)]
+    if 'vad' in out:
+        layout.append(('vad', out['vad'].shape, np.dtype(np.uint8)))
+    if 'pitch' in out:
+        layout.append(('pitch', out['pitch'].shape, fetch_dtype))
+    return layout
+
+
+def _unpack_payload(payload, layout):
+    """Split one fetched uint8 payload into named arrays (zero-copy
+    views; reduced-precision floats upcast to float32)."""
+    out, cursor = {}, 0
+    for name, shape, dtype in layout:
+        nbytes = int(np.prod(shape)) * dtype.itemsize
+        part = payload[cursor:cursor + nbytes].view(dtype).reshape(shape)
+        cursor += nbytes
+        if dtype.itemsize != 1 and dtype != np.float32:
+            part = part.astype(np.float32)
+        out[name] = part
+    return out
 
 
 def _energy_opts(proc):

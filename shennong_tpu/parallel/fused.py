@@ -191,6 +191,36 @@ def pass_one_program(signals, nsamples, mel_weights, equal_loudness,
     return out
 
 
+@functools.partial(jax.jit, static_argnames=('dtype',))
+def pack_payload(parts, dtype='float32'):
+    """Pack device arrays into ONE contiguous uint8 fetch payload.
+
+    Every separate device->host fetch pays a full relay round trip
+    (~35-50 ms observed), so the pipeline's per-batch outputs (feats,
+    VAD, pitch) are byte-packed on device and fetched as a single
+    array. ``dtype`` optionally downcasts the float parts before
+    packing ('float16'/'bfloat16' halve the fetched bytes — opt-in:
+    the default 'float32' is bit-exact). uint8 parts (VAD) pass
+    through unchanged. Hosts unpack with zero-copy numpy views
+    (byte layout = C-order little-endian, matching ``ndarray.view``).
+
+    Replaces the per-array fetches of the reference's joblib workers
+    (each worker returns its own numpy arrays through the pool,
+    ``shennong/pipeline.py:545-565``).
+    """
+    target = jnp.dtype(dtype)
+    chunks = []
+    for arr in parts:
+        if arr.dtype == jnp.uint8:
+            chunks.append(arr.reshape(-1))
+            continue
+        if target != arr.dtype:
+            arr = arr.astype(target)
+        chunks.append(
+            jax.lax.bitcast_convert_type(arr, jnp.uint8).reshape(-1))
+    return jnp.concatenate(chunks)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=('mfcc_opts', 'nframes_max', 'delta_order',

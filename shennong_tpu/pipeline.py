@@ -123,6 +123,7 @@ def extract_features(
         utterances,
         warps=None,
         njobs=1,
+        fetch_dtype=None,
         log=get_logger('pipeline', 'warning')):
     """Run a features extraction pipeline over ``utterances``.
 
@@ -139,6 +140,14 @@ def extract_features(
     njobs : int, optional
         Host-side parallelism for audio IO (device execution does not
         depend on it).
+    fetch_dtype : str, optional
+        Precision of the device->host feature fetch on the fused
+        pass-1 path: 'float32' (default, bit-exact), 'float16' or
+        'bfloat16' (HALF the fetched bytes — for bandwidth-starved
+        host-device links, when the downstream serializer is lossy or
+        float32 anyway; outputs are upcast to float32 but carry the
+        reduced precision, roughly 1e-3 relative for 'float16').
+        Ignored by the per-utterance and stage-wise fallback paths.
     log : logging.Logger, optional
 
     Returns
@@ -155,7 +164,9 @@ def extract_features(
     if warps:
         warps = _init_warps(warps, config, utterances, log)
 
-    return _extract_features(config, utterances, warps, njobs=njobs, log=log)
+    return _extract_features(
+        config, utterances, warps, njobs=njobs,
+        fetch_dtype=fetch_dtype, log=log)
 
 
 def extract_features_warp(configuration, utterances, warp, log, njobs=1):
@@ -415,7 +426,8 @@ def _init_warps(warps, config, utterances, log):
     return {name: float(warp) for name, warp in warps.items()}
 
 
-def _extract_features(config, utterances, warps, log, njobs=1):
+def _extract_features(config, utterances, warps, log, njobs=1,
+                      fetch_dtype=None):
     manager = PipelineManager(config, utterances, log=log)
 
     # vtln: compute warps or install precomputed ones. VTLN training
@@ -438,7 +450,8 @@ def _extract_features(config, utterances, warps, log, njobs=1):
     # program (everything except bottleneck and crepe pitch, which
     # keep their own internal batching)
     pass_one = _batched_pass_one(
-        manager, utterances, log, njobs, signal_cache=signal_cache)
+        manager, utterances, log, njobs, signal_cache=signal_cache,
+        fetch_dtype=fetch_dtype)
     if pass_one is None:
         pass_one = [
             _extract_pass_one(utterance, manager, log=log)
@@ -448,7 +461,7 @@ def _extract_features(config, utterances, warps, log, njobs=1):
 
 
 def _batched_pass_one(manager, utterances, log, njobs,
-                      signal_cache=None):
+                      signal_cache=None, fetch_dtype=None):
     """Pass 1 as whole-collection batched device programs.
 
     Returns the same (utterance, features, pitch) triplets as the
@@ -470,7 +483,8 @@ def _batched_pass_one(manager, utterances, log, njobs,
     first = utterances[0]
 
     outputs = _fused_pass_one(
-        manager, utterances, log, njobs, signal_cache=signal_cache)
+        manager, utterances, log, njobs, signal_cache=signal_cache,
+        fetch_dtype=fetch_dtype)
     if outputs is not None:
         feats_collection, vads, pitches = outputs
     else:
@@ -558,7 +572,7 @@ def _batched_pass_one(manager, utterances, log, njobs,
 
 
 def _fused_pass_one(manager, utterances, log, njobs,
-                    signal_cache=None):
+                    signal_cache=None, fetch_dtype=None):
     """Pass 1 through the fused single-program-per-batch executor.
 
     Returns ``(features, vads, pitches)`` or None when the
@@ -607,7 +621,8 @@ def _fused_pass_one(manager, utterances, log, njobs,
             manager.make('pitch', first) if with_pitch else None),
         pitch_post=(
             manager.make('pitch_post') if with_pitch else None),
-        signal_cache=signal_cache)
+        signal_cache=signal_cache,
+        fetch_dtype=fetch_dtype or 'float32')
     return executor.run(utterances, njobs=njobs)
 
 

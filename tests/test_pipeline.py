@@ -95,6 +95,27 @@ def test_extract_full(utterances):
     assert np.abs(spk1.mean(axis=0)).max() < 1.5
 
 
+def test_extract_fetch_dtype(utterances):
+    # float16 fetch: same shapes, float32 host dtype, values within
+    # half-precision rounding of the bit-exact default payload
+    config = get_default_config('mfcc', with_pitch='kaldi')
+    config['mfcc']['dither'] = 0
+    # the delta-pitch noise draws a fresh key per run: zero it so the
+    # two runs differ by fetch precision only
+    config['pitch']['postprocessing']['delta_pitch_noise_stddev'] = 0.0
+    exact = extract_features(config, utterances)
+    half = extract_features(config, utterances, fetch_dtype='float16')
+    for name in exact.keys():
+        assert half[name].dtype == exact[name].dtype
+        assert half[name].shape == exact[name].shape
+        scale = np.maximum(np.abs(exact[name].data), 1.0)
+        err = np.abs(half[name].data - exact[name].data) / scale
+        assert err.max() < 2e-3, err.max()
+
+    with pytest.raises(ValueError, match='fetch_dtype'):
+        extract_features(config, utterances, fetch_dtype='int8')
+
+
 def test_extract_cmvn_by_utterance(utterances):
     config = get_default_config('mfcc', with_cmvn=True)
     config['mfcc']['dither'] = 0
