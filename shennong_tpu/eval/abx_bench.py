@@ -10,18 +10,37 @@ seeds at the ``full`` configuration), scored with the ABXpy-faithful
 evaluator (:mod:`shennong_tpu.eval.abx` — DTW divergences normalized
 by realized path length, speaker-pair/phone-pair aggregation).
 
-The corpus encodes the two nuisances the reference's table isolates:
+The corpus is built the way ABXpy builds its task from Buckeye: the
+unit of processing is a multi-phone *utterance* (a lead-in token
+followed by every phone in a per-utterance shuffled order), features
+are extracted over whole utterances, and the evaluation segments are
+frame slices at the known token boundaries — so utterance-level
+computers (the RASTA filter state above all) are warmed up by the
+time any scored frame occurs, exactly as on real corpora.
+
+The corpus encodes the nuisances the reference's table isolates:
 
 - every speaker applies a stationary spectral coloring (a fixed
-  random FIR) — the nuisance **per-speaker CMVN** removes;
+  random FIR) — the nuisance **per-speaker CMVN's mean** removes;
+- every speaker has a *dynamics profile* (a tremolo of
+  speaker-dependent depth at ~4 Hz, inside RASTA's passband, with
+  per-utterance random phase): a multiplicative nuisance that
+  **survives RASTA filtering** and is equalized by per-speaker
+  CMVN's **variance normalization** — this is what makes CMVN help
+  rastaplp, as in the published tables;
+- every utterance passes through a **slowly-varying convolutive
+  channel** (a crossfade between two random FIRs over the utterance,
+  ~0.3-0.7 Hz — below RASTA's ~0.9 Hz highpass corner): the nuisance
+  **RASTA filtering** exists to remove, which per-speaker CMVN can
+  only remove in expectation;
 - every speaker scales all formants by a vocal-tract factor ``alpha``
   in [0.88, 1.14], with adjacent phones ~9% apart in formant space so
   speakers genuinely confuse phones — the nuisance **VTLN** models.
 
 So the benchmark reproduces the *shape* of the published Buckeye
-table (raw > +CMVN > VTLN+CMVN on the across-speaker task) with
-magnitudes that are locked by tests and recorded in
-``doc/performance.md``.
+table (raw > +CMVN > VTLN+CMVN on the across-speaker task, for the
+rastaplp row included) with magnitudes that are locked by tests and
+recorded in ``doc/performance.md``.
 """
 
 import os
@@ -41,7 +60,7 @@ TOKEN_SECONDS = 0.3
 #: magnitudes.
 CONFIGS = {
     'full': dict(nspeakers=20, nphones=10, tokens=4, train_tokens=3),
-    'ci': dict(nspeakers=8, nphones=4, tokens=3, train_tokens=2),
+    'ci': dict(nspeakers=8, nphones=4, tokens=3, train_tokens=3),
 }
 
 
@@ -57,20 +76,26 @@ def phone_formants(nphones):
 
 
 def speaker_profiles(nspeakers):
-    """Per-speaker (alpha, fir): vocal-tract scale + fixed coloring."""
+    """Per-speaker (alpha, fir, depth): vocal-tract scale, fixed
+    spectral coloring, and tremolo depth (the dynamics nuisance that
+    survives RASTA). Depths are assigned through a deterministic
+    permutation so they do not correlate with alpha."""
     alphas = np.linspace(0.88, 1.14, nspeakers)
+    depths = np.linspace(0.10, 0.65, nspeakers)
+    order = np.random.RandomState(4243).permutation(nspeakers)
     profiles = {}
     for s in range(nspeakers):
         srng = np.random.RandomState(77000 + s)
         fir = srng.randn(24) * (0.95 ** np.arange(24))
         fir[0] = 1.0
-        profiles[f's{s:02d}'] = (float(alphas[s]), fir)
+        profiles[f's{s:02d}'] = (
+            float(alphas[s]), fir, float(depths[order[s]]))
     return profiles
 
 
-def synthesize_token(formants, alpha, fir, tag, seed):
-    """One phone realization: two formant bands at ``alpha``-scaled
-    frequencies, through the speaker's stationary coloring.
+def _token_core(formants, alpha, tag, seed):
+    """One raw phone realization (float64, no speaker coloring): two
+    formant bands at ``alpha``-scaled frequencies.
 
     The formants glide ~±5% across the token (three crossfaded
     stages) and a syllable-like amplitude envelope shapes it, so the
@@ -108,12 +133,97 @@ def synthesize_token(formants, alpha, fir, tag, seed):
     # syllable-like onset/offset envelope
     t = np.arange(nsamples) / nsamples
     signal *= np.sin(np.pi * np.clip(t * 1.15, 0, 1)) ** 0.5
+    return signal
 
+
+#: Per-utterance channel coloring strength (FIR tap scale).
+CHANNEL_STRENGTH = 0.6
+
+#: Tremolo rate band (Hz) — inside RASTA's ~1-13 Hz passband.
+TREMOLO_HZ = (3.5, 4.5)
+
+
+def _channel_fir(rng):
+    """One random smooth coloring FIR for the utterance channel."""
+    taps = rng.randn(24) * (0.9 ** np.arange(24)) * CHANNEL_STRENGTH
+    taps[0] = 1.0
+    return taps
+
+
+def synthesize_utterance(phone_seq, phones, profile, tag, seed):
+    """One multi-phone utterance for speaker ``profile``: a lead-in
+    token (RASTA/filter warm-up, never scored) followed by one
+    realization of each phone in ``phone_seq``, through the speaker's
+    dynamics (tremolo of speaker depth, per-utterance random phase),
+    the speaker's stationary coloring, and a slowly-varying
+    per-utterance convolutive channel (FIR crossfade over the whole
+    utterance).
+
+    Returns the int16 signal; scored token ``k`` of ``phone_seq``
+    occupies samples ``[(k+1)*T, (k+2)*T)`` with ``T`` the token
+    length.
+    """
+    import scipy.signal
+
+    urng = np.random.RandomState(
+        (zlib.crc32(('utt:' + tag).encode()) + 104729 * seed)
+        % (2 ** 32))
+    alpha, fir, depth = profile
+
+    mid = sorted(phones)[len(phones) // 2]
+    parts = [_token_core(phones[mid], alpha, f'{tag}-leadin', seed)]
+    parts += [
+        _token_core(phones[phone], alpha, f'{phone}-{tag}-{k}', seed)
+        for k, phone in enumerate(phone_seq)]
+    signal = np.concatenate(parts)
+    nsamples = len(signal)
+    t = np.arange(nsamples) / RATE
+
+    # speaker dynamics: tremolo depth is the speaker trait; phase and
+    # exact rate are utterance noise, so the depth (not the waveform)
+    # is what distinguishes speakers
+    rate = urng.uniform(*TREMOLO_HZ)
+    phase = urng.uniform(0, 2 * np.pi)
+    signal = signal * (1.0 + depth * np.sin(2 * np.pi * rate * t + phase))
+
+    # stationary speaker coloring
     signal = scipy.signal.lfilter(fir, [1.0], signal)
+
+    # slowly-varying convolutive channel: crossfade between two
+    # random FIRs across the utterance — one sweep per utterance,
+    # i.e. ~0.3-0.7 Hz, below RASTA's highpass corner
+    cola = scipy.signal.lfilter(_channel_fir(urng), [1.0], signal)
+    colb = scipy.signal.lfilter(_channel_fir(urng), [1.0], signal)
+    sweep = np.sin(0.5 * np.pi * np.arange(nsamples) / nsamples) ** 2
+    signal = (1.0 - sweep) * cola + sweep * colb
+
     # tiny noise floor: the envelope starts at exactly zero, and with
     # dither disabled a digitally-silent frame would hit log(0)
-    signal += 1e-4 * np.abs(signal).max() * rng.randn(nsamples)
+    signal += 1e-4 * np.abs(signal).max() * urng.randn(nsamples)
     return (signal / np.abs(signal).max() * 12000).astype(np.int16)
+
+
+def segment_slice(token_index, frame_shift=0.01, frame_length=0.025):
+    """Frame slice of scored token ``token_index`` in an utterance
+    (after the lead-in), 2-frame margins against coarticulation with
+    the concatenation edges."""
+    nsamples = int(TOKEN_SECONDS * RATE)
+    shift = int(round(frame_shift * RATE))
+    flen = int(round(frame_length * RATE))
+    start = (token_index + 1) * nsamples
+    first = -(-start // shift)
+    last = (start + nsamples - flen) // shift + 1
+    return slice(first + 2, last - 2)
+
+
+def _utterance_order(tag, seed, phone_names):
+    """Deterministic per-utterance shuffled phone order."""
+    rng = np.random.RandomState(
+        (zlib.crc32(('order:' + tag).encode()) + 104729 * seed)
+        % (2 ** 32))
+    order = list(phone_names)
+    rng.shuffle(order)
+    return order
 
 
 def train_warps(workdir, phones, profiles, train_tokens, seed,
@@ -121,7 +231,7 @@ def train_warps(workdir, phones, profiles, train_tokens, seed,
     """Train VTLN warps on a held-out training half of the corpus.
 
     Per speaker, two utterances concatenate ``train_tokens`` fresh
-    realizations of every phone (token tags disjoint from the
+    realizations of every phone (utterance tags disjoint from the
     evaluation set). Returns the per-speaker warp dict.
     """
     from shennong_tpu.audio import Audio
@@ -129,17 +239,17 @@ def train_warps(workdir, phones, profiles, train_tokens, seed,
     from shennong_tpu.processor.vtln import VtlnProcessor
     from shennong_tpu.utterances import Utterances
 
+    phone_names = sorted(phones)
     items = []
-    for speaker, (alpha, fir) in profiles.items():
+    for speaker, profile in profiles.items():
         for utt in range(2):
-            parts = [
-                synthesize_token(
-                    f12, alpha, fir,
-                    f'{phone}-{speaker}-train-{utt}-{tok}', seed)
-                for phone, f12 in phones.items()
-                for tok in range(train_tokens)]
+            tag = f'{speaker}-train-{utt}'
+            phone_seq = _utterance_order(
+                tag, seed, phone_names * train_tokens)
+            signal = synthesize_utterance(
+                phone_seq, phones, profile, tag, seed)
             wav = os.path.join(workdir, f'{speaker}-u{utt}.wav')
-            Audio(np.concatenate(parts), RATE).save(wav)
+            Audio(signal, RATE).save(wav)
             items.append((f'{speaker}-u{utt}', wav, speaker))
 
     ubm_params = DiagUbmProcessor(
@@ -212,45 +322,65 @@ def benchmark(config='full', seed=0, features=('mfcc',), workdir=None,
             # directory per run
             shutil.rmtree(workdir, ignore_errors=True)
 
-    log.info('synthesizing evaluation tokens')
-    audios, phone_labels, speaker_labels = [], [], []
+    log.info('synthesizing evaluation utterances')
+    phone_names = sorted(phones)
+    # utterance corpus: per speaker, ``tokens`` multi-phone utterances
+    # (lead-in + every phone in a per-utterance shuffled order);
+    # evaluation segments are frame slices at the token boundaries
+    utt_audios, phone_labels, speaker_labels = [], [], []
     per_speaker = {}
-    for phone, f12 in phones.items():
-        for speaker, (alpha, fir) in profiles.items():
-            for tok in range(params['tokens']):
-                audios.append((speaker, Audio(synthesize_token(
-                    f12, alpha, fir,
-                    f'{phone}-{speaker}-eval-{tok}', seed), RATE)))
-                phone_labels.append(phone)
-                speaker_labels.append(speaker)
-                per_speaker.setdefault(speaker, []).append(
-                    len(audios) - 1)
+    for speaker, profile in profiles.items():
+        for tok in range(params['tokens']):
+            tag = f'{speaker}-eval-{tok}'
+            phone_seq = _utterance_order(tag, seed, phone_names)
+            signal = synthesize_utterance(
+                phone_seq, phones, profile, tag, seed)
+            per_speaker.setdefault(speaker, []).append(
+                len(utt_audios))
+            utt_audios.append(
+                (speaker, Audio(signal, RATE), phone_seq))
+            phone_labels.extend(phone_seq)
+            speaker_labels.extend([speaker] * len(phone_seq))
 
-    def cmvn_normalized(feature_list):
-        out = [None] * len(feature_list)
+    def sliced_segments(utt_features):
+        """Per-token frame slices (float64 numpy) of the utterance
+        features, in phone_labels order."""
+        segments = []
+        for feats, (_, _, phone_seq) in zip(utt_features, utt_audios):
+            data = np.asarray(
+                feats.data if hasattr(feats, 'data') else feats)
+            for k in range(len(phone_seq)):
+                segments.append(
+                    np.asarray(data[segment_slice(k)], np.float64))
+        return segments
+
+    def cmvn_normalized(utt_features):
+        """Per-speaker CMVN over whole utterances (the reference's
+        ``by_speaker`` pipeline semantics)."""
+        out = [None] * len(utt_features)
         for speaker, indices in per_speaker.items():
-            cmvn = CmvnPostProcessor(dim=feature_list[0].ndims)
+            cmvn = CmvnPostProcessor(dim=utt_features[0].ndims)
             for index in indices:
-                cmvn.accumulate(feature_list[index])
+                cmvn.accumulate(utt_features[index])
             for index in indices:
-                out[index] = np.asarray(
-                    cmvn.process(feature_list[index]).data)
+                out[index] = cmvn.process(utt_features[index])
         return out
 
     errors = {'across': {}, 'within': {}}
     for feature in features:
         proc = _make_processor(feature)
-        log.info('extracting %s segments', feature)
-        plain = [proc.process(audio) for _, audio in audios]
+        log.info('extracting %s utterances', feature)
+        plain = [proc.process(audio) for _, audio, _ in utt_audios]
         conditions = {
-            'raw': [np.asarray(f.data) for f in plain],
-            '+cmvn': cmvn_normalized(plain),
+            'raw': sliced_segments(plain),
+            '+cmvn': sliced_segments(cmvn_normalized(plain)),
         }
         if feature != 'spectrogram':
             warped = [
                 proc.process(audio, vtln_warp=warps[speaker])
-                for speaker, audio in audios]
-            conditions['vtln+cmvn'] = cmvn_normalized(warped)
+                for speaker, audio, _ in utt_audios]
+            conditions['vtln+cmvn'] = sliced_segments(
+                cmvn_normalized(warped))
 
         for task in ('across', 'within'):
             errors[task][feature] = {}
@@ -268,8 +398,8 @@ def benchmark(config='full', seed=0, features=('mfcc',), workdir=None,
     return {
         'errors': errors,
         'warps': dict(warps),
-        'alphas': {s: a for s, (a, _) in profiles.items()},
-        'nsegments': len(audios),
+        'alphas': {s: prof[0] for s, prof in profiles.items()},
+        'nsegments': len(phone_labels),
         'config': params,
         'seed': seed,
     }

@@ -18,7 +18,7 @@ from shennong_tpu.eval.abx_bench import benchmark
 def ci_result():
     with warnings.catch_warnings():
         warnings.simplefilter('ignore')
-        return benchmark('ci', seed=0, features=('mfcc',))
+        return benchmark('ci', seed=0, features=('mfcc', 'rastaplp'))
 
 
 def test_ci_benchmark_magnitudes(ci_result):
@@ -30,18 +30,41 @@ def test_ci_benchmark_magnitudes(ci_result):
     across = ci_result['errors']['across']['mfcc']
     within = ci_result['errors']['within']['mfcc']
 
-    # recorded ci values: across raw 31.0 / +cmvn 6.5 / vtln+cmvn 3.8,
-    # within raw 6.9 / +cmvn 2.4 / vtln+cmvn 2.3 (percent)
-    assert abs(across['raw'] - 0.310) < 0.025, across
-    assert abs(across['+cmvn'] - 0.065) < 0.020, across
-    assert abs(across['vtln+cmvn'] - 0.038) < 0.018, across
-    assert abs(within['raw'] - 0.069) < 0.025, within
-    assert abs(within['+cmvn'] - 0.024) < 0.015, within
-    assert abs(within['vtln+cmvn'] - 0.023) < 0.015, within
+    # recorded ci values: across raw 33.9 / +cmvn 20.7 /
+    # vtln+cmvn 17.1, within raw 30.8 / +cmvn 25.9 / vtln+cmvn 25.2
+    # (percent)
+    assert abs(across['raw'] - 0.339) < 0.030, across
+    assert abs(across['+cmvn'] - 0.207) < 0.030, across
+    assert abs(across['vtln+cmvn'] - 0.171) < 0.030, across
+    assert abs(within['raw'] - 0.308) < 0.030, within
+    assert abs(within['+cmvn'] - 0.259) < 0.030, within
+    assert abs(within['vtln+cmvn'] - 0.252) < 0.030, within
 
     # explicit direction statements of the published Buckeye table
     assert across['raw'] > across['+cmvn'] > across['vtln+cmvn']
     assert within['raw'] > within['+cmvn']
+
+
+def test_ci_benchmark_rastaplp_direction(ci_result):
+    """VERDICT r4 item 3: per-speaker CMVN must IMPROVE rastaplp (the
+    published tables' direction, ``intro_features.rst:99-117``:
+    28.5 -> 25.3 across) — the corpus carries a per-speaker dynamics
+    nuisance that survives RASTA filtering and a slowly-varying
+    convolutive channel RASTA removes, so the row no longer inverts.
+
+    Recorded ci values: across raw 20.0 / +cmvn 17.2 /
+    vtln+cmvn 13.5, within raw 16.0 / +cmvn 13.9 (percent)."""
+    across = ci_result['errors']['across']['rastaplp']
+    within = ci_result['errors']['within']['rastaplp']
+
+    assert across['raw'] > across['+cmvn'] > across['vtln+cmvn']
+    assert within['raw'] > within['+cmvn']
+
+    assert abs(across['raw'] - 0.200) < 0.030, across
+    assert abs(across['+cmvn'] - 0.172) < 0.030, across
+    assert abs(across['vtln+cmvn'] - 0.135) < 0.030, across
+    assert abs(within['raw'] - 0.160) < 0.030, within
+    assert abs(within['+cmvn'] - 0.139) < 0.030, within
 
 
 def test_ci_benchmark_warps_track_vocal_tract(ci_result):
