@@ -64,6 +64,50 @@ def build_corpus(path, n_utterances=512, sample_rate=16000):
     return Utterances(entries), total
 
 
+def _profiled_device_seconds(fn):
+    """Run ``fn`` under ``jax.profiler.trace`` and return
+    ``(result, device_seconds)`` — the summed durations of the device
+    pid's "XLA Modules" lane (one non-overlapping span per executable
+    run), i.e. actual on-device execution time, independent of relay
+    latency and transfer bandwidth. ``device_seconds`` is None when
+    the backend produced no device lane."""
+    import glob
+    import gzip
+
+    import jax
+
+    tracedir = tempfile.mkdtemp(prefix='shennong_trace_')
+    try:
+        jax.profiler.start_trace(tracedir)
+        try:
+            result = fn()
+        finally:
+            jax.profiler.stop_trace()
+        paths = glob.glob(os.path.join(
+            tracedir, 'plugins', 'profile', '*', '*.trace.json.gz'))
+        if not paths:
+            return result, None
+        with gzip.open(sorted(paths)[-1]) as fp:
+            events = json.load(fp)['traceEvents']
+        pids, tids = {}, {}
+        for event in events:
+            if event.get('ph') != 'M':
+                continue
+            if event.get('name') == 'process_name':
+                pids[event['pid']] = event['args'].get('name', '')
+            elif event.get('name') == 'thread_name':
+                tids[(event['pid'], event['tid'])] = \
+                    event['args'].get('name', '')
+        device_us = sum(
+            event.get('dur', 0) for event in events
+            if event.get('ph') == 'X'
+            and pids.get(event['pid'], '').startswith('/device:')
+            and tids.get((event['pid'], event['tid'])) == 'XLA Modules')
+        return result, (device_us / 1e6 if device_us else None)
+    finally:
+        shutil.rmtree(tracedir, ignore_errors=True)
+
+
 def bench_end_to_end(n_utterances=512, warm_runs=5):
     """Warm xRT of the full extract_features path: WAVs on disk ->
     YAML pipeline (MFCC + CMVN/VAD + delta + Kaldi pitch) ->
@@ -71,10 +115,11 @@ def bench_end_to_end(n_utterances=512, warm_runs=5):
 
     Self-evidencing: every warm run carries its cost decomposition
     from :data:`shennong_tpu.parallel.profiler.counters` (decode /
-    dispatch / fetch / pass-2 seconds, bytes moved, dispatch count),
-    and ``device_xrt`` — audio seconds over the wall time provably
-    blocked on the device path — separates pipeline regressions from
-    relay weather without rereading prose.
+    dispatch / fetch / pass-2 seconds, bytes moved, dispatch count,
+    observed relay bandwidth), and one extra instrumented pass under
+    ``jax.profiler`` measures actual on-device execution time — the
+    reported ``device_xrt`` — so device compute, dispatch latency and
+    transfer are separated numbers, not inferences.
     """
     from shennong_tpu import pipeline
     from shennong_tpu.features_collection import FeaturesCollection
@@ -115,27 +160,29 @@ def bench_end_to_end(n_utterances=512, warm_runs=5):
             features.save(out)
             total_s = time.perf_counter() - start
             stats = counters.snapshot()
-            device_wall = (
-                stats.get('dispatch_s', 0.0) + stats.get('fetch_s', 0.0))
+            mb_down = stats.get('bytes_down', 0) / 2 ** 20
+            fetch_s = stats.get('fetch_s', 0.0)
             runs.append({
                 'seconds': round(total_s, 2),
                 'extract_s': round(extract_s, 2),
                 'serialize_s': round(total_s - extract_s, 2),
                 'decode_s': round(stats.get('decode_s', 0.0), 2),
                 'dispatch_s': round(stats.get('dispatch_s', 0.0), 2),
-                'fetch_s': round(stats.get('fetch_s', 0.0), 2),
+                'fetch_s': round(fetch_s, 2),
                 'pass2_s': round(stats.get('pass2_s', 0.0), 2),
-                'device_wall_s': round(device_wall, 2),
                 'dispatches': int(stats.get('dispatches', 0)),
                 'mb_up': round(stats.get('bytes_up', 0) / 2 ** 20, 1),
-                'mb_down': round(
-                    stats.get('bytes_down', 0) / 2 ** 20, 1),
+                'mb_down': round(mb_down, 1),
+                # relay weather as a number: the observed device->host
+                # bandwidth this run (the fetch wait includes the wait
+                # for device completion, so this is a lower bound on
+                # the raw link bandwidth)
+                'relay_mbps': round(mb_down / max(fetch_s, 1e-9), 1),
             })
 
         times = sorted(run['seconds'] for run in runs)
         best = times[0]
         median = times[len(times) // 2]
-        best_run = min(runs, key=lambda run: run['seconds'])
 
         # sanity: everything extracted, output readable
         assert len(features) == n_utterances
@@ -149,11 +196,36 @@ def bench_end_to_end(n_utterances=512, warm_runs=5):
             'xrt_warm': round(audio_seconds / best, 1),
             'xrt_warm_median': round(audio_seconds / median, 1),
             'xrt_cold': round(audio_seconds / cold, 1),
-            'device_xrt': round(
-                audio_seconds / max(best_run['device_wall_s'], 1e-9),
-                1),
             'seconds_warm': round(best, 2),
             'runs': runs}
+
+        # one extra instrumented pass (outside the timed headline):
+        # jax.profiler measures actual on-device execution seconds, so
+        # device compute / dispatch latency / transfer are separated —
+        # device_xrt is audio seconds over MEASURED device time, not
+        # over wall time blocked on the device path
+        try:
+            counters.reset()
+            t_prof = time.perf_counter()
+            _, device_s = _profiled_device_seconds(
+                lambda: pipeline.extract_features(
+                    config, utterances, njobs=njobs))
+            profiled_extract_s = time.perf_counter() - t_prof
+            stats = counters.snapshot()
+            if device_s is not None:
+                result['device_xrt'] = round(audio_seconds / device_s, 1)
+            result['profiled'] = {
+                'device_s': (None if device_s is None
+                             else round(device_s, 3)),
+                'dispatch_s': round(stats.get('dispatch_s', 0.0), 2),
+                'transfer_s': round(stats.get('fetch_s', 0.0), 2),
+                'decode_s': round(stats.get('decode_s', 0.0), 2),
+                'pass2_s': round(stats.get('pass2_s', 0.0), 2),
+                'extract_s': round(profiled_extract_s, 2),
+            }
+        except Exception as err:
+            result['profiled'] = {
+                'error': f'{type(err).__name__}: {err}'}
 
         # cold-start mitigation: a FRESH process that calls
         # pipeline.warmup() at startup (compiling the corpus

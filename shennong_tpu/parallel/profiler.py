@@ -84,9 +84,12 @@ class Counters:
     - ``bytes_up``: host->device upload volume (int16-packed signals);
     - ``pass2_s``: host pass 2 (CMVN apply + delta + assembly).
 
-    ``dispatch_s + fetch_s`` is the wall time provably spent waiting on
-    the device path — the relay-sensitive share; ``audio_seconds`` over
-    it is the relay-independent device xRT the benchmark reports.
+    ``dispatch_s + fetch_s`` is the wall time provably spent waiting
+    on the device path — the relay-sensitive share. Actual on-device
+    execution time is NOT a counter: the benchmark measures it with a
+    ``jax.profiler`` trace (one instrumented pass) and reports it as
+    ``device_xrt``; the fetched-bytes-over-fetch-seconds ratio is
+    reported per run as the observed relay bandwidth.
     """
 
     def __init__(self):
