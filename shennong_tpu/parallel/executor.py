@@ -11,6 +11,8 @@ utterance axis. This replaces the reference's joblib thread pools
 (``shennong/processor/base.py:104``, ``shennong/pipeline.py:545-565``).
 """
 
+import concurrent.futures
+
 import numpy as np
 
 import jax
@@ -172,16 +174,22 @@ class FusedPipelineExecutor:
                     tuple(out[name] for name, _, _ in layout),
                     dtype=self.fetch_dtype)
                 counters.add('dispatches', 2)
-                payload.copy_to_host_async()  # overlap with compute
-            return names, nsamples, layout, payload, signals
+                # fetch on the pool: device-to-host copies release the
+                # GIL, so in-flight batches' round trips overlap each
+                # other (and the next batches' uploads) instead of
+                # serializing on one transfer stream
+                fut = fetch_pool.submit(np.asarray, payload)
+            return names, nsamples, layout, fut, signals
 
-        def drain(names, nsamples, layout, payload, signals):
+        def drain(names, nsamples, layout, fut, signals):
             with counters.timed('fetch_s'):
-                out = _unpack_payload(np.asarray(payload), layout)
+                out = _unpack_payload(fut.result(), layout)
             feats = out['feats']
             vad = out.get('vad')
             pitch = out.get('pitch')
-            counters.add('bytes_down', payload.nbytes)
+            counters.add('bytes_down', sum(
+                int(np.prod(shape)) * dtype.itemsize
+                for _, shape, dtype in layout))
             for row, name in enumerate(names):
                 nframes = self.feat_proc.output_frames(
                     int(nsamples[row]))
@@ -215,12 +223,14 @@ class FusedPipelineExecutor:
             self.signal_cache, utterances, self.batch_size,
             pad_multiple, njobs=njobs, depth=self.depth)
         inflight = collections.deque()
-        for names, signals, nsamples, nvalid in source:
-            inflight.append(dispatch(names, signals, nsamples))
-            if len(inflight) > self.depth:
+        with concurrent.futures.ThreadPoolExecutor(
+                max(2, self.depth + 1)) as fetch_pool:
+            for names, signals, nsamples, nvalid in source:
+                inflight.append(dispatch(names, signals, nsamples))
+                if len(inflight) > self.depth:
+                    drain(*inflight.popleft())
+            while inflight:
                 drain(*inflight.popleft())
-        while inflight:
-            drain(*inflight.popleft())
         return features, vads, pitches
 
 
