@@ -275,6 +275,7 @@ class BottleneckProcessor(FeaturesProcessor):
 
         from shennong_tpu import FeaturesCollection
         from shennong_tpu.ops.framing import bucket_size
+        from shennong_tpu.parallel import mesh as meshing
 
         prepared = {
             utt.name: self._prepare(utt.load_audio())
@@ -290,15 +291,27 @@ class BottleneckProcessor(FeaturesProcessor):
         forward = jax.jit(jax.vmap(
             bn.stacked_bn_forward, in_axes=(None, 0)))
 
+        # on a device mesh the batch (utterance) axis shards over the
+        # 'data' axis: rows pad to a mesh multiple (zero inputs whose
+        # outputs are dropped), per-row outputs are mesh-invariant
+        mesh = meshing.get_default_mesh()
+        row_multiple = mesh.devices.size if mesh is not None else 1
+
         collection = FeaturesCollection()
         for bucket, names in groups.items():
+            rows = -(-len(names) // row_multiple) * row_multiple
             stacked = np.zeros(
-                (len(names), bucket, prepared[names[0]].shape[1]),
+                (rows, bucket, prepared[names[0]].shape[1]),
                 dtype=np.float32)
             for row, name in enumerate(names):
                 inp = prepared[name]
                 stacked[row, :inp.shape[0]] = inp
-            outputs = np.asarray(forward(params, jnp.asarray(stacked)))
+            if mesh is not None:
+                dev_input = jax.device_put(
+                    stacked, meshing.batch_sharding(mesh))
+            else:
+                dev_input = jnp.asarray(stacked)
+            outputs = np.asarray(forward(params, dev_input))
             for row, name in enumerate(names):
                 # <= 20 rows: no output frames (the stagger stacking
                 # consumes 20 rows of context), never padding-derived

@@ -15,6 +15,7 @@ import warnings
 import numpy as np
 import scipy.signal
 
+import jax
 import jax.numpy as jnp
 
 from shennong_tpu import Features
@@ -533,6 +534,14 @@ class CrepePitchProcessor(FeaturesProcessor):
                 pending.append(
                     (name, mx[i, :nframes], cents, nsamples))
 
+        # on a device mesh the slice row (utterance-segment) axis
+        # shards over the 'data' axis: rows round up to a mesh
+        # multiple (zero rows decode to discarded outputs), per-row
+        # CNN outputs are mesh-invariant
+        from shennong_tpu.parallel import mesh as meshing
+        mesh = meshing.get_default_mesh()
+        row_multiple = mesh.devices.size if mesh is not None else 1
+
         try:
             for bucket, items in sorted(groups.items()):
                 seg_len, pad_left = crepe.segment_geometry(
@@ -550,6 +559,7 @@ class CrepePitchProcessor(FeaturesProcessor):
                     bucket_size(
                         -(-len(items) // (depth + 1)), minimum=4)
                     if len(items) > 1 else 1))
+                rows = -(-rows // row_multiple) * row_multiple
                 for lo in range(0, len(items), rows):
                     part = items[lo:lo + rows]
                     segments = np.zeros((rows, seg_len), np.float32)
@@ -558,9 +568,17 @@ class CrepePitchProcessor(FeaturesProcessor):
                         segments[i, pad_left:pad_left + len(data)] = \
                             data
                         owners[i] = nframes - 1 + halo
+                    if mesh is not None:
+                        dev_segments = jax.device_put(
+                            segments, meshing.batch_sharding(mesh))
+                        dev_owners = jax.device_put(
+                            owners, meshing.batch_sharding(mesh))
+                    else:
+                        dev_segments = jnp.asarray(segments)
+                        dev_owners = jnp.asarray(owners)
                     sal, am, mx = crepe.forward_audio_chunk(
-                        params, jnp.asarray(segments),
-                        jnp.asarray(owners), hop, bucket, halo)
+                        params, dev_segments, dev_owners,
+                        hop, bucket, halo)
                     inflight.append((
                         part, bucket, sal,
                         fetch_pool.submit(

@@ -358,3 +358,88 @@ def test_train_ubm_with_removal_equals_process(wav_file):
         dist.gmm.means, single.gmm.means, rtol=2e-3, atol=1e-4)
     np.testing.assert_allclose(
         dist.gmm.inv_vars, single.gmm.inv_vars, rtol=2e-3, atol=1e-4)
+
+
+def test_crepe_process_all_mesh_equals_single(wav_file):
+    """CREPE's batched process_all (bespoke slice pipelining) on the
+    8-device mesh is bit-identical to single-device execution: the
+    CNN slice rows shard over the 'data' axis, padded rows decode to
+    discarded outputs."""
+    from shennong_tpu.processor.pitch_crepe import CrepePitchProcessor
+
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        corpus = Utterances([
+            ('u%d' % i, wav_file, 0.03 * i, 0.7 + 0.09 * i)
+            for i in range(5)])
+
+    proc = CrepePitchProcessor(model_capacity='tiny')
+    plain = proc.process_all(corpus)
+    set_default_mesh(data_mesh(jax.devices()))
+    try:
+        sharded = proc.process_all(corpus)
+    finally:
+        set_default_mesh(None)
+
+    assert sorted(sharded.keys()) == sorted(plain.keys())
+    for name in plain:
+        assert sharded[name].shape == plain[name].shape, name
+        np.testing.assert_array_equal(
+            sharded[name].data, plain[name].data, err_msg=name)
+
+
+def test_bottleneck_process_all_mesh_equals_single(
+        wav_file, tmp_path):
+    """The batched bottleneck path (vmapped stacked network over row
+    buckets) on the 8-device mesh is bit-identical to single-device
+    execution (synthetic shape-correct weights; the pretrained npz
+    cannot enter this environment)."""
+    import shennong_tpu.processor.bottleneck as bn_module
+    from shennong_tpu.processor.bottleneck import BottleneckProcessor
+
+    rng = np.random.RandomState(0)
+    params = {
+        'context': np.int64(5),
+        'input_mean': rng.randn(144) * 0.1,
+        'input_std': np.abs(rng.randn(144)) * 0.5 + 0.5,
+        'bn_mean': rng.randn(400) * 0.1,
+        'bn_std': np.abs(rng.randn(400)) * 0.5 + 0.5,
+    }
+    for name, (nin, nout) in {
+            'W1': (144, 90), 'W2': (90, 90), 'W3': (90, 80),
+            'W5': (400, 90), 'W6': (90, 90), 'W7': (90, 90),
+            'W8': (90, 80)}.items():
+        params[name] = (
+            rng.randn(nin, nout) / np.sqrt(nin)).astype(np.float32)
+        params['b' + name[1:]] = (
+            rng.randn(nout) * 0.1).astype(np.float32)
+    np.savez(str(
+        tmp_path / 'FisherEnglish_FBANK_HL500_SBN80_PhnStates120.npz'),
+        **params)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        corpus = Utterances([
+            ('u%d' % i, wav_file, 0.02 * i, 0.8 + 0.07 * i)
+            for i in range(5)])
+
+    old_dir = bn_module._SHARE_DIR
+    bn_module._SHARE_DIR = str(tmp_path)
+    BottleneckProcessor._loaded_weights.clear()
+    try:
+        proc = BottleneckProcessor(weights='FisherMono', dither=0)
+        plain = proc.process_all(corpus)
+        set_default_mesh(data_mesh(jax.devices()))
+        try:
+            sharded = proc.process_all(corpus)
+        finally:
+            set_default_mesh(None)
+    finally:
+        bn_module._SHARE_DIR = old_dir
+        BottleneckProcessor._loaded_weights.clear()
+
+    assert sorted(sharded.keys()) == sorted(plain.keys())
+    for name in plain:
+        assert sharded[name].shape == plain[name].shape, name
+        np.testing.assert_array_equal(
+            sharded[name].data, plain[name].data, err_msg=name)
