@@ -314,3 +314,62 @@ def test_mfcc_on_flac_equals_wav(real_data_path, real_audio):
     from_flac = MfccProcessor(dither=0).process(flac_audio)
     from_wav = MfccProcessor(dither=0).process(real_audio)
     assert np.array_equal(from_flac.data, from_wav.data)
+
+
+# --- quality carries over from parity: ABX score agreement -------------
+
+def test_abx_score_parity_with_reference_features(real_audio, golden_real):
+    """The in-framework ABX evaluator scores IDENTICAL segment sets
+    twice — once on this framework's features, once on the vendored
+    reference-stack arrays (the <1e-3 parity anchors) — and the
+    scores agree to <=0.1 points on both tasks. This converts
+    "max-abs < 1e-3 implies the published quality carries over" from
+    an argument into an executable assertion (reference anchors:
+    ``test/processor/test_mfcc.py:115``; published tables
+    ``doc/source/intro_features.rst:99-160``).
+
+    Segment design: 10-frame slices of the 140-frame utterance;
+    adjacent slices share a pseudo-phone label and alternate
+    pseudo-speakers, so same-phone tokens are acoustically close and
+    the ABX comparisons are decisive (never near-tie), making the
+    score a step function that only a real feature difference could
+    move.
+    """
+    from shennong_tpu.eval.abx import abx_error, pairwise_distances
+
+    ours = {
+        'mfcc': MfccProcessor(dither=0).process(real_audio).data,
+        'plp': PlpProcessor(dither=0).process(real_audio).data,
+        'rastaplp': PlpProcessor(
+            dither=0, rasta=True).process(real_audio).data,
+        'fbank': FilterbankProcessor(dither=0).process(real_audio).data,
+    }
+
+    seglen, nseg = 10, 12
+    # 3 pseudo-phones x 2 pseudo-speakers x 2 tokens: every (phone,
+    # speaker) cell holds two tokens, so both the across AND the
+    # within task have valid cells; consecutive slices share a cell,
+    # so same-cell tokens are acoustically close
+    phones = [f'p{i // 4}' for i in range(nseg)]
+    speakers = [f's{(i // 2) % 2}' for i in range(nseg)]
+
+    for name, mine in ours.items():
+        reference = golden_real[name]
+        assert np.max(np.abs(mine - reference)) < 1e-3, name
+
+        scores = {}
+        for source, feats in (('ours', mine), ('reference', reference)):
+            segments = [
+                np.asarray(
+                    feats[i * seglen:(i + 1) * seglen], np.float64)
+                for i in range(nseg)]
+            distances = pairwise_distances(segments)
+            scores[source] = {
+                task: abx_error(distances, phones, speakers, task=task)
+                for task in ('across', 'within')}
+
+        for task in ('across', 'within'):
+            delta = abs(
+                scores['ours'][task] - scores['reference'][task])
+            # 0.1 points on the published tables' 0-100 scale
+            assert delta <= 0.001, (name, task, scores)
