@@ -33,6 +33,20 @@ long long viterbi_banded_impl(
     std::vector<double> padded(S + 2 * hw, ninf);
     std::vector<int8_t> back((size_t)T * S);
 
+    // band transposed to [W, S]: the recursion then runs d-outer /
+    // state-inner, W contiguous passes of length S that the compiler
+    // vectorizes (the j-outer form reduces over W = 23 strided
+    // elements per state and ran ~4x slower). Same additions, and
+    // first-strictly-greater updates in ascending d keep numpy's
+    // first-maximum argmax tie-break.
+    std::vector<double> band_t((size_t)W * S);
+    for (long long j = 0; j < S; ++j)
+        for (long long d = 0; d < W; ++d)
+            band_t[(size_t)d * S + j] = band[j * W + d];
+    // argmax-so-far per state, kept as doubles so the update loop
+    // stays a pure blend (d <= 126 is exact in float64)
+    std::vector<double> best(S), bestd(S);
+
     for (long long j = 0; j < S; ++j)
         score[j] = log_start[j] + obs_at(0, j);
 
@@ -40,22 +54,30 @@ long long viterbi_banded_impl(
         std::memcpy(padded.data() + hw, score.data(),
                     S * sizeof(double));
         int8_t* bt = back.data() + (size_t)t * S;
-        double cand[128];
+        double* __restrict bst = best.data();
+        double* __restrict bsd = bestd.data();
+        {
+            const double* __restrict win = padded.data();
+            const double* __restrict bnd = band_t.data();
+            for (long long j = 0; j < S; ++j) {
+                bst[j] = win[j] + bnd[j];
+                bsd[j] = 0.0;
+            }
+        }
+        for (long long d = 1; d < W; ++d) {
+            const double* __restrict win = padded.data() + d;
+            const double* __restrict bnd = band_t.data() + d * S;
+            const double dv = (double)d;
+            for (long long j = 0; j < S; ++j) {
+                const double cand = win[j] + bnd[j];
+                const double b = bst[j];
+                bsd[j] = cand > b ? dv : bsd[j];
+                bst[j] = cand > b ? cand : b;
+            }
+        }
         for (long long j = 0; j < S; ++j) {
-            const double* __restrict win = padded.data() + j;
-            const double* __restrict bnd = band + j * W;
-            // candidates once, max value as a vectorizable reduce,
-            // then the first index attaining it (numpy argmax
-            // tie-break)
-            for (long long d = 0; d < W; ++d)
-                cand[d] = win[d] + bnd[d];
-            double best = ninf;
-            for (long long d = 0; d < W; ++d)
-                best = std::max(best, cand[d]);
-            long long bestd = 0;
-            while (bestd < W - 1 && cand[bestd] != best) ++bestd;
-            bt[j] = (int8_t)bestd;
-            next[j] = best + obs_at(t, j);
+            bt[j] = (int8_t)bsd[j];
+            next[j] = bst[j] + obs_at(t, j);
         }
         score.swap(next);
     }
