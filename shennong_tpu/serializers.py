@@ -712,6 +712,17 @@ class KaldiSerializer(FeaturesSerializer):
         # (the properties sidecar restores the original dtype)
         items = [(key, np.ascontiguousarray(m)) for key, m in items]
 
+        # NOTE a native bulk writer was measured against this path at
+        # the published 38 h scale (1.87 GB archive) in three shapes —
+        # stdio-buffered streaming, mmap one-pass, mmap+MAP_POPULATE —
+        # and the scratch+write(2) numpy path below beat or tied all
+        # three (interleaved min-of-N: 0.9 s vs 1.0 s best case, and
+        # far better in this host's degraded-page phases where fresh
+        # mmap faults cost ~1 ms/4 KiB). The kernel's own page-cache
+        # allocation inside write(2) is the fastest way to touch the
+        # output pages, so the "extra" scratch pass is free by
+        # comparison; see doc/performance.md.
+
         def needs_double(matrix):
             if compact:
                 return matrix.dtype not in _KALDI_TOKENS
