@@ -176,13 +176,21 @@ class Features:
                 'data contains non-finite numbers (nan of infinity)')
 
     def concatenate(
-            self, other, tolerance=0, log=get_logger('features', 'info')):
+            self, other, tolerance=0, log=get_logger('features', 'info'),
+            validate=True):
         """Horizontal concatenation with frame-count tolerance.
 
         If the two features differ in frame count by at most
         ``tolerance`` frames the longest one is trimmed (the same
         tolerance Kaldi applies in paste-feats); beyond the tolerance a
         ValueError is raised. Timestamps must agree.
+
+        ``validate=False`` skips re-validating the result (the frame
+        agreement and timestamp checks above still run): sortedness
+        and finiteness are inherited from the operands, so callers
+        concatenating already-validated features — the pipeline's
+        pass 2 over a whole corpus — avoid a full re-scan of the
+        output matrix per utterance.
         """
         diff = abs(self.nframes - other.nframes)
         if diff:
@@ -223,4 +231,5 @@ class Features:
                 columns[0] + self.ndims, columns[1] + self.ndims]
 
         return Features(
-            np.hstack((data1, data2)), times1, properties=properties)
+            np.hstack((data1, data2)), times1, properties=properties,
+            validate=validate)

@@ -700,10 +700,14 @@ def _batched_pass_two_impl(manager, triplets, log, tolerance=2):
         delta_proc = manager.make('delta')
         outputs = _batched_deltas(
             [features.data for _, features, _ in staged], delta_proc)
+        # validate=False: times are untouched and the delta filter of
+        # finite (already-validated) input is finite — re-validating
+        # would re-scan every output matrix (measured ~40% of pass 2)
         staged = [
             (utterance,
              Features(out.astype(features.dtype), features.times,
-                      delta_proc.get_properties(features)),
+                      delta_proc.get_properties(features),
+                      validate=False),
              pitch)
             for (utterance, features, pitch), out in zip(staged, outputs)]
 
@@ -712,7 +716,7 @@ def _batched_pass_two_impl(manager, triplets, log, tolerance=2):
         if pitch:
             log.debug('%s: concatenate pitch', utterance.name)
             features = features.concatenate(
-                pitch, tolerance=tolerance, log=log)
+                pitch, tolerance=tolerance, log=log, validate=False)
         collection[utterance.name] = features
     return collection
 
