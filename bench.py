@@ -180,6 +180,28 @@ def bench_end_to_end(n_utterances=512, warm_runs=5):
                 'relay_mbps': round(mb_down / max(fetch_s, 1e-9), 1),
             })
 
+        # the opt-in bandwidth-starved serving config: float16 fetch
+        # (pipeline fetch_dtype) halves the device->host payload; the
+        # float32 headline above stays the bit-exact default
+        runs_f16 = []
+        for _ in range(2):
+            counters.reset()
+            start = time.perf_counter()
+            features_f16 = pipeline.extract_features(
+                config, utterances, njobs=njobs, fetch_dtype='float16')
+            f16_s = time.perf_counter() - start
+            stats = counters.snapshot()
+            mb_down = stats.get('bytes_down', 0) / 2 ** 20
+            fetch_s = stats.get('fetch_s', 0.0)
+            runs_f16.append({
+                'seconds': round(f16_s, 2),
+                'fetch_s': round(fetch_s, 2),
+                'mb_down': round(mb_down, 1),
+                'relay_mbps': round(mb_down / max(fetch_s, 1e-9), 1),
+            })
+        assert len(features_f16) == n_utterances
+        del features_f16
+
         times = sorted(run['seconds'] for run in runs)
         best = times[0]
         median = times[len(times) // 2]
@@ -197,7 +219,10 @@ def bench_end_to_end(n_utterances=512, warm_runs=5):
             'xrt_warm_median': round(audio_seconds / median, 1),
             'xrt_cold': round(audio_seconds / cold, 1),
             'seconds_warm': round(best, 2),
-            'runs': runs}
+            'runs': runs,
+            'xrt_warm_f16': round(
+                audio_seconds / min(r['seconds'] for r in runs_f16), 1),
+            'runs_f16': runs_f16}
 
         # one extra instrumented pass (outside the timed headline):
         # jax.profiler measures actual on-device execution seconds, so
