@@ -220,9 +220,13 @@ def forward_audio_chunk(params, segments, last_owner, hop,
     :func:`required_halo` frames) covers the two-stage owner
     dependency so kept frames match the whole-signal computation.
 
-    Returns (salience [B, chunk_frames, 360], argmax [B,
-    chunk_frames] int32, max [B, chunk_frames]) — callers keep the
-    salience on device and fetch only the per-frame statistics.
+    Returns (salience [B, chunk_frames, 360], stats [B, chunk_frames,
+    2] float32 carrying (argmax bin, max salience) in one packed
+    fetch payload — bin indices <= 360 are exact in float32, and the
+    payload is emitted by THIS program so a slice costs one dispatch
+    and one fetch round trip, not a forward dispatch plus a packing
+    dispatch plus two fetches). Callers keep the salience on device
+    and fetch only the packed statistics.
     """
     nlocal = chunk_frames + 2 * halo
     frames0 = _strided_frames(segments, nlocal, hop)
@@ -246,21 +250,9 @@ def forward_audio_chunk(params, segments, last_owner, hop,
     salience = _forward_body(
         params, frames.reshape(-1, 1024)).reshape(
         frames.shape[0], chunk_frames, -1)
-    return (salience, jnp.argmax(salience, axis=-1).astype(jnp.int32),
-            jnp.max(salience, axis=-1))
-
-
-@jax.jit
-def pack_stats(argmax, amax):
-    """One fetch payload for the per-frame statistics.
-
-    [..., 2] float32 carrying (argmax bin, max salience): bin indices
-    (<= 360) are exact in float32 so the unpacked argmax is
-    bit-identical — and through a device relay ONE fetch costs one
-    round trip where two cost two (async device-to-host copies do not
-    overlap through the relay transport).
-    """
-    return jnp.stack([argmax.astype(jnp.float32), amax], axis=-1)
+    return salience, jnp.stack(
+        [jnp.argmax(salience, axis=-1).astype(jnp.float32),
+         jnp.max(salience, axis=-1)], axis=-1)
 
 
 @jax.jit

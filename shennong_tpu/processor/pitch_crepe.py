@@ -398,12 +398,11 @@ class CrepePitchProcessor(FeaturesProcessor):
                     buf[f0 * hop:f0 * hop + seg_len])[None]
                 owner = jnp.full(
                     (1,), nframes - 1 - f0 + halo, jnp.int32)
-                sal, am, mx = crepe.forward_audio_chunk(
+                sal, packed = crepe.forward_audio_chunk(
                     params, segment, owner, hop, chunk, halo)
                 chunks.append(sal[0])
                 counts.append(min(chunk, nframes - f0))
-                pending.append(fetch_pool.submit(
-                    np.asarray, crepe.pack_stats(am, mx)))
+                pending.append(fetch_pool.submit(np.asarray, packed))
             stats = [fut.result() for fut in pending]
         argm = [s[0, :keep, 0].astype(np.int32)
                 for s, keep in zip(stats, counts)]
@@ -473,7 +472,8 @@ class CrepePitchProcessor(FeaturesProcessor):
         # on a small thread pool (device-to-host copies release the
         # GIL) so the round trips of consecutive slices overlap each
         # other too, and argmax/max travel as ONE packed payload
-        # (crepe.pack_stats) — one round trip, not two. depth bounds
+        # emitted by the forward program itself (one dispatch AND one
+        # round trip per slice). depth bounds
         # the device-resident salience (each slice holds
         # [rows, bucket, 360] float32, ~24 MB)
         import collections as _collections
@@ -576,13 +576,12 @@ class CrepePitchProcessor(FeaturesProcessor):
                     else:
                         dev_segments = jnp.asarray(segments)
                         dev_owners = jnp.asarray(owners)
-                    sal, am, mx = crepe.forward_audio_chunk(
+                    sal, packed = crepe.forward_audio_chunk(
                         params, dev_segments, dev_owners,
                         hop, bucket, halo)
                     inflight.append((
                         part, bucket, sal,
-                        fetch_pool.submit(
-                            np.asarray, crepe.pack_stats(am, mx))))
+                        fetch_pool.submit(np.asarray, packed)))
                     if len(inflight) >= depth:
                         decode_slice()
                     if len(gathers) >= depth:
