@@ -121,6 +121,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from shennong_tpu import pipeline
+    from shennong_tpu.parallel import stream
 
     created = args.workdir is None
     workdir = args.workdir or tempfile.mkdtemp(prefix='shennong_scale_')
@@ -143,6 +144,7 @@ def main(argv=None):
         njobs = os.cpu_count() or 1
 
         baseline = rss_mb()
+        stream.pool_reset_peak()
         with RssSampler() as sampler:
             start = time.perf_counter()
             features = pipeline.extract_features(
@@ -164,6 +166,10 @@ def main(argv=None):
             'rss_baseline_mb': round(baseline, 1),
             'rss_peak_mb': round(sampler.peak, 1),
             'rss_delta_mb': round(sampler.peak - baseline, 1),
+            # the streaming plan's own accounting: the most batch-
+            # buffer memory ever alive at once (the audio plane)
+            'audio_plane_peak_mb': round(
+                stream.pool_peak_bytes() / 2 ** 20, 1),
             'corpus_float32_mb': round(
                 audio_seconds * 16000 * 4 / 2 ** 20, 1),
         }

@@ -49,6 +49,14 @@ class _BufferPool:
         self._max = max_per_key
         self._max_keys = max_keys
         self._lock = threading.Lock()
+        # the boundedness claim of this module, as a measurement:
+        # outstanding (taken, not yet recycled) + pooled bytes, and
+        # the high-water mark of their sum. An unreturned buffer
+        # counts as outstanding until process exit — a conservative
+        # upper bound on the audio plane's footprint.
+        self._outstanding = 0
+        self._pooled = 0
+        self.peak_bytes = 0
 
     def take(self, shape, dtype):
         key = (tuple(shape), np.dtype(dtype).str)
@@ -58,17 +66,26 @@ class _BufferPool:
                 buffer = stack.pop()
                 if not stack:
                     del self._free[key]  # keep insertion order fresh
+                self._pooled -= buffer.nbytes
+                self._outstanding += buffer.nbytes
                 return buffer
-        return np.empty(shape, dtype)
+            buffer = np.empty(shape, dtype)
+            self._outstanding += buffer.nbytes
+            self.peak_bytes = max(
+                self.peak_bytes, self._outstanding + self._pooled)
+            return buffer
 
     def give(self, array):
         if not isinstance(array, np.ndarray) or array.base is not None:
             return  # only whole, owned buffers are reusable
         key = (array.shape, array.dtype.str)
         with self._lock:
+            self._outstanding = max(
+                0, self._outstanding - array.nbytes)
             stack = self._free.setdefault(key, [])
             if len(stack) < self._max:
                 stack.append(array)
+                self._pooled += array.nbytes
             # a long-lived service over many corpus geometries must
             # not hoard buffers for shapes it will never see again:
             # evict the least-recently-refreshed keys beyond the cap
@@ -76,7 +93,14 @@ class _BufferPool:
                 oldest = next(iter(self._free))
                 if oldest == key:
                     break
+                self._pooled -= sum(
+                    b.nbytes for b in self._free[oldest])
                 del self._free[oldest]
+
+    def reset_peak(self):
+        """Restart the high-water mark from the current footprint."""
+        with self._lock:
+            self.peak_bytes = self._outstanding + self._pooled
 
 
 _pool = _BufferPool()
@@ -90,6 +114,19 @@ def recycle(array):
     still be reading the buffer.
     """
     _pool.give(array)
+
+
+def pool_peak_bytes():
+    """High-water mark of the host audio plane, in bytes: the most
+    batch-buffer memory (outstanding + pooled) ever alive at once.
+    This is the module's boundedness promise as a number — it must
+    stay at ~(depth + 1) padded batches no matter the corpus size."""
+    return _pool.peak_bytes
+
+
+def pool_reset_peak():
+    """Restart :func:`pool_peak_bytes` from the current footprint."""
+    _pool.reset_peak()
 
 
 def _scan_count(utt):
