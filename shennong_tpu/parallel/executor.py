@@ -190,6 +190,12 @@ class FusedPipelineExecutor:
             counters.add('bytes_down', sum(
                 int(np.prod(shape)) * dtype.itemsize
                 for _, shape, dtype in layout))
+            # per-utterance COPIES, not views: a view would pin the
+            # whole padded batch payload until the last utterance of
+            # the batch is released, so at corpus scale every payload
+            # stays alive through pass 1 (~1 GB per 7 h measured).
+            # Copying the realized rows (~170 MB per 7 h) frees each
+            # payload as soon as its batch is drained.
             for row, name in enumerate(names):
                 nframes = self.feat_proc.output_frames(
                     int(nsamples[row]))
@@ -200,18 +206,19 @@ class FusedPipelineExecutor:
                         self.feat_proc, 'mel_weights')
                     else self.feat_proc.get_properties())
                 features[name] = Features(
-                    feats[row, :nframes],
+                    np.ascontiguousarray(feats[row, :nframes]),
                     self.feat_proc.times(nframes),
                     properties=properties)
                 if vad is not None:
-                    vads[name] = vad[row, :nframes]
+                    vads[name] = np.ascontiguousarray(
+                        vad[row, :nframes])
                 if pitch is not None:
                     pframes = self.pitch_proc.output_frames(
                         int(nsamples[row]))
                     raw_props = _RawProps(
                         self.pitch_proc.get_properties())
                     pitches[name] = Features(
-                        pitch[row, :pframes],
+                        np.ascontiguousarray(pitch[row, :pframes]),
                         self.pitch_proc.times(pframes),
                         properties=self.pitch_post.get_properties(
                             raw_props))

@@ -686,38 +686,75 @@ def _batched_pass_two(manager, triplets, log, tolerance=2):
 
 
 def _batched_pass_two_impl(manager, triplets, log, tolerance=2):
+    """Consumes ``triplets`` destructively (entries are dropped as
+    they are processed): at corpus scale each stage's arrays are
+    hundreds of MB, and the pass-1 features are views pinning whole
+    padded batch payloads — releasing every input as soon as its
+    replacement exists keeps peak host memory at ~one stage instead
+    of all four (original / CMVN / delta / concatenated)."""
     config = manager.config
 
     staged = []
-    for utterance, features, pitch in triplets:
+    for index in range(len(triplets)):
+        utterance, features, pitch = triplets[index]
+        triplets[index] = None
         if 'cmvn' in config:
             log.debug('%s: apply cmvn', utterance.name)
             features = manager.apply_cmvn(utterance, features)
         staged.append((utterance, features, pitch))
-
-    if 'delta' in config:
-        log.debug('batched delta over %d utterances', len(staged))
-        delta_proc = manager.make('delta')
-        outputs = _batched_deltas(
-            [features.data for _, features, _ in staged], delta_proc)
-        # validate=False: times are untouched and the delta filter of
-        # finite (already-validated) input is finite — re-validating
-        # would re-scan every output matrix (measured ~40% of pass 2)
-        staged = [
-            (utterance,
-             Features(out.astype(features.dtype), features.times,
-                      delta_proc.get_properties(features),
-                      validate=False),
-             pitch)
-            for (utterance, features, pitch), out in zip(staged, outputs)]
+    triplets.clear()
 
     collection = FeaturesCollection()
-    for utterance, features, pitch in staged:
+
+    def finish(utterance, features, pitch):
         if pitch:
             log.debug('%s: concatenate pitch', utterance.name)
             features = features.concatenate(
                 pitch, tolerance=tolerance, log=log, validate=False)
         collection[utterance.name] = features
+
+    if 'delta' in config:
+        log.debug('batched delta over %d utterances', len(staged))
+        delta_proc = manager.make('delta')
+
+        def flush(chunk):
+            # validate=False: times are untouched and the delta
+            # filter of finite (already-validated) input is finite —
+            # re-validating would re-scan every output matrix
+            # (measured ~40% of pass 2). copy=False: the host delta
+            # outputs are already float32
+            outputs = _batched_deltas(
+                [staged[i][1].data for i in chunk], delta_proc)
+            for i, out in zip(chunk, outputs):
+                utterance, features, pitch = staged[i]
+                staged[i] = None
+                finish(
+                    utterance,
+                    Features(out.astype(features.dtype, copy=False),
+                             features.times,
+                             delta_proc.get_properties(features),
+                             validate=False),
+                    pitch)
+
+        # bounded chunks (~64 MB of input rows): deltas triple the
+        # bytes, so computing the whole corpus's outputs before any
+        # final Features exist would hold input + 3x output + final
+        # all at once; per-chunk flushing keeps the transient at one
+        # chunk while inputs free as they are consumed
+        chunk, chunk_bytes = [], 0
+        for index in range(len(staged)):
+            chunk.append(index)
+            chunk_bytes += staged[index][1].data.nbytes
+            if chunk_bytes >= 64 << 20:
+                flush(chunk)
+                chunk, chunk_bytes = [], 0
+        if chunk:
+            flush(chunk)
+    else:
+        for index in range(len(staged)):
+            utterance, features, pitch = staged[index]
+            staged[index] = None
+            finish(utterance, features, pitch)
     return collection
 
 
