@@ -325,6 +325,17 @@ def main():
 
     import jax
 
+    # keep big allocations in the malloc arena instead of fresh mmaps:
+    # glibc returns >128 KB blocks to the OS on free, so every warm
+    # run refaults the final feature arrays' pages — ~1 ms/4 KiB in
+    # this host's degraded phases. Process-scoped and bench-only (a
+    # library must not change global allocator policy).
+    try:
+        import ctypes
+        ctypes.CDLL('libc.so.6').mallopt(-3, 256 << 20)  # M_MMAP_THRESHOLD
+    except Exception:
+        pass
+
     from shennong_tpu import utils
     from shennong_tpu.ops import mel as melmod
     from shennong_tpu.ops.framing import num_frames
