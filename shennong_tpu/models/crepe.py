@@ -264,3 +264,40 @@ def gather_neighborhood(salience, centers):
     vals = jnp.take_along_axis(
         salience, jnp.clip(idx, 0, salience.shape[1] - 1), axis=1)
     return jnp.where(valid, vals, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=('viterbi', 'halfwidth'))
+def decode_salience_chunk(salience, nframes, log_start, band,
+                          uniform_weight, self_weight, mapping,
+                          viterbi=True, halfwidth=11):
+    """The whole CREPE decode of one slice ON DEVICE, one payload.
+
+    salience [B, T, S] + per-row real lengths -> [B, T, 2] float32
+    packing (cents, confidence): the banded Viterbi smoothing (or
+    the plain argmax when ``viterbi=False``), the 9-bin neighborhood
+    weighted-average cents and the per-frame confidence all run in
+    one jitted program, so a slice costs ONE decode dispatch and ONE
+    fetch — no per-frame statistics round trip and no host decode on
+    the critical path (the opt-in ``decode='device'`` processor mode;
+    reference decode: ``crepe/core.py to_viterbi_cents``, host
+    float64 twin: ``shennong_tpu/ops/viterbi.py``).
+    """
+    from shennong_tpu.ops.viterbi import viterbi_banded_obs_batch
+
+    obs = jnp.argmax(salience, axis=-1).astype(jnp.int32)
+    confidence = jnp.max(salience, axis=-1)
+    if viterbi:
+        centers = viterbi_banded_obs_batch(
+            log_start, band, uniform_weight, self_weight, obs,
+            nframes, halfwidth)
+    else:
+        centers = obs
+    idx = centers[..., None] + jnp.arange(-4, 5)
+    valid = (idx >= 0) & (idx < salience.shape[-1])
+    cidx = jnp.clip(idx, 0, salience.shape[-1] - 1)
+    neigh = jnp.where(
+        valid, jnp.take_along_axis(salience, cidx, axis=-1), 0.0)
+    map_n = jnp.where(
+        valid, jnp.asarray(mapping, jnp.float32)[cidx], 0.0)
+    cents = (neigh * map_n).sum(-1) / neigh.sum(-1)
+    return jnp.stack([cents, confidence], axis=-1)

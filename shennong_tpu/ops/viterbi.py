@@ -130,6 +130,85 @@ def viterbi_host_banded(log_start, log_trans, log_obs, halfwidth):
     return path
 
 
+def viterbi_banded_obs_batch(log_start, band, uniform_weight,
+                             self_weight, observations, nframes,
+                             halfwidth):
+    """Batched banded two-valued Viterbi ON DEVICE (float32).
+
+    The jit-compatible twin of :func:`viterbi_host_banded_obs` for a
+    whole slice of rows at once: ``observations`` [B, T] int32 holds
+    each row's per-frame argmax bin, ``nframes`` [B] its real length.
+    Rows decode exactly their first ``nframes`` frames — past a row's
+    length the forward scores freeze and the stored back-pointers
+    become identity, so the backtrace through the padded tail
+    reproduces the prefix-only decode. Returns the [B, T] int32 state
+    paths (arbitrary beyond each row's ``nframes``).
+
+    Float32 forward scores may flip the decoded bin on near-ties
+    where the float64 host decode distinguishes them (argmax
+    tie-breaks themselves agree: first maximum, ascending source
+    order). The CREPE processor exposes this as the opt-in
+    ``decode='device'`` mode; the default stays on the bit-exact
+    host kernel.
+    """
+    nstates = band.shape[0]
+    width = 2 * halfwidth + 1
+    band = jnp.asarray(band, jnp.float32)
+    log_start = jnp.asarray(log_start, jnp.float32)
+    uniform_weight = jnp.float32(uniform_weight)
+    self_gain = jnp.float32(self_weight) - uniform_weight
+    neg = jnp.float32(-3e38)
+    # [S, W] gather indices into the hw-padded score row
+    window_idx = (jnp.arange(nstates)[:, None]
+                  + jnp.arange(width)[None, :])
+    states = jnp.arange(nstates, dtype=jnp.int32)
+
+    def emit(score, obs_t):
+        # two-valued observation: uniform everywhere, self at obs_t
+        return (score + uniform_weight
+                + self_gain * (states[None, :] == obs_t[:, None]))
+
+    score0 = emit(
+        jnp.broadcast_to(log_start[None, :],
+                         (observations.shape[0], nstates)),
+        observations[:, 0])
+
+    def forward(score, inputs):
+        obs_t, active = inputs
+        padded = jnp.pad(score, ((0, 0), (halfwidth, halfwidth)),
+                         constant_values=neg)
+        total = padded[:, window_idx] + band[None]  # [B, S, W]
+        rel = jnp.argmax(total, axis=-1).astype(jnp.int8)
+        best = jnp.max(total, axis=-1)
+        new = emit(best, obs_t)
+        # normalize so long sequences stay in float32 range (a
+        # per-row constant shift changes no argmax)
+        new = new - jnp.max(new, axis=-1, keepdims=True)
+        keep = active[:, None]
+        return (jnp.where(keep, new, score),
+                jnp.where(keep, rel, jnp.int8(halfwidth)))
+
+    steps = jnp.arange(1, observations.shape[1])
+    final, backptrs = jax.lax.scan(
+        forward, score0,
+        (observations[:, 1:].T, (steps[:, None] < nframes[None, :])))
+
+    last = jnp.argmax(final, axis=-1).astype(jnp.int32)
+
+    def backward(state, bptr_t):
+        # frozen frames stored identity (rel = halfwidth): the
+        # backtrace walks through the padding unchanged
+        prev = (state - halfwidth
+                + jnp.take_along_axis(
+                    bptr_t, state[:, None].astype(jnp.int32),
+                    axis=1)[:, 0].astype(jnp.int32))
+        return prev, prev
+
+    _, states_rev = jax.lax.scan(backward, last, backptrs[::-1])
+    return jnp.concatenate(
+        [states_rev[::-1].T, last[:, None]], axis=1)
+
+
 def viterbi(log_start, log_trans, log_obs):
     """Most likely state path of an HMM.
 

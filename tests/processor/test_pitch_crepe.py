@@ -16,13 +16,18 @@ def crepe_pitch(audio):
 def test_params():
     proc = CrepePitchProcessor()
     params = proc.get_params()
-    assert len(params) == 5
+    # the reference's 5 parameters plus the TPU-native 'decode'
+    # extension (host-bit-exact default vs on-device decode)
+    assert len(params) == 6
     # default is 'full', as in the reference (pitch_crepe.py:302)
     assert params['model_capacity'] == 'full'
     assert params['viterbi'] is True
+    assert params['decode'] == 'host'
     assert proc.sample_rate == 16000
     with pytest.raises(ValueError, match='not recognized'):
         CrepePitchProcessor(model_capacity='huge')
+    with pytest.raises(ValueError, match='decode'):
+        CrepePitchProcessor(decode='gpu')
 
 
 def test_missing_weights_error(audio):
@@ -139,6 +144,37 @@ def test_process_all_batched(wav_file):
         assert np.allclose(
             batched[utt.name].data, single.data, atol=1e-5), utt.name
         assert np.array_equal(batched[utt.name].times, single.times)
+
+
+@pytest.mark.parametrize('viterbi', [True, False])
+def test_process_all_device_decode(wav_file, viterbi):
+    """The opt-in on-device decode (banded Viterbi + neighborhood
+    cents + confidence in one jitted program) agrees with the
+    bit-exact float64 host decode: confidences are the same float32
+    maxima, and the decoded pitch track may differ only on near-tie
+    bin flips — none on this real audio."""
+    from shennong_tpu import Utterances
+    utterances = Utterances([
+        ('u1', wav_file, 0.0, 0.7), ('u2', wav_file, 0.5, 1.4),
+        ('u3', wav_file, 0.0, 1.4)])
+    host = CrepePitchProcessor(
+        model_capacity='tiny', viterbi=viterbi).process_all(utterances)
+    device = CrepePitchProcessor(
+        model_capacity='tiny', viterbi=viterbi,
+        decode='device').process_all(utterances)
+    for name in host.keys():
+        h, d = host[name].data, device[name].data
+        assert h.shape == d.shape, name
+        # POV column: same confidence values (float32 maxima both
+        # ways, resampled identically)
+        assert np.allclose(h[:, 0], d[:, 0], atol=1e-5), name
+        # pitch column: the float32 forward scores may resolve
+        # near-tie plateaus differently from the float64 host decode
+        # (measured on the TPU: 1-5% of frames shift by ONE 20-cent
+        # bin, <= ~2 Hz); never more than one bin, most frames exact
+        diff = np.abs(h[:, 1] - d[:, 1])
+        assert diff.max() < 4.0, (name, diff.max())
+        assert (diff > 0.1).mean() < 0.10, (name, (diff > 0.1).mean())
 
 
 def test_process_all_threaded_decode(wav_file, monkeypatch):
