@@ -346,3 +346,30 @@ def test_banded_viterbi_wide_halfwidth_matches_dense():
         banded = viterbi_host_banded(
             np.log(start), np.log(transition), log_obs, halfwidth)
     np.testing.assert_array_equal(banded, dense)
+
+
+def test_batched_device_viterbi_matches_host_masked():
+    """The jitted batched banded Viterbi (float32, per-row length
+    masking) decodes exactly like the float64 host kernel on smooth
+    argmax tracks of heterogeneous lengths — the masking freezes
+    scores and stores identity pointers past each row's length, so
+    padded tails cannot leak into real frames."""
+    from shennong_tpu.ops.viterbi import (
+        _band_matrix, viterbi_banded_obs_batch, viterbi_host_banded_obs)
+    from shennong_tpu.processor.pitch_crepe import _crepe_prior_logs
+
+    log_start, log_trans, uniform_w, self_w, band = _crepe_prior_logs(360)
+    rng = np.random.RandomState(0)
+    batch, frames = 6, 500
+    obs = np.cumsum(rng.randint(-3, 4, size=(batch, frames)), axis=1) + 180
+    obs = np.clip(obs, 0, 359).astype(np.int32)
+    nframes = np.array([500, 499, 371, 200, 64, 1], np.int32)
+
+    device = np.asarray(viterbi_banded_obs_batch(
+        log_start, band, uniform_w, self_w, obs, nframes, 11))
+    for row in range(batch):
+        host = viterbi_host_banded_obs(
+            log_start, log_trans, obs[row, :nframes[row]],
+            uniform_w, self_w, 11, band=band)
+        np.testing.assert_array_equal(
+            device[row, :nframes[row]], host, err_msg=f'row {row}')
