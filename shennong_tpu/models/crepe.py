@@ -228,6 +228,9 @@ def forward_audio_chunk(params, segments, last_owner, hop,
     dispatch plus two fetches). Callers keep the salience on device
     and fetch only the packed statistics.
     """
+    # int16-uploaded segments (PCM audio is integer-valued float32,
+    # so callers halve the host-device transfer) convert on device
+    segments = segments.astype(jnp.float32)
     nlocal = chunk_frames + 2 * halo
     frames0 = _strided_frames(segments, nlocal, hop)
     mean = jnp.mean(frames0, axis=-1)  # [B, nlocal]

@@ -415,6 +415,10 @@ class CrepePitchProcessor(FeaturesProcessor):
             max(pad_left + len(audio), last_start + seg_len),
             np.float32)
         buf[pad_left:pad_left + len(audio)] = audio
+        # PCM audio is integer-valued float32: upload each chunk at
+        # half the bytes (the jitted forward converts on device)
+        from shennong_tpu.parallel.stream import as_int16_if_lossless
+        buf = as_int16_if_lossless(buf)
 
         # dispatch every chunk before fetching anything: uploads and
         # CNN programs overlap under JAX's async dispatch. The
@@ -601,15 +605,21 @@ class CrepePitchProcessor(FeaturesProcessor):
                 # bound the frames per device program (the first conv
                 # layer materializes ~128 KB per frame); pad the last
                 # slice to the same row count so the program compiles
-                # once. Small groups also split into ~depth+1 slices
-                # so the CNN of later slices overlaps the host Viterbi
-                # of earlier ones (one big slice has nothing to
-                # pipeline against); row counts quantize to geometric
+                # once. On the HOST-decode path small groups also
+                # split into ~depth+1 slices so the CNN of later
+                # slices overlaps the host Viterbi of earlier ones
+                # (one big slice has nothing to pipeline against); the
+                # device decode has no host stage to overlap, so it
+                # takes the whole group per slice — every extra slice
+                # only adds relay round trips (measured on chip: the
+                # ~4-way split is fastest for host decode, the 1-way
+                # for device). Row counts quantize to geometric
                 # buckets to keep the compiled-shape set bounded
+                split = 1 if device_decode else depth + 1
                 rows = max(1, min(
                     16384 // bucket,
                     bucket_size(
-                        -(-len(items) // (depth + 1)), minimum=4)
+                        -(-len(items) // split), minimum=4)
                     if len(items) > 1 else 1))
                 rows = -(-rows // row_multiple) * row_multiple
                 for lo in range(0, len(items), rows):
@@ -620,6 +630,12 @@ class CrepePitchProcessor(FeaturesProcessor):
                         segments[i, pad_left:pad_left + len(data)] = \
                             data
                         owners[i] = nframes - 1 + halo
+                    # PCM audio is integer-valued float32: upload at
+                    # half the bytes, convert inside the jitted
+                    # forward (bit-identical values)
+                    from shennong_tpu.parallel.stream import \
+                        as_int16_if_lossless
+                    segments = as_int16_if_lossless(segments)
                     if mesh is not None:
                         dev_segments = jax.device_put(
                             segments, meshing.batch_sharding(mesh))
