@@ -95,12 +95,19 @@ class FusedPipelineExecutor:
             eql = np.zeros(1, dtype=np.float32)
         return mel, eql
 
-    def run(self, utterances, njobs=4):
+    def run(self, utterances, njobs=4, on_utterance=None):
         """Extract pass 1 for every utterance.
 
         Returns ``(features, vads, pitches)``: a FeaturesCollection,
         a dict of per-frame uint8 VAD decisions (or None), and a
         FeaturesCollection of post-processed pitch (or None).
+
+        With ``on_utterance`` given, each drained utterance is handed
+        to ``on_utterance(name, features, vad, pitch)`` as its batch
+        lands (vad/pitch None when not configured) instead of being
+        collected — the caller can start downstream host work while
+        later batches are still in flight; the returned collections
+        stay empty.
         """
         import collections
 
@@ -205,23 +212,32 @@ class FusedPipelineExecutor:
                     if self.warps is not None and hasattr(
                         self.feat_proc, 'mel_weights')
                     else self.feat_proc.get_properties())
-                features[name] = Features(
+                utt_features = Features(
                     np.ascontiguousarray(feats[row, :nframes]),
                     self.feat_proc.times(nframes),
                     properties=properties)
-                if vad is not None:
-                    vads[name] = np.ascontiguousarray(
-                        vad[row, :nframes])
+                utt_vad = (
+                    np.ascontiguousarray(vad[row, :nframes])
+                    if vad is not None else None)
+                utt_pitch = None
                 if pitch is not None:
                     pframes = self.pitch_proc.output_frames(
                         int(nsamples[row]))
                     raw_props = _RawProps(
                         self.pitch_proc.get_properties())
-                    pitches[name] = Features(
+                    utt_pitch = Features(
                         np.ascontiguousarray(pitch[row, :pframes]),
                         self.pitch_proc.times(pframes),
                         properties=self.pitch_post.get_properties(
                             raw_props))
+                if on_utterance is not None:
+                    on_utterance(name, utt_features, utt_vad, utt_pitch)
+                    continue
+                features[name] = utt_features
+                if utt_vad is not None:
+                    vads[name] = utt_vad
+                if utt_pitch is not None:
+                    pitches[name] = utt_pitch
             # the program's outputs arrived, so its input upload is
             # long done: the batch buffer is safe to reuse
             streaming.recycle(signals)

@@ -446,9 +446,16 @@ def _extract_features(config, utterances, warps, log, njobs=1,
         finally:
             vtln_proc.__dict__.pop('_signal_cache', None)
 
-    # batched pass 1 whenever the whole collection shares one device
-    # program (everything except bottleneck and crepe pitch, which
-    # keep their own internal batching)
+    # fused pass 1 with pass 2 overlapped into the fetch waits
+    # whenever the whole collection shares one device program
+    collection = _overlapped_fused_extract(
+        manager, utterances, log, njobs, signal_cache=signal_cache,
+        fetch_dtype=fetch_dtype)
+    if collection is not None:
+        return collection
+
+    # batched pass 1 for the remaining batched configurations
+    # (bottleneck and crepe pitch keep their own internal batching)
     pass_one = _batched_pass_one(
         manager, utterances, log, njobs, signal_cache=signal_cache,
         fetch_dtype=fetch_dtype)
@@ -571,6 +578,132 @@ def _batched_pass_one(manager, utterances, log, njobs,
     return triplets
 
 
+def _overlapped_fused_extract(manager, utterances, log, njobs,
+                              signal_cache=None, fetch_dtype=None):
+    """Fused pass 1 with pass 2 overlapped into the relay waits.
+
+    Pass 2 only needs an utterance's CMVN group (its speaker, or just
+    itself) to be complete — not the whole corpus. So instead of
+    draining every batch before any pass-2 work starts (the
+    reference's two sequential joblib pools,
+    ``shennong/pipeline.py:545-567``), the fused executor hands each
+    utterance over as its batch payload lands: its CMVN statistics
+    are computed immediately (CPU work hidden inside the next batch's
+    fetch wait), and once a group's last utterance arrives, that
+    group's pass 2 (CMVN apply + deltas + pitch concatenation) runs
+    on a worker thread while later batches are still in flight. On a
+    relay-attached host the fetch waits are pure I/O, so pass 2 rides
+    inside them instead of extending the critical path.
+
+    Outputs are bit-identical to the sequential flow: per-utterance
+    statistics reduce into the group accumulator in the original
+    utterance order, and each group's pass 2 is
+    :func:`_batched_pass_two_impl` over the same triplets.
+
+    Returns the final FeaturesCollection, or None when the
+    configuration needs a different pass-1 path.
+    """
+    import queue
+    import threading
+
+    from shennong_tpu.ops.postops import accumulate_cmvn_stats
+    from shennong_tpu.parallel.profiler import counters
+
+    config = manager.config
+    rates = set(
+        meta.sample_rate for meta in manager.audio_metadata.values())
+    if len(rates) != 1:
+        return None
+
+    utterances = list(utterances)
+    executor = _make_fused_executor(
+        manager, utterances, log, signal_cache=signal_cache,
+        fetch_dtype=fetch_dtype)
+    if executor is None:
+        return None
+
+    with_cmvn = 'cmvn' in config
+    utt_by_name = {utt.name: utt for utt in utterances}
+
+    # CMVN group -> member names in original utterance order (the
+    # accumulation order of the sequential flow); without CMVN every
+    # utterance is its own group and finishes as soon as it lands
+    groups = {}
+    for utt in utterances:
+        key = manager.cmvn_key(utt) if with_cmvn else utt.name
+        groups.setdefault(key, []).append(utt.name)
+    group_of = {
+        name: key for key, names in groups.items() for name in names}
+    pending = {key: len(names) for key, names in groups.items()}
+
+    landed = {}    # name -> (utterance, features, pitch) triplet
+    stats = {}     # name -> per-utterance CMVN statistics
+    results = {}   # name -> final Features
+    work = queue.Queue()
+    failure = []
+    done = object()
+
+    def finish_group(key):
+        if with_cmvn:
+            for name in groups[key]:
+                manager.cmvn_stats[key] += stats.pop(name)
+        triplets = [landed.pop(name) for name in groups[key]]
+        with counters.timed('pass2_s'):
+            finished = _batched_pass_two_impl(manager, triplets, log)
+        results.update(finished)
+
+    def worker():
+        while True:
+            key = work.get()
+            if key is done:
+                return
+            try:
+                finish_group(key)
+            except BaseException as exc:  # re-raised on the main thread
+                failure.append(exc)
+                return
+
+    def on_utterance(name, features, vad, pitch):
+        utterance = utt_by_name[name]
+        if with_cmvn:
+            stats[name] = accumulate_cmvn_stats(
+                features.data, weights=vad)
+        if utterance.speaker:
+            features.properties['speaker'] = utterance.speaker
+        features.properties['audio'] = {
+            'file': os.path.abspath(utterance.audio_file),
+            'sample_rate': manager.audio_metadata[
+                utterance.audio_file].sample_rate}
+        if utterance.tstart is not None:
+            features.properties['audio']['tstart'] = utterance.tstart
+            features.properties['audio']['tstop'] = utterance.tstop
+        features.properties['audio']['duration'] = utterance.duration
+        landed[name] = (utterance, features, pitch)
+        key = group_of[name]
+        pending[key] -= 1
+        if pending[key] == 0 and not failure:
+            work.put(key)
+
+    log.debug(
+        'fused pass 1 with overlapped pass 2 over %d groups',
+        len(groups))
+    thread = threading.Thread(
+        target=worker, name='pass-two', daemon=True)
+    thread.start()
+    try:
+        executor.run(utterances, njobs=njobs, on_utterance=on_utterance)
+    finally:
+        work.put(done)
+        thread.join()
+    if failure:
+        raise failure[0]
+
+    collection = FeaturesCollection()
+    for utt in utterances:
+        collection[utt.name] = results[utt.name]
+    return collection
+
+
 def _fused_pass_one(manager, utterances, log, njobs,
                     signal_cache=None, fetch_dtype=None):
     """Pass 1 through the fused single-program-per-batch executor.
@@ -579,6 +712,19 @@ def _fused_pass_one(manager, utterances, log, njobs,
     configuration needs the stage-wise path (CREPE pitch,
     hour-scale utterances routed through chunked extraction).
     """
+    executor = _make_fused_executor(
+        manager, utterances, log, signal_cache=signal_cache,
+        fetch_dtype=fetch_dtype)
+    if executor is None:
+        return None
+    return executor.run(utterances, njobs=njobs)
+
+
+def _make_fused_executor(manager, utterances, log,
+                         signal_cache=None, fetch_dtype=None):
+    """A FusedPipelineExecutor for this configuration, or None when
+    the configuration needs the stage-wise path (CREPE pitch,
+    hour-scale utterances routed through chunked extraction)."""
     from shennong_tpu.parallel.executor import FusedPipelineExecutor
 
     config = manager.config
@@ -623,7 +769,7 @@ def _fused_pass_one(manager, utterances, log, njobs,
             manager.make('pitch_post') if with_pitch else None),
         signal_cache=signal_cache,
         fetch_dtype=fetch_dtype or 'float32')
-    return executor.run(utterances, njobs=njobs)
+    return executor
 
 
 def _extract_pass_one(utterance, manager, log):

@@ -198,7 +198,7 @@ def test_fused_pass_one_matches_stagewise(wav_file, features,
     fused = extract_features(config, utts)
 
     monkeypatch.setattr(
-        pipeline, '_fused_pass_one', lambda *a, **k: None)
+        pipeline, '_make_fused_executor', lambda *a, **k: None)
     stagewise = extract_features(config, utts)
 
     assert fused.keys() == stagewise.keys()
