@@ -254,7 +254,13 @@ def bench_end_to_end(n_utterances=512, warm_runs=5):
 
         # cold-start mitigation: a FRESH process that calls
         # pipeline.warmup() at startup (compiling the corpus
-        # geometries before traffic) then serves its first request
+        # geometries before traffic) then serves its first request.
+        # SHENNONG_BENCH_SKIP_WARMED=1 skips this (it recompiles the
+        # whole pipeline in the fresh process — minutes when the
+        # compile service is loaded) for quick probe sessions; the
+        # driver's default invocation measures it.
+        if os.environ.get('SHENNONG_BENCH_SKIP_WARMED'):
+            return result
         try:
             warmed = _measure_warmed_cold(workdir, utterances, config)
             result['warmup_s'] = round(warmed['warmup_s'], 1)

@@ -83,6 +83,10 @@ class Counters:
       outputs, and the fetched volume;
     - ``bytes_up``: host->device upload volume (int16-packed signals);
     - ``pass2_s``: host pass 2 (CMVN apply + delta + assembly).
+      Thread seconds, like ``decode_s``: pass 2 runs per CMVN group on
+      a worker thread overlapped with the in-flight batch fetches
+      (``pipeline._overlapped_fused_extract``), so it can exceed its
+      wall share.
 
     ``dispatch_s + fetch_s`` is the wall time provably spent waiting
     on the device path — the relay-sensitive share. Actual on-device

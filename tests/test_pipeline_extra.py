@@ -213,6 +213,29 @@ def test_fused_pass_one_matches_stagewise(wav_file, features,
                 == stagewise[name].properties['pipeline'])
 
 
+def test_overlapped_pass_two_failure_propagates(wav_file, monkeypatch):
+    """A pass-2 error raised on the overlapped worker thread surfaces
+    on the caller (and the worker shuts down instead of hanging)."""
+    import warnings
+    from shennong_tpu import pipeline
+
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        utts = Utterances([
+            ('u%d' % i, wav_file, 'spk%d' % (i % 2), 0.0, 0.3)
+            for i in range(4)])
+    config = get_default_config('mfcc', with_cmvn=True, with_delta=True)
+    config['mfcc']['dither'] = 0
+    config['cmvn']['with_vad'] = False
+
+    def boom(*args, **kwargs):
+        raise RuntimeError('pass-2 exploded')
+
+    monkeypatch.setattr(pipeline, '_batched_pass_two_impl', boom)
+    with pytest.raises(RuntimeError, match='pass-2 exploded'):
+        extract_features(config, utts)
+
+
 def test_warmup_precompiles_and_preserves_outputs(utterances):
     """pipeline.warmup derives the corpus geometries from headers,
     compiles the pipeline over a synthetic stand-in, and a following
